@@ -1,0 +1,165 @@
+"""AGC: log-domain automatic gain control with peak window, attack/decay, hang.
+
+Capability parity with the CuteSDR AGC (application/agc.{h,cpp}): magnitude in
+log domain, sliding-window peak detector (WINDOW_TIMECONST=18 ms), separate
+attack (2/5 ms rise/fall) and decay (mode-dependent 100-2000 ms, rise/fall
+ratio 0.3) smoothers, optional hang timer, knee/slope gain law, and a signal
+delay line (DELAY_TIMECONST=15 ms) aligning gain with signal; modes
+OFF/FAST/MED/SLOW/LONG (agc.cpp:52-200, constants agc.h:31-59).
+
+TPU-first design, hybrid parallel/sequential:
+  * magnitude->log and the sliding-window peak are parallel (reduce_window max);
+  * the attack/decay smoothers switch coefficients on compare — a nonlinear
+    recurrence — so they run as ONE lax.scan over the block with tiny scalar
+    state per channel.  At demod rate (<=48 ksps) this scan is short; a
+    `stride` option runs the smoother on a decimated envelope and linearly
+    interpolates gain between points (documented deviation; stride=1 is
+    sample-exact).
+  * the delay line is a static roll through a carried buffer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from pebblesdr_tpu.core.block import pytree_dataclass, static_field
+
+# agc.h constants
+DELAY_TIMECONST = 0.015
+WINDOW_TIMECONST = 0.018
+ATTACK_RISE_TIMECONST = 0.002
+ATTACK_FALL_TIMECONST = 0.005
+DECAY_RISEFALL_RATIO = 0.3
+RELEASE_TIMECONST = 0.05
+AGC_OUTSCALE = 0.7
+MAX_AMPLITUDE = 1.0
+MIN_CONSTANT = 1e-8  # log floor ~ -160 dB
+
+MODES = {  # mode -> (decay_ms, use_hang)  (agc.cpp mode table capability)
+    "off": (0.0, False),
+    "fast": (100.0, False),
+    "med": (250.0, False),
+    "slow": (500.0, False),
+    "long": (2000.0, True),
+}
+
+
+@pytree_dataclass
+class AGCConfig:
+    sample_rate: float = static_field()
+    mode: str = static_field()
+    threshold_db: float = static_field(default=-20.0)  # knee
+    slope_factor: float = static_field(default=0.0)    # output slope above knee, 0..1
+    stride: int = static_field(default=1)
+    window: int = static_field(default=0)              # peak window samples
+    delay: int = static_field(default=0)               # delay-line samples
+
+    @staticmethod
+    def make(sample_rate: float, mode: str = "med", threshold_db: float = -20.0,
+             slope_factor: float = 0.0, stride: int = 1) -> "AGCConfig":
+        return AGCConfig(
+            sample_rate=sample_rate, mode=mode, threshold_db=threshold_db,
+            slope_factor=slope_factor, stride=stride,
+            window=max(1, int(WINDOW_TIMECONST * sample_rate)),
+            delay=max(1, int(DELAY_TIMECONST * sample_rate)),
+        )
+
+
+@pytree_dataclass
+class AGCState:
+    attack_avg: jax.Array   # [C] log-domain attack smoother
+    decay_avg: jax.Array    # [C] log-domain decay smoother
+    hang_count: jax.Array   # [C] int32 hang timer
+    window_tail: jax.Array  # [C, window-1] previous log-magnitudes
+    delay_line: jax.Array   # [C, delay] delayed complex signal
+
+
+def agc_init(cfg: AGCConfig, channels: int) -> AGCState:
+    floor = math.log10(MIN_CONSTANT)
+    return AGCState(
+        attack_avg=jnp.full((channels,), floor, jnp.float32),
+        decay_avg=jnp.full((channels,), floor, jnp.float32),
+        hang_count=jnp.zeros((channels,), jnp.int32),
+        window_tail=jnp.full((channels, cfg.window - 1), floor, jnp.float32),
+        delay_line=jnp.zeros((channels, cfg.delay), jnp.complex64),
+    )
+
+
+def _coef(timeconst_s: float, rate: float) -> float:
+    return 1.0 - math.exp(-1.0 / (max(rate * timeconst_s, 1.0)))
+
+
+def agc_apply(cfg: AGCConfig, state: AGCState, x: jax.Array):
+    """x: [C, N] complex64 -> (state', y [C, N]).  mode='off' is identity."""
+    if cfg.mode == "off":
+        return state, x
+
+    c, n = x.shape
+    rate = cfg.sample_rate
+    decay_ms, use_hang = MODES[cfg.mode]
+
+    # --- parallel part: log magnitude + sliding-window peak ------------------
+    logmag = jnp.log10(jnp.abs(x) + MIN_CONSTANT)  # [C, N]
+    ext = jnp.concatenate([state.window_tail, logmag], axis=-1)
+    peak = jax.lax.reduce_window(
+        ext, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, cfg.window), window_strides=(1, 1),
+        padding="VALID")  # [C, N] — peak over trailing window
+    new_window_tail = ext[:, -(cfg.window - 1):]
+
+    # --- sequential part: attack/decay smoothing -----------------------------
+    attack_rise = _coef(ATTACK_RISE_TIMECONST, rate / cfg.stride)
+    attack_fall = _coef(ATTACK_FALL_TIMECONST, rate / cfg.stride)
+    decay_rise = _coef((decay_ms / 1000.0) * DECAY_RISEFALL_RATIO, rate / cfg.stride)
+    decay_fall = _coef(decay_ms / 1000.0, rate / cfg.stride)
+    hang_samples = int((decay_ms / 1000.0) * rate / cfg.stride)
+
+    env = peak[:, :: cfg.stride] if cfg.stride > 1 else peak  # [C, M]
+
+    def step(carry, p):  # p: [C]
+        att, dec, hang = carry
+        att2 = jnp.where(p > att, att + attack_rise * (p - att),
+                         att + attack_fall * (p - att))
+        rising = p > dec
+        if use_hang:
+            hang2 = jnp.where(rising, 0, hang + 1)
+            decaying = hang2 > hang_samples
+            dec2 = jnp.where(rising, dec + decay_rise * (p - dec),
+                             jnp.where(decaying, dec + decay_fall * (p - dec), dec))
+        else:
+            hang2 = hang
+            dec2 = jnp.where(rising, dec + decay_rise * (p - dec),
+                             dec + decay_fall * (p - dec))
+        level = jnp.maximum(att2, dec2)
+        return (att2, dec2, hang2), level
+
+    carry0 = (state.attack_avg, state.decay_avg, state.hang_count)
+    (att, dec, hang), levels = jax.lax.scan(step, carry0, jnp.moveaxis(env, 1, 0))
+    levels = jnp.moveaxis(levels, 0, 1)  # [C, M] log-domain envelope
+
+    if cfg.stride > 1:
+        # piecewise-linear upsample of the envelope back to N
+        levels = jax.image.resize(levels, (c, n), method="linear")
+
+    # --- gain law: knee/slope (agc.cpp:84-200 capability) --------------------
+    # below the knee: fixed max gain -knee (weak signals stay proportional);
+    # above the knee: output held at full scale, rising with the small
+    # slope_factor fraction (CuteSDR slope control).
+    knee = cfg.threshold_db / 20.0  # log10-amplitude units
+    env = levels
+    log_gain = jnp.where(env > knee,
+                         cfg.slope_factor * (env - knee) - env, -knee)
+    gain = jnp.power(10.0, log_gain) * AGC_OUTSCALE
+
+    # --- delay line: apply gain to the delayed signal ------------------------
+    full = jnp.concatenate([state.delay_line, x], axis=-1)
+    delayed = full[:, :n]
+    new_delay = full[:, n:]
+    y = (delayed * gain).astype(jnp.complex64)
+
+    new_state = AGCState(attack_avg=att, decay_avg=dec, hang_count=hang,
+                         window_tail=new_window_tail, delay_line=new_delay)
+    return new_state, y

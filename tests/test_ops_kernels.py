@@ -1,0 +1,276 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from pebblesdr_tpu.core import siggen
+from pebblesdr_tpu.ops import fastfir, goertzel, iir, mixer, pll, resampler, spectrum
+
+
+class TestMixer:
+    def test_tune_to_dc(self):
+        fs, f = 48000.0, 5000.0
+        _, x = siggen.tone(siggen.tone_init(), 4096, f, fs)
+        st = mixer.mixer_init(1)
+        hi, lo = mixer.split_freq(f, fs)
+        st, y = mixer.mix(st, x[None], hi, lo)
+        y = np.asarray(y)[0]
+        # after tuning the tone sits at DC: nearly constant phasor
+        assert np.std(np.angle(y * np.conj(y[0]))) < 1e-2
+        assert np.mean(np.abs(y) ** 2) == pytest.approx(1.0, rel=1e-3)
+
+    def test_block_continuity(self):
+        fs, f = 250_000.0, 12_345.0
+        hi, lo = mixer.split_freq(f, fs)
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=(1, 8192)) + 1j * rng.normal(size=(1, 8192))).astype(np.complex64)
+        st = mixer.mixer_init(1)
+        outs = []
+        for i in range(0, 8192, 1024):
+            st, y = mixer.mix(st, jnp.asarray(x[:, i:i + 1024]), hi, lo)
+            outs.append(np.asarray(y))
+        stream = np.concatenate(outs, axis=1)
+        st2 = mixer.mixer_init(1)
+        _, oneshot = mixer.mix(st2, jnp.asarray(x), hi, lo)
+        np.testing.assert_allclose(stream, np.asarray(oneshot), atol=1e-3)
+
+    def test_per_channel_freqs(self):
+        fs = 48000.0
+        freqs = [1000.0, 2000.0]
+        splits = [mixer.split_freq(f, fs) for f in freqs]
+        hi = jnp.stack([s[0] for s in splits])
+        lo = jnp.stack([s[1] for s in splits])
+        x = jnp.stack([
+            siggen.tone(siggen.tone_init(), 2048, f, fs)[1] for f in freqs])
+        st = mixer.mixer_init(2)
+        _, y = mixer.mix(st, x, hi, lo)
+        y = np.asarray(y)
+        for ch in range(2):
+            assert np.std(np.angle(y[ch] * np.conj(y[ch][0]))) < 1e-2
+
+
+class TestFastFIR:
+    def test_passband_stopband(self):
+        fs, block = 16000.0, 1024
+        mask = jnp.asarray(fastfir.design_mask(300.0, 3000.0, fs, block))
+        st = fastfir.state_init(1, block)
+        _, tone_in = siggen.tone(siggen.tone_init(), block * 4, 1000.0, fs)
+        _, tone_out_band = siggen.tone(siggen.tone_init(), block * 4, 6000.0, fs)
+        for name, sig, want_pass in [("in", tone_in, True), ("out", tone_out_band, False)]:
+            s = fastfir.state_init(1, block)
+            outs = []
+            for i in range(0, 4 * block, block):
+                s, y = fastfir.apply(s, sig[None, i:i + block], mask)
+                outs.append(np.asarray(y))
+            y = np.concatenate(outs, axis=1)[0][block:]
+            p = np.mean(np.abs(y) ** 2)
+            if want_pass:
+                assert p == pytest.approx(1.0, rel=0.05), name
+            else:
+                assert 10 * np.log10(p + 1e-12) < -60, name
+
+    def test_streaming_matches_scipy(self):
+        """Overlap-save streaming equals direct convolution (steady state)."""
+        fs, block = 16000.0, 512
+        lo, hi = -2000.0, 2000.0
+        mask_np = fastfir.design_mask(lo, hi, fs, block)
+        # time-domain taps for the scipy reference
+        taps = np.fft.ifft(mask_np)[: block + 1]
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=4 * block) + 1j * rng.normal(size=4 * block)).astype(np.complex64)
+        st = fastfir.state_init(1, block)
+        outs = []
+        for i in range(0, len(x), block):
+            st, y = fastfir.apply(st, jnp.asarray(x[None, i:i + block]), jnp.asarray(mask_np))
+            outs.append(np.asarray(y)[0])
+        ours = np.concatenate(outs)
+        ref = scipy.signal.lfilter(taps, [1.0], x)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_negative_band_lsb(self):
+        fs, block = 16000.0, 1024
+        mask = jnp.asarray(fastfir.design_mask(-3000.0, -300.0, fs, block))
+        _, tone_neg = siggen.tone(siggen.tone_init(), 2 * block, -1000.0, fs)
+        _, tone_pos = siggen.tone(siggen.tone_init(), 2 * block, 1000.0, fs)
+        st = fastfir.state_init(1, block)
+        st, _ = fastfir.apply(st, tone_neg[None, :block], mask)
+        _, y_neg = fastfir.apply(st, tone_neg[None, block:], mask)
+        st = fastfir.state_init(1, block)
+        st, _ = fastfir.apply(st, tone_pos[None, :block], mask)
+        _, y_pos = fastfir.apply(st, tone_pos[None, block:], mask)
+        ratio = float(jnp.mean(jnp.abs(y_neg) ** 2) / jnp.mean(jnp.abs(y_pos) ** 2))
+        assert 10 * np.log10(ratio) > 60
+
+
+class TestSpectrum:
+    def test_tone_at_zero_db(self):
+        fs, n = 48000.0, 4096
+        w, cg = spectrum.make_window(n)
+        f = 187.5 * 16  # exactly on a bin: 48000/4096 * 256
+        _, x = siggen.tone(siggen.tone_init(), n, f, fs)
+        db, overload = spectrum.power_spectrum(x[None], jnp.asarray(w), cg)
+        db = np.asarray(db)[0]
+        peak_bin = np.argmax(db)
+        assert db[peak_bin] == pytest.approx(0.0, abs=0.1)
+        expected_bin = n // 2 + 256
+        assert peak_bin == expected_bin
+        assert not bool(np.asarray(overload)[0])
+
+    def test_overload_flag(self):
+        x = jnp.full((1, 2048), 1.5 + 0.0j, jnp.complex64)
+        _, overload = spectrum.power_spectrum(
+            x, jnp.asarray(spectrum.make_window(2048)[0]), 0.5)
+        assert bool(np.asarray(overload)[0])
+
+    def test_averaging_reduces_variance(self):
+        fs, n = 48000.0, 2048
+        w, cg = spectrum.make_window(n)
+        key = jax.random.key(0)
+        st = spectrum.state_init(1, n)
+        last = None
+        for i in range(20):
+            key, k = jax.random.split(key)
+            x = siggen.noise(k, n)[None]
+            st, db, _ = spectrum.averaged_spectrum(st, x, jnp.asarray(w), cg, smoothing=0.9)
+            last = np.asarray(db)[0]
+        # averaged noise floor variance far below single-shot chi^2 variance
+        assert np.std(last) < 3.0
+
+    def test_map_to_screen(self):
+        db2 = jnp.asarray(np.linspace(-100, 0, 2048, dtype=np.float32)[None])
+        px = spectrum.map_to_screen(db2, 256)
+        assert px.shape == (1, 256)
+        assert float(px[0, -1]) == pytest.approx(0.0, abs=0.5)
+
+
+class TestResampler:
+    def test_tone_snr_upsample(self):
+        p = resampler.plan(15000, 48000, 1000, taps=32)
+        assert p.n_out == 3200
+        f = 1000.0
+        _, x = siggen.tone(siggen.tone_init(), 4000, f, 15000.0)
+        x = np.asarray(x).real[None].astype(np.float32)
+        st = resampler.state_init(p, 1)
+        outs = []
+        for i in range(0, 4000, 1000):
+            st, y = resampler.apply(p, st, jnp.asarray(x[:, i:i + 1000]))
+            outs.append(np.asarray(y))
+        y = np.concatenate(outs, axis=1)[0][200:]
+        # compare against ideal 1 kHz tone at 48k (unknown phase): fit
+        t = np.arange(len(y)) / 48000.0
+        basis = np.stack([np.cos(2 * np.pi * f * t), np.sin(2 * np.pi * f * t)])
+        coef, *_ = np.linalg.lstsq(basis.T, y, rcond=None)
+        resid = y - coef @ basis
+        snr = 10 * np.log10(np.mean(y**2) / np.mean(resid**2))
+        assert snr > 60
+
+    def test_complex_resample(self):
+        p = resampler.plan(20000, 48000, 500, taps=32)
+        assert p.n_out == 1200
+        _, x = siggen.tone(siggen.tone_init(), 500, 3000.0, 20000.0)
+        st = resampler.state_init(p, 1, dtype=jnp.complex64)
+        st, y = resampler.apply(p, st, x[None])
+        assert y.shape == (1, 1200)
+        assert y.dtype == jnp.complex64
+
+    def test_incompatible_geometry_raises(self):
+        with pytest.raises(ValueError):
+            resampler.plan(48000, 44100, 100)
+
+
+class TestIIR:
+    def test_first_order_matches_lfilter(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(1, 512)).astype(np.float32)
+        a, b = 0.95, 0.05
+        _, y = iir.first_order_apply(jnp.zeros((1,)), jnp.asarray(x), a, b)
+        ref = scipy.signal.lfilter([b], [1.0, -a], x, axis=1)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+    def test_biquad_matches_lfilter(self):
+        coef = iir.design_biquad("lowpass", 1000.0, 48000.0, 0.707)
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 1024)).astype(np.float32)
+        st = iir.biquad_state_init(2)
+        _, y = iir.biquad_apply(st, jnp.asarray(x), coef)
+        b = [coef.b0, coef.b1, coef.b2]
+        a = [1.0, coef.a1, coef.a2]
+        ref = scipy.signal.lfilter(b, a, x, axis=1)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-3)
+
+    def test_biquad_streaming(self):
+        coef = iir.design_biquad("bandpass", 19000.0, 240000.0, 500.0)
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(1, 4096)).astype(np.float32)
+        st = iir.biquad_state_init(1)
+        outs = []
+        for i in range(0, 4096, 512):
+            st, y = iir.biquad_apply(st, jnp.asarray(x[:, i:i + 512]), coef)
+            outs.append(np.asarray(y))
+        stream = np.concatenate(outs, axis=1)
+        ref = scipy.signal.lfilter([coef.b0, coef.b1, coef.b2],
+                                   [1.0, coef.a1, coef.a2], x, axis=1)
+        np.testing.assert_allclose(stream, ref, atol=1e-2)
+
+    def test_dc_removal(self):
+        x = jnp.ones((1, 4096), jnp.float32) * 0.7
+        carry = jnp.zeros((1,))
+        for _ in range(4):
+            carry, y = iir.dc_removal_apply(carry, x, alpha=0.999)
+        assert abs(float(y[0, -1])) < 0.02
+
+
+class TestPLL:
+    def test_locks_to_offset_tone(self):
+        fs = 8000.0
+        cfg = pll.make_pll_config(fs, bw_hz=100.0, range_hz=1000.0)
+        offset = 234.0
+        _, x = siggen.tone(siggen.tone_init(), 8000, offset, fs)
+        st = pll.pll_init(cfg, 1)
+        st, phases, freqs = pll.pll_run(cfg, st, x[None])
+        # loop frequency converges to +offset (tone at +f; NCO mixes by -phase)
+        locked = np.asarray(freqs)[0, -500:]
+        f_hat = np.mean(locked) * fs / (2 * np.pi)
+        assert f_hat == pytest.approx(offset, abs=5.0)
+
+    def test_carrier_removal(self):
+        """After lock, x * exp(-j*phase) has near-zero residual phase drift."""
+        fs = 8000.0
+        cfg = pll.make_pll_config(fs, bw_hz=200.0, range_hz=500.0)
+        _, x = siggen.tone(siggen.tone_init(), 16000, 100.0, fs)
+        st = pll.pll_init(cfg, 1)
+        st, phases, _ = pll.pll_run(cfg, st, x[None])
+        z = np.asarray(x)[8000:] * np.exp(-1j * np.asarray(phases)[0, 8000:])
+        assert np.std(np.angle(z)) < 0.1
+
+
+class TestGoertzel:
+    def test_tone_power(self):
+        fs, n = 8000.0, 160
+        basis = jnp.asarray(goertzel.dft_vectors([1000.0, 1250.0], fs, n))
+        _, x = siggen.tone(siggen.tone_init(), n * 8, 1000.0, fs)
+        frames = goertzel.frame_stream(x[None], n)
+        p = np.asarray(goertzel.goertzel_power(frames, basis))
+        assert p[0, :, 0] == pytest.approx(1.0, rel=1e-2)
+        assert np.all(p[0, :, 1] < 0.01)
+
+    def test_ook_detects_keying(self):
+        fs, n = 8000.0, 80
+        f0 = 1000.0
+        basis = jnp.asarray(goertzel.dft_vectors([f0, f0 - 200, f0 + 200], fs, n))
+        # 40 frames on, 40 off, repeated
+        frames_total = 160
+        t = np.arange(frames_total * n)
+        tone = np.exp(2j * np.pi * f0 * t / fs)
+        gate = ((t // (40 * n)) % 2) == 0
+        x = (tone * gate).astype(np.complex64)[None]
+        frames = goertzel.frame_stream(jnp.asarray(x), n)
+        p = goertzel.goertzel_power(frames, basis)
+        st = goertzel.ook_init(1)
+        st, marks = goertzel.ook_detect(st, p[:, :, 0], p[:, :, 1], p[:, :, 2])
+        marks = np.asarray(marks)[0]
+        # interior of on-periods marked, interior of off-periods unmarked
+        assert marks[10:35].all()
+        assert not marks[50:75].any()
+        assert marks[90:115].all()

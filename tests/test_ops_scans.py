@@ -1,0 +1,117 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pebblesdr_tpu.core import siggen
+from pebblesdr_tpu.ops import agc, scanops
+
+
+class TestNoiseBlanker:
+    def test_spike_removed(self):
+        import jax
+        x = np.asarray(siggen.noise(jax.random.key(0), 4096, db_level=-30.0))
+        x = x.copy()
+        x[1000] = 5.0 + 5.0j  # big impulse
+        st = scanops.noise_blanker_init(1)
+        # warm the EWMA on a clean block first
+        st, _ = scanops.noise_blanker(st, jnp.asarray(x[None, :512]))
+        st, y = scanops.noise_blanker(st, jnp.asarray(x[None]))
+        y = np.asarray(y)[0]
+        assert np.abs(y[1000]) < 0.01
+        # non-spike region untouched
+        np.testing.assert_allclose(y[2000:3000], x[2000:3000], atol=1e-6)
+
+    def test_average_mode(self):
+        import jax
+        x = np.asarray(siggen.noise(jax.random.key(1), 2048, db_level=-30.0)).copy()
+        x[500] = 3.0
+        st = scanops.noise_blanker_init(1)
+        st, _ = scanops.noise_blanker(st, jnp.asarray(x[None, :512]), mode="average")
+        st, y = scanops.noise_blanker(st, jnp.asarray(x[None]), mode="average")
+        assert np.abs(np.asarray(y)[0, 500]) < 0.1
+
+
+class TestIQBalance:
+    def test_static_correction(self):
+        _, x = siggen.tone(siggen.tone_init(), 1024, 1000.0, 48000.0)
+        # imbalance: gain error 1.1 on I, phase leak 0.05
+        bad = jnp.asarray((x.real * 1.1 + 1j * (x.imag + 0.05 * x.real)))
+        fixed = scanops.iq_balance(bad[None], gain=1.0 / 1.1, phase=-0.05 / 1.1)
+        np.testing.assert_allclose(np.asarray(fixed)[0], np.asarray(x), atol=1e-3)
+
+    def test_auto_balance_improves_image(self):
+        fs = 48000.0
+        _, x = siggen.tone(siggen.tone_init(), 8192, 5000.0, fs)
+        x = np.asarray(x)
+        # imbalance creates an image at -5 kHz
+        bad = (x.real * 1.05 + 1j * (x.imag + 0.02 * x.real)).astype(np.complex64)
+
+        def image_ratio(sig):
+            spec = np.abs(np.fft.fft(sig))
+            n = len(sig)
+            pos = spec[5000 * n // 48000]
+            neg = spec[n - 5000 * n // 48000]
+            return 20 * np.log10(pos / (neg + 1e-12))
+
+        st = scanops.auto_iq_balance_init(1)
+        y = bad
+        for _ in range(6):
+            st, yj = scanops.auto_iq_balance(st, jnp.asarray(bad[None]))
+            y = np.asarray(yj)[0]
+        assert image_ratio(y) > image_ratio(bad) + 10
+
+
+class TestANF:
+    def test_predicts_tone_rejects_noise(self):
+        import jax
+        fs = 8000.0
+        n = 8192
+        _, tone = siggen.tone(siggen.tone_init(), n, 800.0, fs)
+        tone = np.asarray(tone).real.astype(np.float32)
+        noise = np.asarray(siggen.noise(jax.random.key(2), n, db_level=-20.0)).real
+        x = (tone + noise).astype(np.float32)[None]
+        st = scanops.anf_init(1)
+        y = None
+        for _ in range(4):
+            st, yj = scanops.anf(st, jnp.asarray(x))
+            y = np.asarray(yj)[0]
+        # output should correlate strongly with the tonal part
+        corr = np.corrcoef(y[2000:], tone[2000:])[0, 1]
+        assert corr > 0.9
+
+
+class TestAGC:
+    def test_levels_strong_and_weak(self):
+        fs = 16000.0
+        cfg = agc.AGCConfig.make(fs, mode="fast", threshold_db=-40.0)
+        for amp in [1.0, 0.05]:
+            _, x = siggen.tone(siggen.tone_init(), 4096, 1000.0, fs, amplitude=amp)
+            st = agc.agc_init(cfg, 1)
+            y = None
+            for _ in range(8):
+                st, yj = agc.agc_apply(cfg, st, x[None])
+                y = np.asarray(yj)[0]
+            out_amp = np.sqrt(np.mean(np.abs(y) ** 2))
+            # both converge near AGC_OUTSCALE
+            assert out_amp == pytest.approx(agc.AGC_OUTSCALE, rel=0.25), amp
+
+    def test_off_mode_identity(self):
+        cfg = agc.AGCConfig.make(16000.0, mode="off")
+        _, x = siggen.tone(siggen.tone_init(), 1024, 1000.0, 16000.0)
+        st = agc.agc_init(agc.AGCConfig.make(16000.0, "fast"), 1)
+        st2, y = agc.agc_apply(cfg, st, x[None])
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x[None]))
+
+    def test_strided_close_to_exact(self):
+        fs = 48000.0
+        import jax
+        x = np.asarray(siggen.noise(jax.random.key(3), 4800, db_level=-20.0))[None]
+        cfg1 = agc.AGCConfig.make(fs, mode="med", stride=1)
+        cfg8 = agc.AGCConfig.make(fs, mode="med", stride=8)
+        st1, st8 = agc.agc_init(cfg1, 1), agc.agc_init(cfg8, 1)
+        for _ in range(4):
+            st1, y1 = agc.agc_apply(cfg1, st1, jnp.asarray(x))
+            st8, y8 = agc.agc_apply(cfg8, st8, jnp.asarray(x))
+        p1 = np.mean(np.abs(np.asarray(y1)) ** 2)
+        p8 = np.mean(np.abs(np.asarray(y8)) ** 2)
+        assert abs(10 * np.log10(p1 / p8)) < 1.5
