@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: IQ Msamples/s/chip through the full filter+demod chain.
+
+Runs the flagship multi-channel receive chain (BASELINE.json headline metric)
+on the available accelerator: C concurrent AM channels at 2.048 Msps, each
+running the complete chain (DC removal -> mix -> 6-stage halfband cascade ->
+FastFIR bandpass -> spectra + S-meter -> AGC -> AM demod -> 48 kHz resample).
+
+Baseline: the reference's measured whole-chain time of 7.035 ms per
+2048-sample block (application/receiver.cpp:780-785) = 0.291 Msamples/s on a
+single channel; vs_baseline is the speedup of our per-chip aggregate
+throughput over that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CHANNELS = int(os.environ.get("BENCH_CHANNELS", "64"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "32768"))
+FS = 2_048_000
+WARMUP = 3
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+REFERENCE_MSPS = 2048.0 / 7.035e-3 / 1e6  # 0.291 Msps (receiver.cpp:780-785)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+    from pebblesdr_tpu.demod.modes import DemodMode
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=FRAMES,
+                         channels=CHANNELS, mode=DemodMode.AM)
+    rx = Receiver(cfg)
+
+    # complex64 cannot cross the axon host<->device boundary: build state
+    # inside jit, ship IQ as float32 (re, im) planes
+    state = jax.jit(lambda: rx.init_state())()
+    params = rx.default_params(250_000.0)
+
+    t = np.arange(FRAMES) / FS
+    env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+    iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
+    iq_ri = np.broadcast_to(np.stack([iq.real, iq.imag]).astype(np.float32),
+                            (CHANNELS, 2, FRAMES)).copy()
+
+    @jax.jit
+    def step(state, params, iq_ri):
+        iq_c = jax.lax.complex(iq_ri[:, 0, :], iq_ri[:, 1, :])
+        return rx._step_impl(state, params, iq_c)
+
+    iq_dev = jnp.asarray(iq_ri)
+    for _ in range(WARMUP):
+        state, out = step(state, params, iq_dev)
+    out["audio"].block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, out = step(state, params, iq_dev)
+    out["audio"].block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples = CHANNELS * FRAMES * STEPS
+    msps = samples / dt / 1e6
+    result = {
+        "metric": "iq_msps_per_chip",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip (full AM chain, %d ch @ 2.048 Msps)" % CHANNELS,
+        "vs_baseline": round(msps / REFERENCE_MSPS, 1),
+    }
+    print(json.dumps(result))
+    # supplementary metrics on stderr (not part of the driver contract)
+    per_chan = samples / CHANNELS / dt
+    print(f"# per-channel {per_chan/1e6:.2f} Msps, realtime x{per_chan/FS:.2f}, "
+          f"block time {dt/STEPS*1e3:.2f} ms for {CHANNELS} channels",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

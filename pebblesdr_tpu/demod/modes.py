@@ -47,8 +47,12 @@ MODE_INFO: dict[DemodMode, ModeInfo] = {
     DemodMode.AM: ModeInfo(DemodMode.AM, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),
     DemodMode.SAM: ModeInfo(DemodMode.SAM, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),
     DemodMode.FMN: ModeInfo(DemodMode.FMN, (30000.0, 10000.0, 7000.0), 30000.0, -15000.0, 15000.0, 30000.0, "off"),
-    DemodMode.FMM: ModeInfo(DemodMode.FMM, (200000.0,), 200000.0, -100000.0, 100000.0, 200000.0, "off"),
-    DemodMode.FMS: ModeInfo(DemodMode.FMS, (200000.0,), 200000.0, -100000.0, 100000.0, 200000.0, "off"),
+    # WFM composite path must stay >=400 kHz so Carson-rule FM sidebands
+    # (+-128 kHz for 75 kHz deviation) survive — the reference's WFM
+    # downconverter likewise stops at 400 kHz (downconvert.cpp:220-240);
+    # decimating to 256 kHz clips sidebands and biases the pilot PLL.
+    DemodMode.FMM: ModeInfo(DemodMode.FMM, (200000.0,), 200000.0, -100000.0, 100000.0, 400000.0, "off"),
+    DemodMode.FMS: ModeInfo(DemodMode.FMS, (200000.0,), 200000.0, -100000.0, 100000.0, 400000.0, "off"),
     DemodMode.DSB: ModeInfo(DemodMode.DSB, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),
     DemodMode.LSB: ModeInfo(DemodMode.LSB, _SSB_FILTERS, 2700.0, -3000.0, -300.0, 20000.0, "slow"),
     DemodMode.USB: ModeInfo(DemodMode.USB, _SSB_FILTERS, 2700.0, 300.0, 3000.0, 20000.0, "slow"),

@@ -61,7 +61,7 @@ class WFMConfig:
             pilot_notch=iir.design_biquad("notch", PILOT_HZ, sample_rate, q=5.0),
             pilot_pll=pll.make_pll_config(sample_rate, bw_hz=10.0, zeta=0.707,
                                           center_hz=PILOT_HZ, range_hz=100.0,
-                                          detector="cross"),
+                                          detector="pilot"),
             rds_tap=rds_tap,
         )
 
@@ -127,9 +127,14 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array):
         # feed pilot as the real part; the 'cross' detector uses Im(z)*sign(Re).
         pilot_c = pilot.astype(jnp.complex64)
         pll_state, phases, _ = pll.pll_run(cfg.pilot_pll, state.pilot_pll, pilot_c)
-        # lock detect: coherent pilot amplitude (pilot * cos(phase) averages to
-        # A/2 when locked, ~0 when unlocked)
-        coh = jnp.mean(pilot * jnp.cos(phases), axis=-1)
+        # lock detect: coherent pilot amplitude.  The 'cross' PLL locks with
+        # pilot ~= A*sin(phase), so pilot*sin(phase) averages to A/2 when
+        # locked and ~0 when unlocked (verified empirically; the demux below
+        # uses sin(2*phase) accordingly, as the reference does in
+        # demod_wfm.cpp:275-284).
+        # (the sign() detector has two stable lock points, pilot = +-A*sin(phi);
+        # both yield the same sin(2*phi) demux, so lock on |coherence|)
+        coh = jnp.abs(jnp.mean(pilot * jnp.sin(phases), axis=-1))
         level = 0.9 * state.pilot_level + 0.1 * coh
         locked = level > 0.002
         # --- demux ------------------------------------------------------------

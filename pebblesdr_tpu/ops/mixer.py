@@ -51,7 +51,9 @@ def split_freq(freq_hz, sample_rate):
     f = f - np.floor(f)
     hi = np.float32(np.round(f * _SPLIT) / _SPLIT)
     lo = np.float32(f - float(hi))
-    return jnp.asarray(hi), jnp.asarray(lo)
+    # returned as numpy so callers can np.stack without an eager device op
+    # (the axon TPU backend only executes jit'd computations)
+    return hi, lo
 
 
 def phase_ramp(phase0, n: int, f_hi, f_lo):

@@ -56,13 +56,18 @@ def make_pll_config(sample_rate: float, bw_hz: float, zeta: float = 0.707,
 @pytree_dataclass
 class PLLState:
     phase: jax.Array  # [C] radians
-    freq: jax.Array   # [C] radians/sample
+    fdev: jax.Array   # [C] radians/sample DEVIATION from freq_center — keeping
+    #                   the integrator near zero preserves float32 precision
+    #                   (beta*err increments are ~1e-9; adding them to an
+    #                   absolute 0.2 rad/sample frequency underflows in f32)
+    amp: jax.Array    # [C] EWMA of |input| (detector gain normalization)
 
 
 def pll_init(cfg: PLLConfig, channels: int) -> PLLState:
     return PLLState(
         phase=jnp.zeros((channels,), jnp.float32),
-        freq=jnp.full((channels,), cfg.freq_center, jnp.float32),
+        fdev=jnp.zeros((channels,), jnp.float32),
+        amp=jnp.full((channels,), 1.0, jnp.float32),
     )
 
 
@@ -70,25 +75,40 @@ def pll_run(cfg: PLLConfig, state: PLLState, x: jax.Array):
     """Track the carrier in x [C, N] complex64.
 
     Returns (state', phases [C, N], freqs [C, N]) — per-sample NCO phase (the
-    phase *used* to mix each sample) and the instantaneous loop frequency.
-    Callers build whatever they need from the phase (carrier removal, stereo
-    demux sin(2*phase), FM audio from freq deviation, ...).
+    phase *used* to mix each sample) and the instantaneous loop frequency
+    (absolute, radians/sample).  Callers build whatever they need from the
+    phase (carrier removal, stereo demux sin(2*phase), FM audio from freq
+    deviation, ...).
     """
+    dev_lo = cfg.freq_lo - cfg.freq_center
+    dev_hi = cfg.freq_hi - cfg.freq_center
 
     def step(carry, xt):  # xt: [C]
-        phase, freq = carry
-        osc = jnp.exp(-1j * phase.astype(jnp.complex64))
-        z = xt * osc
-        if cfg.detector == "atan2":
-            err = jnp.arctan2(z.imag, z.real)
-        else:  # 'cross': small-angle product detector
-            err = z.imag * jnp.sign(z.real)
-        freq2 = jnp.clip(freq + cfg.beta * err, cfg.freq_lo, cfg.freq_hi)
-        phase2 = phase + freq2 + cfg.alpha * err
+        phase, fdev, amp = carry
+        amp2 = amp + 1e-3 * (jnp.abs(xt) - amp)
+        if cfg.detector == "pilot":
+            # real-signal PD: for x ~= A*sin(theta), x*cos(phi) low-passes to
+            # (A/2)*sin(theta-phi); the 2w ripple is filtered by the narrow
+            # loop (the CuteSDR pilot-PLL approach, demod_wfm.cpp:390+).
+            # Locks with x ~= A*sin(phase).  Normalized by the tracked
+            # amplitude so the loop bandwidth is independent of pilot level
+            # (mean|A sin| = 2A/pi -> A/2 = (pi/4)*mean|x|).
+            a_half = jnp.maximum((jnp.pi / 4.0) * amp2, 1e-6)
+            err = xt.real * jnp.cos(phase) / a_half
+        else:
+            osc = jnp.exp(-1j * phase.astype(jnp.complex64))
+            z = xt * osc
+            if cfg.detector == "atan2":
+                err = jnp.arctan2(z.imag, z.real)
+            else:  # 'cross': small-angle product detector (complex carriers)
+                err = z.imag * jnp.sign(z.real)
+        fdev2 = jnp.clip(fdev + cfg.beta * err, dev_lo, dev_hi)
+        phase2 = phase + (cfg.freq_center + fdev2) + cfg.alpha * err
         phase2 = jnp.mod(phase2 + jnp.pi, TWO_PI) - jnp.pi
-        return (phase2, freq2), (phase, freq2)
+        return (phase2, fdev2, amp2), (phase, fdev2)
 
-    (ph, fr), (phases, freqs) = jax.lax.scan(
-        step, (state.phase, state.freq), jnp.moveaxis(x, 1, 0))
-    return (PLLState(phase=ph, freq=fr),
-            jnp.moveaxis(phases, 0, 1), jnp.moveaxis(freqs, 0, 1))
+    (ph, fr, am), (phases, fdevs) = jax.lax.scan(
+        step, (state.phase, state.fdev, state.amp), jnp.moveaxis(x, 1, 0))
+    return (PLLState(phase=ph, fdev=fr, amp=am),
+            jnp.moveaxis(phases, 0, 1),
+            jnp.moveaxis(fdevs, 0, 1) + cfg.freq_center)

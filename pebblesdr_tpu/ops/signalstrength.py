@@ -28,6 +28,40 @@ def band_bins(lo_hz: float, hi_hz: float, sample_rate: float, n_bins: int):
     return start, stop
 
 
+def band_masks(lo_hz: float, hi_hz: float, sample_rate: float, n_bins: int):
+    """(band_mask, noise_mask) [n_bins] float32 — runtime inputs so retuning
+    the bandpass never recompiles the jitted chain."""
+    start, stop = band_bins(lo_hz, hi_hz, sample_rate, n_bins)
+    width = stop - start
+    band = np.zeros(n_bins, np.float32)
+    band[start:stop] = 1.0
+    noise = np.zeros(n_bins, np.float32)
+    noise[max(0, start - width):start] = 1.0
+    noise[stop:min(n_bins, stop + width)] = 1.0
+    if noise.sum() == 0:
+        noise[:] = 1.0
+    return band, noise
+
+
+def fd_estimate_masked(power_lin: jax.Array, band_mask: jax.Array,
+                       noise_mask: jax.Array):
+    """Mask-based fdEstimate: power_lin [C, bins], masks [bins] float32.
+
+    Returns dict(signal_db, peak_db, noise_db, snr_db) each [C].
+    """
+    nb = jnp.maximum(jnp.sum(band_mask), 1.0)
+    nn = jnp.maximum(jnp.sum(noise_mask), 1.0)
+    sig_avg = jnp.sum(power_lin * band_mask, axis=-1) / nb
+    sig_peak = jnp.max(power_lin * band_mask, axis=-1)
+    noise = jnp.sum(power_lin * noise_mask, axis=-1) / nn
+    return {
+        "signal_db": dbu.power_to_db(sig_avg),
+        "peak_db": dbu.power_to_db(sig_peak),
+        "noise_db": dbu.power_to_db(noise),
+        "snr_db": dbu.power_to_db(sig_avg) - dbu.power_to_db(noise),
+    }
+
+
 def fd_estimate(power_lin: jax.Array, start: int, stop: int):
     """power_lin: [C, bins] linear fftshifted power spectrum.
 

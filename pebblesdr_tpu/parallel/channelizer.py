@@ -1,0 +1,69 @@
+"""Sharded whole-chain step: one wideband capture -> many demodulated channels
+across a (channel x time) device mesh.
+
+This is BASELINE.json config #4/#5: channels shard as a pure map (DP analog);
+the wideband front end (NCO mix + decimator cascade) runs time-sharded under
+jax.shard_map with explicit ppermute halo exchange (SP/CP analog, see
+parallel.time_shard); the decimated narrowband tail of the chain
+(FastFIR -> AGC -> demod -> resample) runs channel-sharded with XLA placing
+any remaining collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pebblesdr_tpu.chain.receiver import Receiver, ReceiverState
+from pebblesdr_tpu.demod.modes import is_wfm
+from pebblesdr_tpu.ops.mixer import MixerState
+from pebblesdr_tpu.parallel import time_shard
+
+
+def build_sharded_step(rx: Receiver, mesh):
+    """Returns a jitted step(state, params, iq) for iq [C, N] sharded
+    (channel, time) over the mesh.  Narrowband modes only (WFM sharding of the
+    composite path lands with the RDS work)."""
+    assert not is_wfm(rx.cfg.mode), "sharded WFM composite path: TODO"
+    plan = rx.plan
+    csh = NamedSharding(mesh, P("channel", None))
+    n_stages = len(plan.stages)
+
+    front = jax.shard_map(
+        functools.partial(_front_end, plan),
+        mesh=mesh,
+        in_specs=(P("channel"), tuple(P("channel", None) for _ in range(n_stages)),
+                  P("channel", "time"), P("channel"), P("channel")),
+        out_specs=(P("channel"), tuple(P("channel", None) for _ in range(n_stages)),
+                   P("channel", "time")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: ReceiverState, params, iq):
+        phase2, new_carries, x = front(state.mixer.phase, state.decim, iq,
+                                       params.tune_hi, params.tune_lo)
+        # reshard the (much smaller) decimated stream to channel-only; XLA
+        # inserts the gather over the 'time' axis here
+        x = lax.with_sharding_constraint(x, csh)
+        taps_out = {}
+        audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
+            rx._narrowband_path(state, params, x, taps_out))
+        new_state = ReceiverState(
+            mixer=MixerState(phase=phase2), decim=new_carries,
+            fastfir=ff_state, dc=state.dc, nb=state.nb, anf=anf_state,
+            agc=agc_state, demod=demod_state, resamp=resamp_state,
+            spec_full=state.spec_full, spec_zoom=state.spec_zoom)
+        return new_state, audio
+
+    return step
+
+
+def _front_end(plan, phase0, carries, xl, hi, lo):
+    phase2, y = time_shard.sharded_mix(phase0, xl, hi, lo, "time")
+    new_carries, y = time_shard.sharded_decimator_apply(plan, carries, y, "time")
+    return phase2, new_carries, y

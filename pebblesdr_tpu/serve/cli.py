@@ -1,0 +1,156 @@
+"""Command-line receiver: file/synthetic IQ in -> demodulated audio WAV out.
+
+The app-shell analog (application/main.cpp + SdrGarage CLI capability): select
+a source, configure the chain, run it block-by-block, write audio and print
+Perform-style stage metrics (Msamples/s, real-time factor).
+
+Examples:
+  python -m pebblesdr_tpu.serve.cli --wav capture.wav --mode AM \
+      --tune 250000 --seconds 5 --audio-out audio.wav
+  python -m pebblesdr_tpu.serve.cli --synthetic am --sample-rate 2048000 \
+      --mode AM --tune 250000 --seconds 2 --audio-out /tmp/a.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+from pebblesdr_tpu.demod import modes as modes_mod
+from pebblesdr_tpu.io import sources, wav
+from pebblesdr_tpu.utils.perform import Perform
+
+
+def make_source(args) -> sources.Source:
+    if args.wav:
+        return sources.FileSource(args.wav, loop=True, pace=args.pace)
+    fs = args.sample_rate
+    kind = args.synthetic or "am"
+    if kind == "am":
+        # AM station at +250 kHz, 1 kHz 80% modulation: emulate via two tones
+        return sources.SyntheticSource(
+            fs, tones=((args.tune, 0.25), (args.tune + 1000.0, 0.1),
+                       (args.tune - 1000.0, 0.1)), noise_db=args.noise_db)
+    if kind == "tone":
+        return sources.SyntheticSource(fs, tones=((args.tune + 1000.0, 0.5),),
+                                       noise_db=args.noise_db)
+    if kind == "morse":
+        return sources.MorseGenSource(
+            fs, generators=(("cq cq cq de pebble tpu", 20.0, args.tune + 1000.0, 0.5),),
+            noise_db=args.noise_db)
+    raise SystemExit(f"unknown synthetic source {kind!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    src = p.add_mutually_exclusive_group()
+    src.add_argument("--wav", help="IQ wav file input")
+    src.add_argument("--synthetic", choices=["am", "tone", "morse"],
+                     help="synthetic test source")
+    p.add_argument("--sample-rate", type=int, default=2_048_000,
+                   help="sample rate for synthetic sources")
+    p.add_argument("--mode", default="AM",
+                   help="demod mode (AM/SAM/FMN/FM-Mono/FM-Stereo/LSB/USB/CWL/CWU)")
+    p.add_argument("--tune", type=float, default=0.0,
+                   help="offset from capture center, Hz")
+    p.add_argument("--bandpass", type=str, default=None,
+                   help="lo,hi cut in Hz (default: mode preset)")
+    p.add_argument("--agc", default=None,
+                   choices=["off", "fast", "med", "slow", "long"])
+    p.add_argument("--squelch", type=float, default=None, help="squelch SNR dB")
+    p.add_argument("--gain", type=float, default=1.0)
+    p.add_argument("--seconds", type=float, default=2.0, help="how long to run")
+    p.add_argument("--frames", type=int, default=32768, help="block size")
+    p.add_argument("--channels", type=int, default=1)
+    p.add_argument("--audio-out", default=None, help="write demod audio wav")
+    p.add_argument("--iq-record", default=None, help="record the input IQ to wav")
+    p.add_argument("--pace", action="store_true", help="real-time pacing")
+    p.add_argument("--noise-db", type=float, default=None)
+    p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    source = make_source(args)
+    fs = source.info.sample_rate
+    mode = modes_mod.from_string(args.mode or source.info.demod_mode or "AM")
+
+    cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=args.frames,
+                         channels=args.channels, mode=mode,
+                         agc_mode=args.agc)
+    rx = Receiver(cfg)
+    state = jax.jit(lambda: rx.init_state())()
+    tune = args.tune or source.info.center_freq_hz
+    params = rx.default_params(tune)
+    if args.bandpass:
+        lo, hi = (float(v) for v in args.bandpass.split(","))
+        params = rx.set_bandpass(params, lo, hi)
+    if args.squelch is not None:
+        import dataclasses
+
+        params = dataclasses.replace(
+            params, squelch_db=jnp.asarray(args.squelch, jnp.float32))
+
+    n_blocks = max(1, int(args.seconds * fs / args.frames))
+    audio_chunks = []
+    perform = Perform()
+    rec = [] if args.iq_record else None
+
+    t_start = time.perf_counter()
+    for i in range(n_blocks):
+        blk = source.read_block(args.frames)
+        if blk is None:
+            break
+        if rec is not None:
+            rec.append(blk.copy())
+        iq_ri = np.stack([blk.real, blk.imag]).astype(np.float32)
+        iq_ri = np.broadcast_to(iq_ri, (args.channels, 2, args.frames)).copy()
+        with perform.measure("step"):
+            state, out = rx.step(state, params, jax.lax.complex(
+                jnp.asarray(iq_ri[:, 0]), jnp.asarray(iq_ri[:, 1])))
+            out["audio"].block_until_ready()
+        audio_chunks.append(np.asarray(out["audio"]))
+    wall = time.perf_counter() - t_start
+
+    audio = np.concatenate(audio_chunks, axis=-1)
+    n_in = len(audio_chunks) * args.frames
+    sm = {k: float(np.asarray(v)[0]) for k, v in out["smeter"].items()}
+    metrics = {
+        "blocks": len(audio_chunks),
+        "input_samples": n_in,
+        "wall_s": round(wall, 3),
+        "msps": round(n_in * args.channels / wall / 1e6, 2),
+        "realtime_factor": round(n_in / fs / wall, 2),
+        "audio_rate": cfg.audio_rate,
+        "smeter_db": round(sm["signal_db"], 1),
+        "snr_db": round(sm["snr_db"], 1),
+        "squelch_open": bool(np.asarray(out["squelch_open"])[0]),
+        "audio_rms": round(float(np.sqrt(np.mean(audio[0] ** 2))), 4),
+        "step_ms": perform.stats("step"),
+    }
+    if args.json:
+        print(json.dumps(metrics))
+    else:
+        for k, v in metrics.items():
+            print(f"{k:>16}: {v}")
+
+    if args.audio_out:
+        a0 = audio[0]  # first channel ([2, M] if stereo)
+        wav.write_audio_wav(args.audio_out, a0, cfg.audio_rate)
+        print(f"audio written to {args.audio_out}", file=sys.stderr)
+    if rec:
+        wav.write_iq_wav(args.iq_record, np.concatenate(rec), fs,
+                         center_freq_hz=tune, demod_mode=mode.value)
+        print(f"IQ recorded to {args.iq_record}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,7 +88,8 @@ class TestDecimatorChain:
         # 20k/2.048M = .0098 > CIC3's .0030 -> first stage is hb11 (.05)
         assert plan.stages[0].name == "hb11"
         # later stages need progressively wider filters
-        assert plan.stages[-1].name in ("hb51", "hb55")
+        # (last stage at 64k: 20k/64k = .3125 -> hb47's .3200)
+        assert plan.stages[-1].name == "hb47"
 
     def test_plan_cic3_first_stage(self):
         # narrow protect bw at high rate: 5 kHz at 4.096 Msps -> .0012 < .0030
