@@ -36,8 +36,12 @@ def main():
     from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
     from pebblesdr_tpu.demod.modes import DemodMode
 
+    # agc_stride=16 runs the AGC envelope smoother on a 16x-decimated grid
+    # (64-step scan instead of 1024) — sub-ms resolution vs the 2 ms attack
+    # time constant, and an order of magnitude off the chain's compile+run cost
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=FRAMES,
-                         channels=CHANNELS, mode=DemodMode.AM)
+                         channels=CHANNELS, mode=DemodMode.AM,
+                         agc_stride=int(os.environ.get("BENCH_AGC_STRIDE", "16")))
     rx = Receiver(cfg)
 
     # complex64 cannot cross the axon host<->device boundary: build state
@@ -57,9 +61,11 @@ def main():
         return rx._step_impl(state, params, iq_c)
 
     iq_dev = jnp.asarray(iq_ri)
+    t_c = time.perf_counter()
     for _ in range(WARMUP):
         state, out = step(state, params, iq_dev)
     out["audio"].block_until_ready()
+    print(f"# compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):

@@ -43,6 +43,7 @@ from pebblesdr_tpu.demod import am as am_mod
 from pebblesdr_tpu.demod import nfm as nfm_mod
 from pebblesdr_tpu.demod import sam as sam_mod
 from pebblesdr_tpu.demod import ssb as ssb_mod
+from pebblesdr_tpu.demod import rds as rds_mod
 from pebblesdr_tpu.demod import wfm as wfm_mod
 from pebblesdr_tpu.demod.modes import MODE_INFO, DemodMode, is_wfm
 from pebblesdr_tpu.ops import (agc, decimator, fastfir, fir, iir, mixer,
@@ -100,6 +101,7 @@ class ReceiverState:
     resamp: Any
     spec_full: Any
     spec_zoom: Any
+    rds: Any = None
 
 
 class Receiver:
@@ -132,6 +134,8 @@ class Receiver:
                 rds_tap=cfg.rds, audio_decim=audio_decim)
             audio_src_rate = int(self.wfm_cfg.audio_rate)
             audio_blk = self.blk // self.wfm_cfg.audio_decim
+            if cfg.rds:
+                self.rds_cfg = rds_mod.RdsConfig.make(self.demod_rate, self.blk)
         else:
             audio_src_rate = self.demod_rate
             audio_blk = self.blk
@@ -198,6 +202,7 @@ class Receiver:
             resamp=resamp_state,
             spec_full=spectrum.state_init(c, self.cfg.spectrum_bins),
             spec_zoom=spectrum.state_init(c, self.blk),
+            rds=rds_mod.rds_init(self.rds_cfg, c) if self.cfg.rds else None,
         )
 
     # ----------------------------------------------------------------- params
@@ -309,8 +314,9 @@ class Receiver:
         squelch_open = sm["snr_db"] > params.squelch_db
         out["squelch_open"] = squelch_open
 
+        rds_state = state.rds
         if is_wfm(cfg.mode):
-            audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
+            audio, demod_state, resamp_state, agc_state, anf_state, ff_state, rds_state = (
                 self._wfm_path(state, x, taps_out, out))
         else:
             audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
@@ -331,7 +337,7 @@ class Receiver:
             mixer=mix_state, decim=decim_state, fastfir=ff_state, dc=dc,
             nb=nb_state, anf=anf_state, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
-            spec_zoom=spec_zoom_state)
+            spec_zoom=spec_zoom_state, rds=rds_state)
         return new_state, out
 
     # ---------------------------------------------------------- mode branches
@@ -376,6 +382,12 @@ class Receiver:
         cfg = self.cfg
         demod_state, wout = wfm_mod.wfm_demod(self.wfm_cfg, state.demod, x)
         out["pilot_locked"] = wout["pilot_locked"]
+        rds_state = state.rds
+        if cfg.rds:
+            rds_state, soft, timing = rds_mod.rds_process(
+                self.rds_cfg, state.rds, wout["rds_baseband"])
+            out["rds_soft"] = soft
+            out["rds_timing"] = timing
         if cfg.taps:
             taps_out["post_demod"] = wout["left"]
             if wout["rds_baseband"] is not None:
@@ -389,4 +401,4 @@ class Receiver:
             resamp_state, audio = resampler.apply(self.rs_plan, state.resamp,
                                                   wout["left"])
         return (audio, demod_state, resamp_state, state.agc, state.anf,
-                state.fastfir)
+                state.fastfir, rds_state)

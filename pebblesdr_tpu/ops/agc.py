@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from pebblesdr_tpu.core.block import pytree_dataclass, static_field
+from pebblesdr_tpu.ops.iir import first_order_apply
 
 # agc.h constants
 DELAY_TIMECONST = 0.015
@@ -56,13 +57,15 @@ class AGCConfig:
     stride: int = static_field(default=1)
     window: int = static_field(default=0)              # peak window samples
     delay: int = static_field(default=0)               # delay-line samples
+    algorithm: str = static_field(default="parallel")  # 'parallel' | 'scan'
 
     @staticmethod
     def make(sample_rate: float, mode: str = "med", threshold_db: float = -20.0,
-             slope_factor: float = 0.0, stride: int = 1) -> "AGCConfig":
+             slope_factor: float = 0.0, stride: int = 1,
+             algorithm: str = "parallel") -> "AGCConfig":
         return AGCConfig(
             sample_rate=sample_rate, mode=mode, threshold_db=threshold_db,
-            slope_factor=slope_factor, stride=stride,
+            slope_factor=slope_factor, stride=stride, algorithm=algorithm,
             window=max(1, int(WINDOW_TIMECONST * sample_rate)),
             delay=max(1, int(DELAY_TIMECONST * sample_rate)),
         )
@@ -92,10 +95,77 @@ def _coef(timeconst_s: float, rate: float) -> float:
     return 1.0 - math.exp(-1.0 / (max(rate * timeconst_s, 1.0)))
 
 
+def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
+    c, n = x.shape
+    rate = cfg.sample_rate
+    decay_ms, _use_hang = MODES[cfg.mode]
+
+    logmag = jnp.log10(jnp.abs(x) + MIN_CONSTANT)
+    ext = jnp.concatenate([state.window_tail, logmag], axis=-1)
+    peak = jax.lax.reduce_window(
+        ext, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, cfg.window), window_strides=(1, 1),
+        padding="VALID")
+    new_window_tail = ext[:, -(cfg.window - 1):]
+
+    # exponential release: log10-amplitude decays at log10(e)/tau per second
+    d = 0.43429448 / max(decay_ms / 1000.0, 1e-3) / rate
+    dec_last, env = _decaying_max(state.decay_avg, peak, d)
+    # fast attack smoothing (linear recurrence -> associative scan)
+    att_coef = _coef(ATTACK_RISE_TIMECONST, rate)
+    att_last, level = first_order_apply(state.attack_avg, env, 1.0 - att_coef,
+                                        att_coef)
+
+    knee = cfg.threshold_db / 20.0
+    log_gain = jnp.where(level > knee,
+                         cfg.slope_factor * (level - knee) - level, -knee)
+    gain = jnp.power(10.0, log_gain) * AGC_OUTSCALE
+
+    full = jnp.concatenate([state.delay_line, x], axis=-1)
+    delayed = full[:, :n]
+    new_delay = full[:, n:]
+    y = (delayed * gain).astype(jnp.complex64)
+    new_state = AGCState(attack_avg=att_last, decay_avg=dec_last,
+                         hang_count=state.hang_count,
+                         window_tail=new_window_tail, delay_line=new_delay)
+    return new_state, y
+
+
+def _decaying_max(carry: jax.Array, p: jax.Array, d: float):
+    """Exponential-release peak envelope as an associative scan.
+
+    e[n] = max(e[n-1] - d, p[n]) in log domain (linear-in-log decay == the
+    exponential amplitude release of the reference's decay EWMA).  Elements
+    (d, p) combine as ((d1+d2), max(m1 - d2, m2)) — associative, so the whole
+    block evaluates in O(log N) depth with no sequential loop.
+    Returns (e_last [C], e [C, N]).
+    """
+    c, n = p.shape
+    dt = p.dtype
+    ds = jnp.full((c, n), d, dt)
+    pp = p.at[:, 0].set(jnp.maximum(p[:, 0], carry - d))
+
+    def combine(l, r):
+        dl, ml = l
+        dr, mr = r
+        return dl + dr, jnp.maximum(ml - dr, mr)
+
+    _, e = jax.lax.associative_scan(combine, (ds, pp), axis=-1)
+    return e[:, -1], e
+
+
 def agc_apply(cfg: AGCConfig, state: AGCState, x: jax.Array):
-    """x: [C, N] complex64 -> (state', y [C, N]).  mode='off' is identity."""
+    """x: [C, N] complex64 -> (state', y [C, N]).  mode='off' is identity.
+
+    algorithm='parallel' (default): windowed max -> decaying-max release ->
+    attack EWMA, all associative scans / reduce_windows — zero sequential
+    steps, the TPU-native formulation.  algorithm='scan' is the sample-exact
+    CuteSDR attack/decay/hang recurrence via lax.scan (parity reference).
+    """
     if cfg.mode == "off":
         return state, x
+    if cfg.algorithm == "parallel":
+        return _agc_apply_parallel(cfg, state, x)
 
     c, n = x.shape
     rate = cfg.sample_rate

@@ -100,6 +100,11 @@ def pll_run(cfg: PLLConfig, state: PLLState, x: jax.Array):
             z = xt * osc
             if cfg.detector == "atan2":
                 err = jnp.arctan2(z.imag, z.real)
+            elif cfg.detector == "costas":
+                # BPSK Costas loop (RDS subcarrier): Re*Im cancels the +-1
+                # data modulation; normalized by the tracked power so loop
+                # bandwidth is signal-level independent
+                err = z.real * z.imag / jnp.maximum(amp2 * amp2, 1e-12)
             else:  # 'cross': small-angle product detector (complex carriers)
                 err = z.imag * jnp.sign(z.real)
         fdev2 = jnp.clip(fdev + cfg.beta * err, dev_lo, dev_hi)

@@ -57,7 +57,8 @@ def build_sharded_step(rx: Receiver, mesh):
             mixer=MixerState(phase=phase2), decim=new_carries,
             fastfir=ff_state, dc=state.dc, nb=state.nb, anf=anf_state,
             agc=agc_state, demod=demod_state, resamp=resamp_state,
-            spec_full=state.spec_full, spec_zoom=state.spec_zoom)
+            spec_full=state.spec_full, spec_zoom=state.spec_zoom,
+            rds=state.rds)
         return new_state, audio
 
     return step
