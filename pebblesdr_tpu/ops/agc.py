@@ -102,10 +102,7 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
 
     logmag = jnp.log10(jnp.abs(x) + MIN_CONSTANT)
     ext = jnp.concatenate([state.window_tail, logmag], axis=-1)
-    peak = jax.lax.reduce_window(
-        ext, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, cfg.window), window_strides=(1, 1),
-        padding="VALID")
+    peak = _windowed_max(ext, cfg.window)
     new_window_tail = ext[:, -(cfg.window - 1):]
 
     # exponential release: log10-amplitude decays at log10(e)/tau per second
@@ -129,6 +126,22 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
                          hang_count=state.hang_count,
                          window_tail=new_window_tail, delay_line=new_delay)
     return new_state, y
+
+
+def _windowed_max(ext: jax.Array, w: int) -> jax.Array:
+    """Trailing sliding-window max via van Herk/Gil-Werman: two cummax passes
+    instead of a width-w reduce_window (which XLA compiles impractically
+    slowly for w ~ 10^3 on TPU).  ext: [C, N + w - 1] -> [C, N] where
+    out[i] = max(ext[i:i+w])."""
+    c, l = ext.shape
+    n = l - w + 1
+    nb = -(-l // w)
+    pad = nb * w - l
+    padded = jnp.pad(ext, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    blocks = padded.reshape(c, nb, w)
+    pre = jax.lax.cummax(blocks, axis=2).reshape(c, nb * w)
+    suf = jax.lax.cummax(blocks[:, :, ::-1], axis=2)[:, :, ::-1].reshape(c, nb * w)
+    return jnp.maximum(suf[:, :n], pre[:, w - 1:w - 1 + n])
 
 
 def _decaying_max(carry: jax.Array, p: jax.Array, d: float):
@@ -174,10 +187,7 @@ def agc_apply(cfg: AGCConfig, state: AGCState, x: jax.Array):
     # --- parallel part: log magnitude + sliding-window peak ------------------
     logmag = jnp.log10(jnp.abs(x) + MIN_CONSTANT)  # [C, N]
     ext = jnp.concatenate([state.window_tail, logmag], axis=-1)
-    peak = jax.lax.reduce_window(
-        ext, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, cfg.window), window_strides=(1, 1),
-        padding="VALID")  # [C, N] — peak over trailing window
+    peak = _windowed_max(ext, cfg.window)  # [C, N] peak over trailing window
     new_window_tail = ext[:, -(cfg.window - 1):]
 
     # --- sequential part: attack/decay smoothing -----------------------------

@@ -1,0 +1,98 @@
+"""Settings persistence: receiver + per-device configuration as JSON.
+
+Capability parity with Settings/DeviceInterfaceBase settings (application/
+settings.h:19-53, pebblelib/deviceinterfacebase.h:50: QSettings .ini per
+device + global app settings — framesPerBuffer, spectrum bins, dB offset,
+last frequency/mode, ...).  JSON instead of .ini; same key surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+DEFAULTS = {
+    "frames_per_buffer": 32768,
+    "spectrum_bins": 2048,
+    "updates_per_second": 10,
+    "db_offset": 0.0,
+    "audio_rate": 48000,
+    "last_freq_hz": 10_000_000.0,
+    "last_mode": "AM",
+    "agc_mode": "med",
+    "squelch_db": -999.0,
+    "gain": 1.0,
+}
+
+
+class Settings:
+    def __init__(self, path: str = "~/.pebblesdr_tpu/settings.json"):
+        self.path = os.path.expanduser(path)
+        self.values: dict[str, Any] = dict(DEFAULTS)
+        self.device: dict[str, dict[str, Any]] = {}
+        self.read()
+
+    def read(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                data = json.load(f)
+            self.values.update(data.get("global", {}))
+            self.device.update(data.get("device", {}))
+
+    def write(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump({"global": self.values, "device": self.device}, f,
+                      indent=2, sort_keys=True)
+
+    def get(self, key: str, default=None):
+        return self.values.get(key, DEFAULTS.get(key, default))
+
+    def set(self, key: str, value) -> None:
+        self.values[key] = value
+
+    def device_settings(self, name: str) -> dict:
+        """Per-device namespace (the per-plugin .ini analog)."""
+        return self.device.setdefault(name, {})
+
+
+@dataclasses.dataclass
+class Preset:
+    """A station/band/memory entry (presets.h:43-133 capability)."""
+    name: str
+    freq_hz: float
+    mode: str = "AM"
+    notes: str = ""
+    lo_hz: float = 0.0   # band edges (0 = single station)
+    hi_hz: float = 0.0
+
+
+def load_presets_csv(path: str) -> list[Preset]:
+    """Load stations/bands from CSV: name,freq_hz,mode[,notes[,lo,hi]]
+    (the eibi.csv / bands.csv / memory.csv capability)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            if len(parts) < 2:
+                continue
+            out.append(Preset(
+                name=parts[0], freq_hz=float(parts[1]),
+                mode=parts[2] if len(parts) > 2 else "AM",
+                notes=parts[3] if len(parts) > 3 else "",
+                lo_hz=float(parts[4]) if len(parts) > 4 else 0.0,
+                hi_hz=float(parts[5]) if len(parts) > 5 else 0.0,
+            ))
+    return out
+
+
+def save_presets_csv(path: str, presets: list[Preset]) -> None:
+    with open(path, "w") as f:
+        f.write("# name,freq_hz,mode,notes,lo_hz,hi_hz\n")
+        for p in presets:
+            f.write(f"{p.name},{p.freq_hz},{p.mode},{p.notes},{p.lo_hz},{p.hi_hz}\n")
