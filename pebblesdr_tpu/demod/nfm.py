@@ -64,6 +64,16 @@ def nfm_demod(cfg: NFMConfig, state: NFMState, x: jax.Array):
         pll_state, _, freqs = pll.pll_run(cfg.pll, state.pll, x)
         audio = freqs * gain  # rad/sample deviation -> normalized audio
         new_last = state.last
+    elif cfg.algorithm == "derivative":
+        # FM1 derivative-ratio discriminator (demod_nfm.cpp:99-119):
+        # (I*dQ - Q*dI) / |z|^2 — fully elementwise, no atan2
+        prev = jnp.concatenate([state.last[:, None], x[:, :-1]], axis=-1)
+        di = x.real - prev.real
+        dq = x.imag - prev.imag
+        mag2 = jnp.maximum(x.real**2 + x.imag**2, 1e-12)
+        audio = (x.real * dq - x.imag * di) / mag2 * gain
+        new_last = x[:, -1]
+        pll_state = state.pll
     else:
         prev = jnp.concatenate([state.last[:, None], x[:, :-1]], axis=-1)
         delta = x * jnp.conj(prev)

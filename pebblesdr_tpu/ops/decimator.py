@@ -117,7 +117,7 @@ def apply(plan: DecimatorPlan, state: tuple[jax.Array, ...], x: jax.Array):
     new_tails = []
     y = x
     for st, tail in zip(plan.stages, state):
-        taps = jnp.asarray(st.taps, jnp.float32)
-        y, nt = fir.fir_apply(y, taps, tail, decim=2)
+        # polyphase even/odd fast path: static taps, zero coefficients skipped
+        y, nt = fir.fir_decimate2_polyphase(y, st.taps.astype(np.float32), tail)
         new_tails.append(nt)
     return tuple(new_tails), y

@@ -112,6 +112,39 @@ def _conv_real(x2: jax.Array, taps: jax.Array, stride: int) -> jax.Array:
     return out[:, 0, :]
 
 
+def fir_decimate2_polyphase(x: jax.Array, taps_np: np.ndarray, tail: jax.Array):
+    """Streaming decimate-by-2 FIR via polyphase even/odd split — the fast
+    path for halfband stages: coefficients are STATIC (numpy), zero taps are
+    skipped entirely, and the convolution becomes (T+1)/2 shifted
+    multiply-adds that XLA fuses into one pass (no im2col / conv lowering).
+
+    Bit-identical to fir_apply(x, taps, tail, decim=2):
+      y[m] = sum_j h[j] * xx[2m + T-1 - j],  xx = [tail | x].
+    """
+    c, n = x.shape
+    t = len(taps_np)
+    m = n // 2
+    xx = jnp.concatenate([tail, x], axis=-1)           # [C, N+T-1]
+    xr = jnp.concatenate([xx.real, xx.imag], axis=0)   # [2C, L]
+    if xr.shape[-1] % 2:
+        xr = jnp.pad(xr, ((0, 0), (0, 1)))
+    half = xr.reshape(2 * c, -1, 2)
+    xe, xo = half[:, :, 0], half[:, :, 1]
+    acc = None
+    for j in range(t):
+        h = float(taps_np[j])
+        if h == 0.0:
+            continue
+        idx = t - 1 - j
+        src = xe if (idx & 1) == 0 else xo
+        off = idx // 2
+        term = h * jax.lax.slice_in_dim(src, off, off + m, axis=1)
+        acc = term if acc is None else acc + term
+    y = jax.lax.complex(acc[:c], acc[c:]).astype(jnp.complex64)
+    new_tail = xx[:, -(t - 1):] if t > 1 else jnp.zeros((c, 0), x.dtype)
+    return y, new_tail
+
+
 def fir_apply(x: jax.Array, taps: jax.Array, tail: jax.Array, decim: int = 1):
     """Streaming FIR: x [C, N] complex64, real taps [T], tail [C, T-1] complex64.
 
