@@ -211,11 +211,15 @@ class Receiver:
                       offset_hz: float | None = None):
         """Design the FastFIR mask + signal-strength masks (host-side).
 
-        Returns (bp_mask [2*blk] c64, sm_band [blk] f32, sm_noise [blk] f32);
+        Returns (bp_mask [2, 2*blk] f32, sm_band [blk] f32, sm_noise [blk] f32);
         assign into RxParams (set_bandpass does it for you).
+
+        Note: the mode table's lo/hi cuts already sit around the CW tone
+        (e.g. CWU 600..1400 for the +1000 Hz offset), so the default extra
+        offset is 0 — pass offset_hz explicitly for a RIT-style shift.
         """
         if offset_hz is None:
-            offset_hz = self.info.cw_offset
+            offset_hz = 0.0
         mask_c = fastfir.design_mask(lo_hz, hi_hz, self.demod_rate,
                                      self.blk, offset_hz)
         mask = jnp.asarray(np.stack([mask_c.real, mask_c.imag]).astype(np.float32))

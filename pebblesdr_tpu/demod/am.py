@@ -45,6 +45,6 @@ def am_demod(cfg: AMConfig, state: AMState, x: jax.Array):
     """x: [C, N] complex64 (post-bandpass) -> (state', audio [C, N] float32)."""
     mag = jnp.abs(x)
     dc, audio = iir.dc_removal_apply(state.dc, mag, alpha=0.9999)
-    taps = jnp.asarray(cfg.taps, jnp.float32)
-    audio, tail = fir.fir_apply_real_signal(audio, taps, state.lp_tail)
+    audio, tail = fir.fir_apply_real_signal(audio, None, state.lp_tail,
+                                            taps_np=cfg.taps)
     return AMState(dc=dc, lp_tail=tail), audio

@@ -82,6 +82,6 @@ def nfm_demod(cfg: NFMConfig, state: NFMState, x: jax.Array):
         pll_state = state.pll
     # DC-offset tracking (frequency error) removal
     dc, audio = iir.dc_removal_apply(state.dc, audio, alpha=0.999)
-    taps = jnp.asarray(cfg.voice_taps, jnp.float32)
-    audio, tail = fir.fir_apply_real_signal(audio, taps, state.lp_tail)
+    audio, tail = fir.fir_apply_real_signal(audio, None, state.lp_tail,
+                                            taps_np=cfg.voice_taps)
     return NFMState(last=new_last, dc=dc, lp_tail=tail, pll=pll_state), audio

@@ -145,25 +145,16 @@ def _windowed_max(ext: jax.Array, w: int) -> jax.Array:
 
 
 def _decaying_max(carry: jax.Array, p: jax.Array, d: float):
-    """Exponential-release peak envelope as an associative scan.
-
-    e[n] = max(e[n-1] - d, p[n]) in log domain (linear-in-log decay == the
-    exponential amplitude release of the reference's decay EWMA).  Elements
-    (d, p) combine as ((d1+d2), max(m1 - d2, m2)) — associative, so the whole
-    block evaluates in O(log N) depth with no sequential loop.
+    """Exponential-release peak envelope, e[n] = max(e[n-1] - d, p[n]), as a
+    SINGLE cummax: tilt by +d*n, running max, untilt —
+        e[n] = max_{k<=n}(p[k] - d*(n-k)) = cummax(p + d*k)[n] - d*n.
+    (d*N per block is ~0.03 log10 units, so the tilt costs no precision.)
     Returns (e_last [C], e [C, N]).
     """
     c, n = p.shape
-    dt = p.dtype
-    ds = jnp.full((c, n), d, dt)
+    tilt = d * jnp.arange(n, dtype=p.dtype)[None, :]
     pp = p.at[:, 0].set(jnp.maximum(p[:, 0], carry - d))
-
-    def combine(l, r):
-        dl, ml = l
-        dr, mr = r
-        return dl + dr, jnp.maximum(ml - dr, mr)
-
-    _, e = jax.lax.associative_scan(combine, (ds, pp), axis=-1)
+    e = jax.lax.cummax(pp + tilt, axis=1) - tilt
     return e[:, -1], e
 
 

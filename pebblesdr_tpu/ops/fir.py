@@ -186,11 +186,44 @@ def fir_apply_complex(x: jax.Array, taps_c: jax.Array, tail: jax.Array, decim: i
     return y, new_tail
 
 
-def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array, decim: int = 1):
-    """Streaming FIR on a real float32 signal [C, N] (audio-path filters)."""
-    t = taps.shape[0]
+_banded_cache: dict[tuple, np.ndarray] = {}
+_BANDED_MAX_ENTRIES = 4_000_000
+
+
+def banded_fir_matrix(taps_np: np.ndarray, n: int, decim: int = 1) -> np.ndarray:
+    """[N+T-1, N//decim] banded operator: y = x_ext @ B == causal FIR.
+    Static-taps MXU fast path for small demod-rate blocks (convs with ~10^2
+    taps over [C, ~10^3] lower poorly on TPU; one matmul is microseconds)."""
+    key = (taps_np.tobytes(), n, decim)
+    if key not in _banded_cache:
+        t = len(taps_np)
+        m = n // decim
+        b = np.zeros((n + t - 1, m), np.float32)
+        for out_i in range(m):
+            base = out_i * decim
+            for j in range(t):
+                b[base + t - 1 - j, out_i] = taps_np[j]
+        _banded_cache[key] = b
+    return _banded_cache[key]
+
+
+def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array,
+                          decim: int = 1, taps_np: np.ndarray | None = None):
+    """Streaming FIR on a real float32 signal [C, N] (audio-path filters).
+
+    Pass taps_np (static numpy) to enable the banded-matmul MXU fast path for
+    small blocks; falls back to XLA conv otherwise (identical math).
+    """
+    t = taps.shape[0] if taps is not None else len(taps_np)
     xx = jnp.concatenate([tail, x], axis=-1)
-    y = _conv_real(xx, taps, decim)
+    n = x.shape[-1]
+    if (taps_np is not None
+            and (n + t - 1) * (n // decim) <= _BANDED_MAX_ENTRIES):
+        b = jnp.asarray(banded_fir_matrix(np.asarray(taps_np, np.float32), n, decim))
+        y = jnp.matmul(xx, b, precision="highest")
+    else:
+        y = _conv_real(xx, taps if taps is not None
+                       else jnp.asarray(taps_np, jnp.float32), decim)
     new_tail = xx[:, -(t - 1):] if t > 1 else jnp.zeros((x.shape[0], 0), x.dtype)
     return y, new_tail
 

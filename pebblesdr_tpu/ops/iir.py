@@ -25,14 +25,27 @@ import numpy as np
 # ------------------------------------------------------------- first order
 
 def first_order_apply(y_prev: jax.Array, x: jax.Array, a, b):
-    """y[n] = a*y[n-1] + b*x[n], vectorized via associative scan.
+    """y[n] = a*y[n-1] + b*x[n], fully parallel.
 
-    y_prev: [C] (or [C,1]) previous output; x: [C, N] real or complex.
+    Fast path (static `a` with N*(1-a) small): closed form
+        y[n] = a^n * (y_prev*a + cumsum(b*x[k] * a^{-k}))  — one cumsum.
+    The a^{-k} weights grow by e^{N(1-a)}; used only when that factor < e^10.
+    Otherwise: associative scan (O(log N) steps).
+
+    y_prev: [C] previous output; x: [C, N] real or complex.
     Returns (y_last [C], y [C, N]).
     """
-    a = jnp.asarray(a, x.real.dtype)
     n = x.shape[-1]
-    # fold the carried state into the first element: b0' = a*y_prev + b*x[0]
+    if isinstance(a, (int, float)) and 0.0 < a < 1.0 and n * (1.0 - a) < 10.0:
+        k = jnp.arange(n, dtype=jnp.float32)
+        a_pow = jnp.exp(k * float(np.log(a))).astype(x.real.dtype)   # a^k
+        a_inv = jnp.exp(-k * float(np.log(a))).astype(x.real.dtype)  # a^-k
+        seed = (a * y_prev)[:, None].astype(x.dtype)
+        terms = b * x * a_inv[None, :]
+        y = a_pow[None, :] * (seed + jnp.cumsum(terms, axis=-1))
+        return y[:, -1], y
+
+    a = jnp.asarray(a, x.real.dtype)
     bx = b * x
     bx = bx.at[:, 0].add(a * y_prev)
     a_seq = jnp.broadcast_to(a, x.shape).astype(x.dtype)

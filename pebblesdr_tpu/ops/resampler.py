@@ -42,6 +42,7 @@ class ResamplePlan:
     taps: int
     gather_idx: np.ndarray  # [M, K] int32 indices into tail-extended input
     coefs: np.ndarray       # [M, K] float32
+    dense: np.ndarray = None  # [K + N_in, M] banded matrix (MXU fast path)
 
 
 def output_block(in_rate: int, out_rate: int, n_in: int) -> int:
@@ -83,8 +84,14 @@ def plan(in_rate: int, out_rate: int, n_in: int, taps: int = 32) -> ResamplePlan
 
     gather = (idx[:, None] - k + 1 + j[None, :].astype(np.int64)) + k  # tail offset
     assert gather.min() >= 0 and gather.max() < n_in + k
+    # dense banded operator for the MXU path: y = x_ext @ dense
+    # (gathers lower poorly on TPU; a [L, M] matmul is microseconds)
+    dense = np.zeros((n_in + k, m_out), np.float32)
+    for mm in range(m_out):
+        dense[gather[mm], mm] = kern[mm]
     return ResamplePlan(float(in_rate), float(out_rate), n_in, m_out, k,
-                        gather.astype(np.int32), kern.astype(np.float32))
+                        gather.astype(np.int32), kern.astype(np.float32),
+                        dense)
 
 
 def state_init(p: ResamplePlan, channels: int, dtype=jnp.float32) -> jax.Array:
@@ -92,10 +99,27 @@ def state_init(p: ResamplePlan, channels: int, dtype=jnp.float32) -> jax.Array:
 
 
 def apply(p: ResamplePlan, state: jax.Array, x: jax.Array):
-    """x: [C, N_in] (real or complex) -> (state', y [C, N_out])."""
+    """x: [C, N_in] (real or complex) -> (state', y [C, N_out]).
+
+    MXU path: the whole resampler is one [C, K+N] x [K+N, M] matmul against
+    the static banded operator (identical math to the gather+MAC form).
+    """
     xx = jnp.concatenate([state, x], axis=-1)            # [C, K+N]
+    dense = jnp.asarray(p.dense)
+    if jnp.iscomplexobj(xx):
+        y = jax.lax.complex(
+            jnp.matmul(xx.real, dense, precision="highest"),
+            jnp.matmul(xx.imag, dense, precision="highest"))
+    else:
+        y = jnp.matmul(xx, dense, precision="highest")
+    new_state = xx[:, -p.taps:]
+    return new_state, y.astype(x.dtype)
+
+
+def apply_gather(p: ResamplePlan, state: jax.Array, x: jax.Array):
+    """Reference gather+MAC formulation (kept for parity testing)."""
+    xx = jnp.concatenate([state, x], axis=-1)
     gathered = xx[:, jnp.asarray(p.gather_idx)]          # [C, M, K]
     coefs = jnp.asarray(p.coefs)
     y = jnp.sum(gathered * coefs[None, :, :], axis=-1)
-    new_state = xx[:, -p.taps:]
-    return new_state, y.astype(x.dtype)
+    return xx[:, -p.taps:], y.astype(x.dtype)

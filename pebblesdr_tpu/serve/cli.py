@@ -73,6 +73,14 @@ def main(argv=None):
     p.add_argument("--pace", action="store_true", help="real-time pacing")
     p.add_argument("--noise-db", type=float, default=None)
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    p.add_argument("--decode", choices=["cw", "rtty"], default=None,
+                   help="run a digital modem on the channel and print text")
+    p.add_argument("--rds", action="store_true",
+                   help="decode RDS (FM-Stereo mode) and print PS/RadioText")
+    p.add_argument("--checkpoint", default=None,
+                   help="save chain state to this .npz at exit")
+    p.add_argument("--resume", default=None,
+                   help="restore chain state from a .npz before starting")
     args = p.parse_args(argv)
 
     import jax
@@ -84,9 +92,34 @@ def main(argv=None):
 
     cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=args.frames,
                          channels=args.channels, mode=mode,
-                         agc_mode=args.agc)
+                         agc_mode=args.agc, taps=args.decode is not None,
+                         rds=args.rds)
     rx = Receiver(cfg)
     state = jax.jit(lambda: rx.init_state())()
+    if args.resume:
+        from pebblesdr_tpu.utils import checkpoint as ckpt
+
+        state, _ = ckpt.load_state(args.resume, state)
+
+    modem = decoder = None
+    if args.decode == "cw":
+        from pebblesdr_tpu.modem.morse import MorseDecoder, MorseModem
+
+        modem = MorseModem(rx.demod_rate, tone_hz=abs(rx.info.cw_offset) or 1000.0)
+        decoder = MorseDecoder(frame_rate=modem.frame_rate)
+        modem_state = modem.init_state(args.channels)
+    elif args.decode == "rtty":
+        from pebblesdr_tpu.modem.rtty import RttyDecoder, RttyModem
+
+        modem = RttyModem(rx.demod_rate)
+        decoder = RttyDecoder(frames_per_bit=modem.frames_per_bit)
+    modem_buf = np.zeros((args.channels, 0), np.complex64)
+    rds_block = rds_groups = None
+    if args.rds:
+        from pebblesdr_tpu.demod import rds as rds_mod
+
+        rds_block = rds_mod.RdsBlockDecoder()
+        rds_groups = rds_mod.RdsGroupDecoder()
     tune = args.tune or source.info.center_freq_hz
     params = rx.default_params(tune)
     if args.bandpass:
@@ -117,6 +150,26 @@ def main(argv=None):
                 jnp.asarray(iq_ri[:, 0]), jnp.asarray(iq_ri[:, 1])))
             out["audio"].block_until_ready()
         audio_chunks.append(np.asarray(out["audio"]))
+        if modem is not None:
+            # re-frame the tap stream to whole modem frames (no sample drops)
+            modem_buf = np.concatenate(
+                [modem_buf, np.asarray(out["taps"]["post_bp"])], axis=-1)
+            n_use = (modem_buf.shape[-1] // modem.frame) * modem.frame
+            if n_use:
+                chunk, modem_buf = modem_buf[:, :n_use], modem_buf[:, n_use:]
+                if args.decode == "cw":
+                    modem_state, marks = modem.detect(modem_state,
+                                                      jnp.asarray(chunk))
+                else:
+                    marks = modem.detect(jnp.asarray(chunk))
+                text = decoder.feed(np.asarray(marks)[0])
+                if text:
+                    print(text, end="", flush=True)
+        if rds_block is not None and "rds_soft" in out:
+            rds_block.feed_symbols(np.asarray(out["rds_soft"])[0])
+            for grp in rds_block.groups:
+                rds_groups.decode(grp)
+            rds_block.groups.clear()
     wall = time.perf_counter() - t_start
 
     audio = np.concatenate(audio_chunks, axis=-1)
@@ -135,11 +188,28 @@ def main(argv=None):
         "audio_rms": round(float(np.sqrt(np.mean(audio[0] ** 2))), 4),
         "step_ms": perform.stats("step"),
     }
+    if modem is not None:
+        print()  # newline after streamed decode text
+        metrics["decoded_text"] = decoder.text
+    if rds_groups is not None:
+        metrics["rds"] = {
+            "pi": f"0x{rds_groups.pi:04X}", "ps": rds_groups.ps_name,
+            "radiotext": rds_groups.radiotext, "pty": rds_groups.pty_name,
+            "callsign": rds_groups.callsign,
+            "blocks_ok": rds_block.blocks_ok,
+            "block_errors": rds_block.block_errors,
+        }
     if args.json:
         print(json.dumps(metrics))
     else:
         for k, v in metrics.items():
             print(f"{k:>16}: {v}")
+    if args.checkpoint:
+        from pebblesdr_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_state(args.checkpoint, state,
+                        extra={"blocks": len(audio_chunks)})
+        print(f"state checkpointed to {args.checkpoint}", file=sys.stderr)
 
     if args.audio_out:
         a0 = audio[0]  # first channel ([2, M] if stereo)
