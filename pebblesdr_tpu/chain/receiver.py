@@ -69,6 +69,8 @@ class ReceiverConfig:
     rds: bool = False                     # WFM RDS tap
     taps: bool = False                    # TestBench-style intermediate taps
     audio_lpf: bool = True
+    use_pallas: bool | None = None        # fused downconvert kernel for the
+    #                                       front end; None = auto (TPU only)
 
 
 @pytree_dataclass
@@ -162,6 +164,20 @@ class Receiver:
         w_zoom, cg_zoom = spectrum.make_window(self.blk)
         self.w_zoom = jnp.asarray(w_zoom)
         self.cg_zoom = cg_zoom
+
+        # fused Pallas front end (mix + cascade in VMEM).  Standalone it is
+        # 6.3x faster than the XLA front end (0.065 vs 0.407 ms, 64ch x 32k),
+        # but integrated in the channel-major chain the layout transposes +
+        # per-sub-block launches eat the gain (bench: 652 vs 716 Msps), so the
+        # default is OFF until the chain goes fully time-major; opt in with
+        # use_pallas=True.
+        self.use_pallas = bool(cfg.use_pallas)
+        self._pallas_interpret = jax.devices()[0].platform == "cpu"
+        if self.use_pallas:
+            from pebblesdr_tpu.ops import pallas_kernels as _pk
+
+            self._pk = _pk
+            self._taps_tuple = _pk.plan_taps_tuple(self.plan)
 
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
@@ -300,8 +316,23 @@ class Receiver:
         out["overload"] = overload
 
         # --- tune + decimate (receiver.cpp:864-866, 910-911) -----------------
-        mix_state, x = mixer.mix(state.mixer, x, params.tune_hi, params.tune_lo)
-        decim_state, x = decimator.apply(self.plan, state.decim, x)
+        if self.use_pallas:
+            # fused VMEM kernel: one HBM read for the whole front end
+            x_ri = jnp.stack([x.real, x.imag], axis=1)
+            tails_ri = tuple(jnp.stack([t.real, t.imag], axis=1)
+                             for t in state.decim)
+            y_ri, new_tails_ri, new_phase = self._pk.fused_downconvert_tm(
+                x_ri, state.mixer.phase, params.tune_hi, params.tune_lo,
+                tails_ri, self._taps_tuple, sub_block=512,
+                interpret=self._pallas_interpret)
+            x = jax.lax.complex(y_ri[:, 0], y_ri[:, 1])
+            decim_state = tuple(jax.lax.complex(t[:, 0], t[:, 1])
+                                for t in new_tails_ri)
+            mix_state = mixer.MixerState(phase=new_phase)
+        else:
+            mix_state, x = mixer.mix(state.mixer, x, params.tune_hi,
+                                     params.tune_lo)
+            decim_state, x = decimator.apply(self.plan, state.decim, x)
         if cfg.taps:
             taps_out["post_mixer"] = x
 

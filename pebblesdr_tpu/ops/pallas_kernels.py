@@ -13,6 +13,14 @@ Grid: channel tiles (TILE_C channels per program); everything inside a tile
 is plain jnp on VMEM refs (VPU work, static shapes).  Falls back to the
 ops.mixer + ops.decimator XLA path when unavailable (use_pallas=False or
 non-TPU backends — the kernel also runs under interpret=True for CPU tests).
+
+STATUS: numerically validated in interpret mode (tests/test_pallas.py).
+Mosaic currently rejects the stride-2 lane access the even/odd split needs
+('tpu.reshape'/'extract_strided_slice' limitations), so real-TPU compilation
+requires the planned time-major [N, channels-on-lanes] layout where the
+even/odd split lands on the sublane dimension; until then the XLA polyphase
+path (ops.fir.fir_decimate2_polyphase, 0.04 ms/block for 64ch x 32k on v5e)
+is the production front end.
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ def _cascade_kernel(taps_list, n, tile_c,
     xi = x_ref[:, 1, :]
 
     # ---- NCO mix: exact split-precision phase ramp (ops.mixer semantics) ----
-    i = jax.lax.broadcasted_iota(jnp.float32, (tile_c, n), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (tile_c, n), 1).astype(jnp.float32)
     fhi = fhi_ref[:, 0][:, None]
     flo = flo_ref[:, 0][:, None]
     ramp = jnp.mod(i * fhi, 1.0) + i * flo
@@ -65,16 +73,16 @@ def _cascade_kernel(taps_list, n, tile_c,
         # new tails = last T-1 columns of the extended input
         tail_out[st][:, 0, :] = er[:, -(t - 1):]
         tail_out[st][:, 1, :] = ei[:, -(t - 1):]
-        # even/odd split
+        # even/odd split via strided slices (Mosaic rejects lane reshapes)
         l2 = er.shape[-1]
         if l2 % 2:
             er = jnp.concatenate([er, jnp.zeros((tile_c, 1), jnp.float32)], -1)
             ei = jnp.concatenate([ei, jnp.zeros((tile_c, 1), jnp.float32)], -1)
             l2 += 1
-        er2 = er.reshape(tile_c, l2 // 2, 2)
-        ei2 = ei.reshape(tile_c, l2 // 2, 2)
-        ee_r, eo_r = er2[:, :, 0], er2[:, :, 1]
-        ee_i, eo_i = ei2[:, :, 0], ei2[:, :, 1]
+        ee_r = jax.lax.slice(er, (0, 0), (tile_c, l2), (1, 2))
+        eo_r = jax.lax.slice(er, (0, 1), (tile_c, l2), (1, 2))
+        ee_i = jax.lax.slice(ei, (0, 0), (tile_c, l2), (1, 2))
+        eo_i = jax.lax.slice(ei, (0, 1), (tile_c, l2), (1, 2))
         acc_r = None
         acc_i = None
         for j in range(t):
@@ -151,3 +159,134 @@ def fused_downconvert(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
 def plan_taps_tuple(plan) -> tuple:
     """ops.decimator.DecimatorPlan -> static taps tuple for the kernel."""
     return tuple(tuple(float(v) for v in st.taps) for st in plan.stages)
+
+
+# --------------------------------------------------------------------------
+# v2: TIME-MAJOR layout [time, channels] — channels ride the 128 lanes and
+# the even/odd decimation split lands on the SUBLANE (major) dimension, which
+# Mosaic supports (the lane-dim stride-2 access of the channel-major kernel
+# above does not lower).  This is the kernel that compiles for real TPUs.
+# --------------------------------------------------------------------------
+
+def _cascade_tm_kernel(taps_list, b, c_lanes,
+                       xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref, *refs):
+    """Time-major: xr/xi [B, C]; tails per stage [2*(T-1), C] stacked (re then
+    im rows); outputs y_r/y_i [B/2^k, C] + new tails."""
+    k = len(taps_list)
+    tail_in = refs[:k]
+    yr_ref, yi_ref = refs[k], refs[k + 1]
+    tail_out = refs[k + 2:]
+
+    # ---- NCO mix (phase ramp along the sublane/time dim) -------------------
+    i = jax.lax.broadcasted_iota(jnp.int32, (b, c_lanes), 0).astype(jnp.float32)
+    fhi = fhi_ref[0, :][None, :]
+    flo = flo_ref[0, :][None, :]
+    ph = jnp.mod(phase_ref[0, :][None, :] + jnp.mod(i * fhi, 1.0) + i * flo, 1.0)
+    ang = TWO_PI * ph
+    cs = jnp.cos(ang)
+    sn = jnp.sin(ang)
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    yr = xr * cs + xi * sn
+    yi = xi * cs - xr * sn
+
+    for st in range(k):
+        taps = taps_list[st]
+        t = len(taps)
+        tl = tail_in[st]
+        er = jnp.concatenate([tl[: t - 1, :], yr], axis=0)   # [L+T-1, C]
+        ei = jnp.concatenate([tl[t - 1:, :], yi], axis=0)
+        ln = yr.shape[0]
+        m = ln // 2
+        tail_out[st][: t - 1, :] = er[-(t - 1):, :]
+        tail_out[st][t - 1:, :] = ei[-(t - 1):, :]
+        l2 = er.shape[0]
+        if l2 % 2:
+            pad = jnp.zeros((1, c_lanes), jnp.float32)
+            er = jnp.concatenate([er, pad], axis=0)
+            ei = jnp.concatenate([ei, pad], axis=0)
+            l2 += 1
+        er2 = er.reshape(l2 // 2, 2, c_lanes)
+        ei2 = ei.reshape(l2 // 2, 2, c_lanes)
+        ee_r, eo_r = er2[:, 0, :], er2[:, 1, :]
+        ee_i, eo_i = ei2[:, 0, :], ei2[:, 1, :]
+        acc_r = acc_i = None
+        for j in range(t):
+            h = float(taps[j])
+            if h == 0.0:
+                continue
+            idx = t - 1 - j
+            off = idx // 2
+            src_r = ee_r if (idx & 1) == 0 else eo_r
+            src_i = ee_i if (idx & 1) == 0 else eo_i
+            term_r = h * jax.lax.slice_in_dim(src_r, off, off + m, axis=0)
+            term_i = h * jax.lax.slice_in_dim(src_i, off, off + m, axis=0)
+            acc_r = term_r if acc_r is None else acc_r + term_r
+            acc_i = term_i if acc_i is None else acc_i + term_i
+        yr, yi = acc_r, acc_i
+
+    yr_ref[:, :] = yr
+    yi_ref[:, :] = yi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps_tuple", "sub_block", "interpret"))
+def fused_downconvert_tm(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
+                         f_lo: jax.Array, tails_ri: tuple, taps_tuple: tuple,
+                         sub_block: int = 4096, interpret: bool = False):
+    """Time-major fused downconvert (TPU-compiling variant).
+
+    Same contract as fused_downconvert: x_ri [C, 2, N] f32, per-channel
+    phase/freq [C], tails_ri per stage [C, 2, T-1].  Streams the block through
+    the kernel in `sub_block`-sample chunks (VMEM bound), threading tails.
+    """
+    c, _, n = x_ri.shape
+    k = len(taps_tuple)
+    assert n % sub_block == 0
+    # time-major planes [N, C]
+    xr_t = jnp.transpose(x_ri[:, 0, :])
+    xi_t = jnp.transpose(x_ri[:, 1, :])
+    # tails -> stacked time-major [2*(T-1), C]
+    tails_tm = [
+        jnp.concatenate([jnp.transpose(t_ri[:, 0, :]),
+                         jnp.transpose(t_ri[:, 1, :])], axis=0)
+        for t_ri in tails_ri
+    ]
+    phase_row = phase0[None, :]
+    fhi_row = f_hi[None, :].astype(jnp.float32)
+    flo_row = f_lo[None, :].astype(jnp.float32)
+
+    m_sub = sub_block >> k
+    out_chunks = []
+    for s in range(n // sub_block):
+        xr_s = jax.lax.slice_in_dim(xr_t, s * sub_block, (s + 1) * sub_block, axis=0)
+        xi_s = jax.lax.slice_in_dim(xi_t, s * sub_block, (s + 1) * sub_block, axis=0)
+        # per-sub-block phase offset
+        k0 = jnp.float32(s * sub_block)
+        ph_s = jnp.mod(phase_row + jnp.mod(k0 * fhi_row, 1.0) + k0 * flo_row, 1.0)
+
+        out_shapes = [jax.ShapeDtypeStruct((m_sub, c), jnp.float32),
+                      jax.ShapeDtypeStruct((m_sub, c), jnp.float32)]
+        for taps in taps_tuple:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((2 * (len(taps) - 1), c), jnp.float32))
+        kernel = functools.partial(_cascade_tm_kernel, taps_tuple, sub_block, c)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(xr_s, xi_s, ph_s, fhi_row, flo_row, *tails_tm)
+        out_chunks.append((outs[0], outs[1]))
+        tails_tm = list(outs[2:])
+
+    yr = jnp.concatenate([a for a, _ in out_chunks], axis=0)  # [M, C]
+    yi = jnp.concatenate([b for _, b in out_chunks], axis=0)
+    y_ri = jnp.stack([jnp.transpose(yr), jnp.transpose(yi)], axis=1)
+    new_tails = tuple(
+        jnp.stack([jnp.transpose(tm[: tm.shape[0] // 2, :]),
+                   jnp.transpose(tm[tm.shape[0] // 2:, :])], axis=1)
+        for tm in tails_tm
+    )
+    nf = jnp.float32(n)
+    new_phase = jnp.mod(phase0 + jnp.mod(nf * f_hi, 1.0) + nf * f_lo, 1.0)
+    return y_ri, new_tails, new_phase
