@@ -106,6 +106,28 @@ def averaged_spectrum(state: SpectrumState, x: jax.Array, window: jax.Array,
     return SpectrumState(avg_power=avg), dbu.power_to_db(avg) + db_offset, overload
 
 
+class Waterfall:
+    """Host-side rolling waterfall buffer (SpectrumWidget waterfall-mode data
+    product, spectrumwidget.h:18-90): push per-block dB rows, read a [rows,
+    pixels] image array (newest last)."""
+
+    def __init__(self, n_pixels: int, depth: int = 256):
+        self.n_pixels = n_pixels
+        self.depth = depth
+        self._buf = np.full((depth, n_pixels), -160.0, np.float32)
+
+    def push(self, spectrum_db) -> None:
+        row = np.asarray(map_to_screen(
+            jnp.asarray(spectrum_db)[None] if np.ndim(spectrum_db) == 1
+            else jnp.asarray(spectrum_db), self.n_pixels))[0]
+        self._buf = np.roll(self._buf, -1, axis=0)
+        self._buf[-1] = row
+
+    @property
+    def image(self) -> np.ndarray:
+        return self._buf
+
+
 def map_to_screen(spectrum_db: jax.Array, n_pixels: int):
     """Max-bin FFT->pixel reduction (mapFFTToScreen capability,
     signalspectrum.cpp:137-168).  Requires bins % n_pixels == 0 (the chain

@@ -85,3 +85,38 @@ class TestSources:
         mag = np.abs(b)
         assert mag.max() > 0.9
         assert (mag < 0.01).any()
+
+
+class TestRegistry:
+    def test_builtin_sources(self):
+        from pebblesdr_tpu.io import registry
+
+        names = registry.available()
+        assert {"file", "synthetic", "morsegen", "rtl_tcp"} <= set(names)
+        src = registry.create("synthetic", sample_rate=48_000,
+                              tones=((1000.0, 0.5),))
+        assert src.read_block(128).shape == (128,)
+
+    def test_unknown_source(self):
+        import pytest as _pytest
+
+        from pebblesdr_tpu.io import registry
+
+        with _pytest.raises(ValueError, match="unknown source"):
+            registry.create("nonexistent")
+
+
+class TestWaterfall:
+    def test_rolls(self):
+        import numpy as np
+
+        from pebblesdr_tpu.ops.spectrum import Waterfall
+
+        wf = Waterfall(n_pixels=64, depth=4)
+        for level in [-100.0, -50.0, -20.0]:
+            wf.push(np.full(2048, level, np.float32))
+        img = wf.image
+        assert img.shape == (4, 64)
+        assert img[-1, 0] == -20.0
+        assert img[-2, 0] == -50.0
+        assert img[0, 0] == -160.0  # unfilled

@@ -169,3 +169,41 @@ class TestChannelSharding:
         state_sh, out_sh = rx.step(state2, params, iq_sharded)
         np.testing.assert_allclose(np.asarray(out_sh["audio"]),
                                    np.asarray(out_ref["audio"]), atol=1e-5)
+
+
+class TestShardedStepParity:
+    def test_matches_unsharded(self):
+        """channelizer.build_sharded_step (time-shard halo front end +
+        channel-sharded tail) must match the plain Receiver step."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+        from pebblesdr_tpu.parallel import channelizer
+
+        m = mesh_mod.make_mesh(channel=4, time=2)
+        fs, n, c = 512_000, 8192, 8
+        cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=n, channels=c,
+                             mode=DemodMode.AM, agc_mode="off")
+        rx = Receiver(cfg)
+        t = np.arange(2 * n) / fs
+        tones = np.linspace(-150_000, 150_000, c)
+        capture = sum(0.2 * np.exp(2j * np.pi * (f + 400.0) * t) for f in tones)
+        iq = np.broadcast_to(capture.astype(np.complex64), (c, 2 * n)).copy()
+        params = rx.default_params(tones)
+
+        state_ref = rx.init_state()
+        ref = []
+        for i in range(2):
+            state_ref, out = rx.step(state_ref, params,
+                                     jnp.asarray(iq[:, i * n:(i + 1) * n]))
+            ref.append(np.asarray(out["audio"]))
+
+        step = channelizer.build_sharded_step(rx, m)
+        state_sh = mesh_mod.shard_state(rx.init_state(), m)
+        got = []
+        for i in range(2):
+            blk = jax.device_put(jnp.asarray(iq[:, i * n:(i + 1) * n]),
+                                 mesh_mod.block_sharding(m))
+            state_sh, audio = step(state_sh, params, blk)
+            got.append(np.asarray(audio))
+        np.testing.assert_allclose(np.concatenate(got, -1),
+                                   np.concatenate(ref, -1), atol=2e-3)
