@@ -1,0 +1,35 @@
+"""Whole-chain parity vs the independent scipy golden (tools/parity_harness):
+the float32 JAX chain must match the float64 scipy implementation of the same
+receive math to >60 dB after linear-filter equalization (SURVEY.md §4b)."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from tools import parity_harness as ph  # noqa: E402
+
+
+class TestWholeChainParity:
+    def test_am_chain_vs_scipy_golden(self, tmp_path):
+        import jax
+        import jax.numpy as jnp  # noqa: F401
+
+        fs = 2_048_000
+        secs = 1.0
+        t = np.arange(int(fs * secs)) / fs
+        env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+        iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
+        rng = np.random.default_rng(0)
+        iq += (1e-3 * (rng.standard_normal(len(t))
+                       + 1j * rng.standard_normal(len(t)))).astype(np.complex64)
+
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        got, rx = ph.run_chain(iq, fs, DemodMode.AM, 250_000.0, 32768)
+        golden = ph.scipy_golden_am(iq, fs, 250_000.0, rx.info.lo_cut,
+                                    rx.info.hi_cut, rx.cfg.audio_rate, rx.blk)
+        snr = ph.snr_db(golden, got.astype(np.float64),
+                        skip=rx.cfg.audio_rate // 2)
+        assert snr > 60.0, f"parity SNR {snr:.1f} dB"
