@@ -253,3 +253,25 @@ class TestMultiChannel:
         assert a1 == pytest.approx(0.5 * 0.8 / 2, rel=0.1)
         assert a2 == pytest.approx(0.5 * 0.6 / 2, rel=0.1)
         assert x1 < 0.02  # no cross-talk
+
+
+class TestNoRecompile:
+    def test_retune_and_bandpass_do_not_recompile(self):
+        """Runtime knobs (tune, bandpass mask, squelch, gain) are jit INPUTS:
+        changing them must not trigger a recompile (core design claim)."""
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                             mode=DemodMode.AM, agc_mode="off")
+        rx = Receiver(cfg)
+        iq = am_iq(250_000.0, 1000.0, 0.8, 1)
+        params = rx.default_params(250_000.0)
+        state = rx.init_state()
+        state, _ = rx.step(state, params, jnp.asarray(iq))
+        compiles_after_first = rx._step._cache_size()
+        # retune, narrow the bandpass, close squelch, change gain
+        params = rx.retune(params, -300_000.0)
+        params = rx.set_bandpass(params, -3000.0, 3000.0)
+        params = dataclasses.replace(
+            params, squelch_db=jnp.asarray(10.0, jnp.float32),
+            gain=jnp.asarray(0.5, jnp.float32))
+        state, _ = rx.step(state, params, jnp.asarray(iq))
+        assert rx._step._cache_size() == compiles_after_first
