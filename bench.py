@@ -26,6 +26,7 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "32768"))
 FS = 2_048_000
 WARMUP = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+MODE = os.environ.get("BENCH_MODE", "am")  # am | wfm
 REFERENCE_MSPS = 2048.0 / 7.035e-3 / 1e6  # 0.291 Msps (receiver.cpp:780-785)
 
 
@@ -36,11 +37,9 @@ def main():
     from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
     from pebblesdr_tpu.demod.modes import DemodMode
 
-    # agc_stride=16 runs the AGC envelope smoother on a 16x-decimated grid
-    # (64-step scan instead of 1024) — sub-ms resolution vs the 2 ms attack
-    # time constant, and an order of magnitude off the chain's compile+run cost
+    mode = DemodMode.FMS if MODE == "wfm" else DemodMode.AM
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=FRAMES,
-                         channels=CHANNELS, mode=DemodMode.AM,
+                         channels=CHANNELS, mode=mode,
                          agc_stride=int(os.environ.get("BENCH_AGC_STRIDE", "16")))
     rx = Receiver(cfg)
 
@@ -50,8 +49,15 @@ def main():
     params = rx.default_params(250_000.0)
 
     t = np.arange(FRAMES) / FS
-    env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
-    iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
+    if mode == DemodMode.FMS:
+        comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
+        phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+              ).astype(np.complex64)
+    else:
+        env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+        iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
     iq_ri = np.broadcast_to(np.stack([iq.real, iq.imag]).astype(np.float32),
                             (CHANNELS, 2, FRAMES)).copy()
 
@@ -78,7 +84,8 @@ def main():
     result = {
         "metric": "iq_msps_per_chip",
         "value": round(msps, 2),
-        "unit": "Msamples/s/chip (full AM chain, %d ch @ 2.048 Msps)" % CHANNELS,
+        "unit": "Msamples/s/chip (full %s chain, %d ch @ 2.048 Msps)" % (
+            "WFM-stereo" if mode == DemodMode.FMS else "AM", CHANNELS),
         "vs_baseline": round(msps / REFERENCE_MSPS, 1),
     }
     print(json.dumps(result))

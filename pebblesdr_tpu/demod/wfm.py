@@ -36,6 +36,8 @@ class WFMConfig:
     deemphasis_us: float = static_field(default=75.0)
     audio_decim: int = static_field(default=4)
     max_deviation: float = static_field(default=75000.0)
+    pilot_chunk: int = static_field(default=256)  # blockwise pilot PLL chunk;
+    #                                               0 = per-sample scan
     audio_taps: np.ndarray = static_field(default=None)
     pilot_bp: iir.BiquadCoef = static_field(default=None)
     pilot_notch: iir.BiquadCoef = static_field(default=None)
@@ -126,7 +128,12 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array):
         # pairing it with its (approximate) quadrature via the PLL itself:
         # feed pilot as the real part; the 'cross' detector uses Im(z)*sign(Re).
         pilot_c = pilot.astype(jnp.complex64)
-        pll_state, phases, _ = pll.pll_run(cfg.pilot_pll, state.pilot_pll, pilot_c)
+        if cfg.pilot_chunk:
+            pll_state, phases, _ = pll.pll_run_blockwise(
+                cfg.pilot_pll, state.pilot_pll, pilot_c, chunk=cfg.pilot_chunk)
+        else:
+            pll_state, phases, _ = pll.pll_run(cfg.pilot_pll, state.pilot_pll,
+                                               pilot_c)
         # lock detect: coherent pilot amplitude.  The 'cross' PLL locks with
         # pilot ~= A*sin(phase), so pilot*sin(phase) averages to A/2 when
         # locked and ~0 when unlocked (verified empirically; the demux below

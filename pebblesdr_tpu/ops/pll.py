@@ -117,3 +117,76 @@ def pll_run(cfg: PLLConfig, state: PLLState, x: jax.Array):
     return (PLLState(phase=ph, fdev=fr, amp=am),
             jnp.moveaxis(phases, 0, 1),
             jnp.moveaxis(fdevs, 0, 1) + cfg.freq_center)
+
+
+def pll_run_blockwise(cfg: PLLConfig, state: PLLState, x: jax.Array,
+                      chunk: int = 256):
+    """Chunked PLL: coherent per-chunk phase estimation + a short scan.
+
+    The per-sample scan is the one op the TPU compiler handles poorly at
+    N ~ 10^4 (SURVEY.md §7 "chunked sequential-with-handoff").  For a
+    narrowband carrier (loop bandwidth << fs/chunk) the per-sample loop is
+    equivalent to: (1) derotate each chunk by the NCO center frequency and
+    coherently sum -> one complex phasor per chunk (a matmul); (2) run the
+    type-2 loop over CHUNKS (N/chunk scan steps); (3) reconstruct the
+    per-sample phase as center-ramp + the chunk loop phase (piecewise, with
+    the loop frequency advancing it within the chunk).
+
+    Valid when loop BW * chunk / fs << 1 (pilot: 10 Hz * 256 / 512k = 5e-3).
+    Detector: works for 'pilot' (real input; derotation uses the analytic
+    trick Re[x]*e^{-jwt} whose mean is A/2 * e^{j(phi_x - phi_nco)}) and
+    'atan2' (complex carriers).
+
+    Returns (state', phases [C, N], freqs [C, N]) like pll_run.
+    """
+    c, n = x.shape
+    assert n % chunk == 0
+    f = n // chunk
+    wc = cfg.freq_center
+    # center-frequency derotation ramp, split per chunk; phase of sample
+    # (k*chunk + t) is wc*(k*chunk + t): factor into chunk phase + in-chunk
+    t_in = jnp.arange(chunk, dtype=jnp.float32)
+    rot_in = jnp.exp(-1j * (wc * t_in))                       # [chunk]
+    k_idx = jnp.arange(f, dtype=jnp.float32)
+    rot_chunk = jnp.exp(-1j * (wc * chunk * k_idx))           # [f]
+    xc = x.reshape(c, f, chunk)
+    if cfg.detector == "pilot":
+        xin = xc.real.astype(jnp.complex64)
+    else:
+        xin = xc
+    z = jnp.einsum("cfk,k->cf", xin, rot_in) * rot_chunk[None, :] / chunk
+
+    alpha = cfg.alpha * chunk      # loop gains rescale to the chunk rate
+    beta = cfg.beta * chunk * chunk
+    dev_lo = (cfg.freq_lo - wc) * chunk
+    dev_hi = (cfg.freq_hi - wc) * chunk
+
+    def step(carry, zk):
+        phase, fdev, amp = carry       # phase: loop phase offset (radians)
+        amp2 = amp + 0.05 * (jnp.abs(zk) - amp)
+        zz = zk * jnp.exp(-1j * phase)
+        if cfg.detector == "pilot":
+            # pilot = A sin(wc t + psi) derotates to (A/2) e^{j(psi - pi/2)};
+            # rotate by +pi/2 so lock lands at phase = psi, matching the
+            # per-sample 'pilot' detector convention (pilot ~ A sin(phase))
+            zz = zz * 1j
+        err = jnp.arctan2(zz.imag, zz.real)
+        fdev2 = jnp.clip(fdev + beta * err, dev_lo, dev_hi)
+        phase2 = phase + fdev2 + alpha * err
+        phase2 = jnp.mod(phase2 + jnp.pi, TWO_PI) - jnp.pi
+        return (phase2, fdev2, amp2), (phase, fdev2)
+
+    carry0 = (state.phase, state.fdev * chunk, state.amp)
+    (ph, fr, am), (offs, fdevs) = jax.lax.scan(step, carry0,
+                                               jnp.moveaxis(z, 1, 0))
+    offs = jnp.moveaxis(offs, 0, 1)        # [C, F] loop phase at chunk start
+    fdevs = jnp.moveaxis(fdevs, 0, 1)      # [C, F] rad per CHUNK deviation
+    # reconstruct per-sample phase: center ramp + loop offset + in-chunk drift
+    center_ramp = (wc * chunk) * k_idx[None, :, None] + wc * t_in[None, None, :]
+    in_chunk = (fdevs / chunk)[:, :, None] * t_in[None, None, :]
+    phases = center_ramp + offs[:, :, None] + in_chunk
+    phases = phases.reshape(c, n)
+    freqs = (wc + fdevs[:, :, None] / chunk
+             * jnp.ones_like(t_in)[None, None, :]).reshape(c, n)
+    new_state = PLLState(phase=ph, fdev=fr / chunk, amp=am)
+    return new_state, phases, freqs
