@@ -133,3 +133,38 @@ class TestSettings:
         back = load_presets_csv(pcsv)
         assert back[0].name == "WWV" and back[0].freq_hz == 10_000_000.0
         assert back[1].hi_hz == 7_300_000.0
+
+
+class TestHealth:
+    def test_monitor_tracks_drops_and_rtf(self):
+        import time as _time
+
+        from pebblesdr_tpu.utils.health import HealthMonitor
+
+        hm = HealthMonitor(sample_rate=48_000, frames_per_buffer=4800)
+        for seq in [0, 1, 2, 5, 6]:  # blocks 3,4 dropped
+            hm.block_done(seq=seq)
+            _time.sleep(0.01)
+        rep = hm.report()
+        assert rep["dropped_blocks"] == 2
+        assert not rep["healthy"]
+        assert rep["realtime_factor"] > 1.0  # 4800 samples per 10ms >> realtime
+
+    def test_metrics_export(self):
+        from pebblesdr_tpu.utils.health import Metrics
+        from pebblesdr_tpu.utils.perform import Perform
+
+        m = Metrics(host_id=3)
+        m.count("blocks", 5)
+        m.gauge("snr_db", 42.5)
+        p = Perform()
+        with p.measure("step"):
+            pass
+        out = m.export(p)
+        assert out["host"] == 3
+        assert out["counters"]["blocks"] == 5.0
+        assert out["gauges"]["snr_db"] == 42.5
+        assert "step" in out["stages_ms"]
+        import json as _json
+
+        _json.loads(m.export_json())  # serializable
