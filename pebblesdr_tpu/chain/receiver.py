@@ -297,7 +297,7 @@ class Receiver:
         taps_out: dict[str, Any] = {}
 
         # --- full-rate front end (receiver.cpp:814-826) ----------------------
-        dc, x = iir.dc_removal_apply(state.dc, iq, alpha=0.9999)
+        dc, x = iir.dc_removal_chunked(state.dc, iq, alpha=0.9999)
         if cfg.enable_iq_balance:
             x = scanops.iq_balance(x, params.iq_gain, params.iq_phase)
         if cfg.enable_noise_blanker:

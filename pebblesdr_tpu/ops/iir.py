@@ -66,6 +66,24 @@ def dc_removal_apply(y_prev: jax.Array, x: jax.Array, alpha=0.9999):
     return m_last, x - m
 
 
+def dc_removal_chunked(y_prev: jax.Array, x: jax.Array, alpha=0.9999,
+                      chunk: int = 512):
+    """DC blocker for FULL-RATE streams: the DC estimate is piecewise-constant
+    per `chunk` samples (per-chunk means, EWMA across chunks with the
+    equivalent per-chunk coefficient alpha^chunk).  The estimate tracks a
+    quantity that by definition moves on >> chunk timescales, so this is
+    equivalent to the per-sample blocker while touching the big array only
+    twice (mean + subtract) instead of running a length-N recurrence."""
+    c, n = x.shape
+    if n % chunk:
+        return dc_removal_apply(y_prev, x, alpha)
+    means = jnp.mean(x.reshape(c, n // chunk, chunk), axis=-1)
+    a_c = float(alpha) ** chunk
+    m_last, m = first_order_apply(y_prev, means, a_c, 1.0 - a_c)
+    y = x - jnp.repeat(m, chunk, axis=-1)
+    return m_last, y
+
+
 # ------------------------------------------------------------- biquads
 
 @dataclasses.dataclass(frozen=True)
