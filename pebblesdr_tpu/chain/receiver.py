@@ -71,6 +71,8 @@ class ReceiverConfig:
     audio_lpf: bool = True
     use_pallas: bool | None = None        # fused downconvert kernel for the
     #                                       front end; None = auto (TPU only)
+    db_offset: float = 0.0                # display calibration offset applied
+    #                                       to both spectra (settings.h dbOffset)
 
 
 @pytree_dataclass
@@ -311,7 +313,8 @@ class Receiver:
         spec_full_state, full_db, overload = spectrum.averaged_spectrum(
             state.spec_full,
             x[:, -cfg.spectrum_bins:],
-            self.w_full, self.cg_full, smoothing=0.5)
+            self.w_full, self.cg_full, smoothing=0.5,
+            db_offset=cfg.db_offset)
         out["spectrum"] = full_db
         out["overload"] = overload
 
@@ -338,7 +341,8 @@ class Receiver:
 
         # demod-rate (zoomed) spectrum
         spec_zoom_state, zoom_db, _ = spectrum.averaged_spectrum(
-            state.spec_zoom, x, self.w_zoom, self.cg_zoom, smoothing=0.5)
+            state.spec_zoom, x, self.w_zoom, self.cg_zoom, smoothing=0.5,
+            db_offset=cfg.db_offset)
         out["zoomed"] = zoom_db
 
         # --- signal strength + squelch decision ------------------------------

@@ -60,7 +60,11 @@ class WFMConfig:
             audio_decim=audio_decim,
             audio_taps=audio_taps,
             pilot_bp=iir.design_biquad("bandpass", PILOT_HZ, sample_rate, q=500.0),
-            pilot_notch=iir.design_biquad("notch", PILOT_HZ, sample_rate, q=5.0),
+            # the notch runs on the DECIMATED audio stream — design it at the
+            # audio rate (a composite-rate design applied at audio rate lands
+            # at 19000/audio_decim Hz and notches program audio)
+            pilot_notch=iir.design_biquad("notch", PILOT_HZ,
+                                          sample_rate / audio_decim, q=5.0),
             pilot_pll=pll.make_pll_config(sample_rate, bw_hz=10.0, zeta=0.707,
                                           center_hz=PILOT_HZ, range_hz=100.0,
                                           detector="pilot"),
