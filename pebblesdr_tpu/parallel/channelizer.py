@@ -26,9 +26,10 @@ from pebblesdr_tpu.parallel import time_shard
 
 def build_sharded_step(rx: Receiver, mesh):
     """Returns a jitted step(state, params, iq) for iq [C, N] sharded
-    (channel, time) over the mesh.  Narrowband modes only (WFM sharding of the
-    composite path lands with the RDS work)."""
-    assert not is_wfm(rx.cfg.mode), "sharded WFM composite path: TODO"
+    (channel, time) over the mesh.  The wideband front end (mix + cascade)
+    runs time-sharded with explicit ppermute halos for every mode; the
+    decimated tail (narrowband FastFIR/AGC/demod or the WFM composite
+    discriminator/pilot/stereo path) runs channel-sharded."""
     plan = rx.plan
     csh = NamedSharding(mesh, P("channel", None))
     n_stages = len(plan.stages)
@@ -51,14 +52,20 @@ def build_sharded_step(rx: Receiver, mesh):
         # inserts the gather over the 'time' axis here
         x = lax.with_sharding_constraint(x, csh)
         taps_out = {}
-        audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
-            rx._narrowband_path(state, params, x, taps_out))
+        if is_wfm(rx.cfg.mode):
+            out = {}
+            (audio, demod_state, resamp_state, agc_state, anf_state,
+             ff_state, rds_state) = rx._wfm_path(state, x, taps_out, out)
+        else:
+            audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
+                rx._narrowband_path(state, params, x, taps_out))
+            rds_state = state.rds
         new_state = ReceiverState(
             mixer=MixerState(phase=phase2), decim=new_carries,
             fastfir=ff_state, dc=state.dc, nb=state.nb, anf=anf_state,
             agc=agc_state, demod=demod_state, resamp=resamp_state,
             spec_full=state.spec_full, spec_zoom=state.spec_zoom,
-            rds=state.rds)
+            rds=rds_state, squelch=state.squelch)
         return new_state, audio
 
     return step

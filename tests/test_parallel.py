@@ -207,3 +207,45 @@ class TestShardedStepParity:
             got.append(np.asarray(audio))
         np.testing.assert_allclose(np.concatenate(got, -1),
                                    np.concatenate(ref, -1), atol=2e-3)
+
+
+class TestShardedWfmStep:
+    def test_wfm_sharded_matches_unsharded(self):
+        """Sharded channelizer step for WFM-stereo (time-shard front end +
+        channel-sharded composite path) matches the plain Receiver."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+        from pebblesdr_tpu.parallel import channelizer
+
+        m = mesh_mod.make_mesh(channel=4, time=2)
+        fs, n, c = 2_048_000, 32768, 4
+        cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=n, channels=c,
+                             mode=DemodMode.FMS)
+        rx = Receiver(cfg)
+        nb = 4
+        t = np.arange(nb * n) / fs
+        comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
+        ph = 2 * np.pi * np.cumsum(75000.0 * comp) / fs
+        iq = np.broadcast_to(
+            (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + ph))
+             ).astype(np.complex64), (c, nb * n)).copy()
+        params = rx.default_params(300_000.0)
+
+        state_ref = rx.init_state()
+        ref = []
+        for i in range(nb):
+            state_ref, out = rx.step(state_ref, params,
+                                     jnp.asarray(iq[:, i * n:(i + 1) * n]))
+            ref.append(np.asarray(out["audio"]))
+
+        step = channelizer.build_sharded_step(rx, m)
+        state_sh = mesh_mod.shard_state(rx.init_state(), m)
+        got = []
+        for i in range(nb):
+            blk = jax.device_put(jnp.asarray(iq[:, i * n:(i + 1) * n]),
+                                 mesh_mod.block_sharding(m))
+            state_sh, audio = step(state_sh, params, blk)
+            got.append(np.asarray(audio))
+        np.testing.assert_allclose(np.concatenate(got, -1),
+                                   np.concatenate(ref, -1), atol=3e-3)
