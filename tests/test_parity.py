@@ -28,8 +28,28 @@ class TestWholeChainParity:
         from pebblesdr_tpu.demod.modes import DemodMode
 
         got, rx = ph.run_chain(iq, fs, DemodMode.AM, 250_000.0, 32768)
-        golden = ph.scipy_golden_am(iq, fs, 250_000.0, rx.info.lo_cut,
-                                    rx.info.hi_cut, rx.cfg.audio_rate, rx.blk)
+        golden = ph.scipy_golden(iq, fs, 250_000.0, DemodMode.AM,
+                                 rx.info.lo_cut, rx.info.hi_cut,
+                                 rx.info.max_output_bw,
+                                 rx.cfg.audio_rate, rx.blk)
         snr = ph.snr_db(golden, got.astype(np.float64),
                         skip=rx.cfg.audio_rate // 2)
         assert snr > 60.0, f"parity SNR {snr:.1f} dB"
+
+    def test_usb_chain_vs_scipy_golden(self):
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        fs = 2_048_000
+        t = np.arange(int(fs * 1.0)) / fs
+        # two-tone USB voice-band signal at +400 kHz
+        iq = (0.3 * np.exp(2j * np.pi * (400_000.0 + 700.0) * t)
+              + 0.2 * np.exp(2j * np.pi * (400_000.0 + 1900.0) * t)
+              ).astype(np.complex64)
+        got, rx = ph.run_chain(iq, fs, DemodMode.USB, 400_000.0, 32768)
+        golden = ph.scipy_golden(iq, fs, 400_000.0, DemodMode.USB,
+                                 rx.info.lo_cut, rx.info.hi_cut,
+                                 rx.info.max_output_bw,
+                                 rx.cfg.audio_rate, rx.blk)
+        snr = ph.snr_db(golden, got.astype(np.float64),
+                        skip=rx.cfg.audio_rate // 4)
+        assert snr > 60.0, f"USB parity SNR {snr:.1f} dB"

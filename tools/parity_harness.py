@@ -32,35 +32,41 @@ from pebblesdr_tpu.ops import decimator as decim_mod  # noqa: E402
 from pebblesdr_tpu.ops import fir as fir_mod  # noqa: E402
 
 
-def scipy_golden_am(iq: np.ndarray, fs: int, tune_hz: float,
-                    lo_cut: float, hi_cut: float, audio_rate: int,
-                    blk: int) -> np.ndarray:
-    """Independent float64 implementation of the AM chain (no JAX)."""
+def scipy_golden(iq: np.ndarray, fs: int, tune_hz: float, mode: "DemodMode",
+                 lo_cut: float, hi_cut: float, protect_bw: float,
+                 audio_rate: int, blk: int) -> np.ndarray:
+    """Independent float64 implementation of the chain (no JAX): AM and
+    USB/LSB goldens share the front end."""
     x = iq.astype(np.complex128)
     n = np.arange(len(x))
-    # 1) DC removal (one-pole, alpha as in the chain)
     alpha = 0.9999
-    b, a = [1 - (1 - alpha)], None
+    # 1) DC removal (one-pole)
     mean = scipy.signal.lfilter([1 - alpha], [1, -alpha], x)
     x = x - mean
     # 2) mix
     x = x * np.exp(-2j * np.pi * tune_hz * n / fs)
     # 3) halfband cascade (same plan/taps as the chain)
-    plan = decim_mod.build_plan(fs, 30000.0)
+    plan = decim_mod.build_plan(fs, protect_bw)
     for st in plan.stages:
         x = scipy.signal.lfilter(st.taps, [1.0], x)[::2]
     rate = plan.rate_out
-    # 4) FastFIR bandpass: identical windowed-sinc design, applied as overlap-
-    #    save with the same block geometry
+    # 4) FastFIR bandpass: identical windowed-sinc design
     ntaps = blk + 1
     taps = fir_mod.design_bandpass_complex(lo_cut, hi_cut, rate, ntaps)
     x = scipy.signal.lfilter(taps, [1.0], x)
-    # 5) AM demod: magnitude, DC block, LP
-    mag = np.abs(x)
-    dc = scipy.signal.lfilter([1 - alpha], [1, -alpha], mag)
-    audio = mag - dc
-    lp = fir_mod.design_lowpass_kaiser(6000.0, rate, atten_db=50.0)
-    audio = scipy.signal.lfilter(lp, [1.0], audio)
+    # 5) demod
+    if mode == DemodMode.AM:
+        mag = np.abs(x)
+        dc = scipy.signal.lfilter([1 - alpha], [1, -alpha], mag)
+        audio = mag - dc
+        lp = fir_mod.design_lowpass_kaiser(6000.0, rate, atten_db=50.0)
+        audio = scipy.signal.lfilter(lp, [1.0], audio)
+    elif mode == DemodMode.USB:
+        audio = x.real + x.imag
+    elif mode == DemodMode.LSB:
+        audio = x.real - x.imag
+    else:
+        raise ValueError(f"no scipy golden for {mode}")
     # 6) resample to audio rate
     from fractions import Fraction
 
@@ -143,14 +149,15 @@ def main(argv=None) -> int:
     iq, info = wav.read_iq_wav(args.wav_path)
     mode = from_string(args.mode or info.demod_mode)
     tune = args.tune if args.tune is not None else info.center_freq_hz
-    if mode != DemodMode.AM:
-        print("parity golden currently implemented for AM", file=sys.stderr)
+    if mode not in (DemodMode.AM, DemodMode.USB, DemodMode.LSB):
+        print("scipy golden implemented for AM/USB/LSB", file=sys.stderr)
         return 2
 
     got, rx = run_chain(iq, info.sample_rate, mode, tune, args.frames)
-    golden = scipy_golden_am(iq, info.sample_rate, tune,
-                             rx.info.lo_cut, rx.info.hi_cut,
-                             rx.cfg.audio_rate, rx.blk)
+    golden = scipy_golden(iq, info.sample_rate, tune, mode,
+                          rx.info.lo_cut, rx.info.hi_cut,
+                          rx.info.max_output_bw,
+                          rx.cfg.audio_rate, rx.blk)
     skip = rx.cfg.audio_rate // 2  # DC-blocker settling
     s = snr_db(golden, got.astype(np.float64), skip)
     print(f"chain vs scipy-golden SNR: {s:.1f} dB "
