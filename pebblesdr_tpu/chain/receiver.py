@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pebblesdr_tpu.core import windows as win
-from pebblesdr_tpu.core.block import pytree_dataclass, static_field
+from pebblesdr_tpu.core.block import pytree_dataclass
 from pebblesdr_tpu.demod import am as am_mod
 from pebblesdr_tpu.demod import nfm as nfm_mod
 from pebblesdr_tpu.demod import sam as sam_mod

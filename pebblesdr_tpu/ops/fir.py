@@ -16,7 +16,6 @@ real taps process re/im as a batch, complex taps use a 2x2 real filter bank.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -203,7 +202,8 @@ def banded_fir_matrix(taps_np: np.ndarray, n: int, decim: int = 1) -> np.ndarray
             base = out_i * decim
             for j in range(t):
                 b[base + t - 1 - j, out_i] = taps_np[j]
-        _banded_cache[key] = b
+        # device array: lifted as a jit parameter, not an HLO literal
+        _banded_cache[key] = jnp.asarray(b)
     return _banded_cache[key]
 
 

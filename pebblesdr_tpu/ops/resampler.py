@@ -98,6 +98,18 @@ def state_init(p: ResamplePlan, channels: int, dtype=jnp.float32) -> jax.Array:
     return jnp.zeros((channels, p.taps), dtype)
 
 
+_dense_cache: dict[int, jax.Array] = {}
+
+
+def _dense_dev(p: ResamplePlan) -> jax.Array:
+    """Banded operator as a cached DEVICE array (lifted as a jit parameter
+    instead of an HLO literal — measurably faster on TPU)."""
+    key = id(p.dense)
+    if key not in _dense_cache:
+        _dense_cache[key] = jnp.asarray(p.dense)
+    return _dense_cache[key]
+
+
 def apply(p: ResamplePlan, state: jax.Array, x: jax.Array):
     """x: [C, N_in] (real or complex) -> (state', y [C, N_out]).
 
@@ -105,7 +117,7 @@ def apply(p: ResamplePlan, state: jax.Array, x: jax.Array):
     the static banded operator (identical math to the gather+MAC form).
     """
     xx = jnp.concatenate([state, x], axis=-1)            # [C, K+N]
-    dense = jnp.asarray(p.dense)
+    dense = _dense_dev(p)
     if jnp.iscomplexobj(xx):
         y = jax.lax.complex(
             jnp.matmul(xx.real, dense, precision="highest"),

@@ -18,7 +18,6 @@ All functions take the mesh axis name and work inside jax.shard_map.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 from pebblesdr_tpu.io import registry
 from pebblesdr_tpu.io.rtl_tcp import RtlTcpServer
