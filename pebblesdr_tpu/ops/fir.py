@@ -202,8 +202,11 @@ def banded_fir_matrix(taps_np: np.ndarray, n: int, decim: int = 1) -> np.ndarray
             base = out_i * decim
             for j in range(t):
                 b[base + t - 1 - j, out_i] = taps_np[j]
-        # device array: lifted as a jit parameter, not an HLO literal
-        _banded_cache[key] = jnp.asarray(b)
+        # device array: lifted as a jit parameter, not an HLO literal;
+        # ensure_compile_time_eval keeps it concrete even when first touched
+        # inside a jit trace
+        with jax.ensure_compile_time_eval():
+            _banded_cache[key] = jnp.asarray(b)
     return _banded_cache[key]
 
 

@@ -106,7 +106,8 @@ def _dense_dev(p: ResamplePlan) -> jax.Array:
     instead of an HLO literal — measurably faster on TPU)."""
     key = id(p.dense)
     if key not in _dense_cache:
-        _dense_cache[key] = jnp.asarray(p.dense)
+        with jax.ensure_compile_time_eval():
+            _dense_cache[key] = jnp.asarray(p.dense)
     return _dense_cache[key]
 
 

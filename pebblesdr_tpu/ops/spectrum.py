@@ -51,8 +51,11 @@ def _dft_mats(n: int) -> tuple[jax.Array, jax.Array]:
         k = np.arange(n)
         shifted_rows = np.fft.fftshift(k)  # output bin order -f..+f
         w = np.exp(-2j * np.pi * np.outer(k, shifted_rows) / n)
-        _dft_cache[n] = (jnp.asarray(w.real.astype(np.float32)),
-                         jnp.asarray(w.imag.astype(np.float32)))
+        # concrete even when first touched inside a jit trace (a traced
+        # jnp.asarray would leak a tracer into the cache)
+        with jax.ensure_compile_time_eval():
+            _dft_cache[n] = (jnp.asarray(w.real.astype(np.float32)),
+                             jnp.asarray(w.imag.astype(np.float32)))
     return _dft_cache[n]
 
 
