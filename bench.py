@@ -61,21 +61,28 @@ def main():
     iq_ri = np.broadcast_to(np.stack([iq.real, iq.imag]).astype(np.float32),
                             (CHANNELS, 2, FRAMES)).copy()
 
-    @jax.jit
-    def step(state, params, iq_ri):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("spectra",))
+    def step(state, params, iq_ri, spectra=True):
         iq_c = jax.lax.complex(iq_ri[:, 0, :], iq_ri[:, 1, :])
-        return rx._step_impl(state, params, iq_c)
+        return rx._step_impl(state, params, iq_c, spectra=spectra)
+
+    # display spectra run at the reference's updatesPerSecond cadence
+    # (signalspectrum.cpp:63-86), not per block: every 6th 16 ms block ~ 10/s
+    spectra_every = int(os.environ.get("BENCH_SPECTRA_EVERY", "1"))
 
     iq_dev = jnp.asarray(iq_ri)
     t_c = time.perf_counter()
-    for _ in range(WARMUP):
-        state, out = step(state, params, iq_dev)
+    for i in range(max(WARMUP, 2)):
+        state, out = step(state, params, iq_dev, spectra=(i % spectra_every == 0))
     out["audio"].block_until_ready()
     print(f"# compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, out = step(state, params, iq_dev)
+    for i in range(STEPS):
+        state, out = step(state, params, iq_dev,
+                          spectra=(i % spectra_every == 0))
     out["audio"].block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pebblesdr_tpu.core import windows as win
+from pebblesdr_tpu.core import db as dbu
 from pebblesdr_tpu.core.block import pytree_dataclass
 from pebblesdr_tpu.demod import am as am_mod
 from pebblesdr_tpu.demod import nfm as nfm_mod
@@ -182,7 +182,8 @@ class Receiver:
             self._pk = _pk
             self._taps_tuple = _pk.plan_taps_tuple(self.plan)
 
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,),
+                             static_argnames=("spectra",))
 
     # ------------------------------------------------------------------ state
 
@@ -282,20 +283,27 @@ class Receiver:
 
     # ------------------------------------------------------------------- step
 
-    def step(self, state: ReceiverState, params: RxParams, iq: jax.Array):
+    def step(self, state: ReceiverState, params: RxParams, iq: jax.Array,
+             spectra: bool = True):
         """One block: iq [C, frames_per_buffer] complex64.
+
+        spectra=False skips the display spectra (the reference likewise
+        computes them at updatesPerSecond, not per block —
+        signalspectrum.cpp:63-86); squelch/S-meter still run.  Both variants
+        are cached jit executables.
 
         Returns (state', outputs dict):
           audio       [C, audio_blk] float32 (or [C, 2, audio_blk] stereo)
-          spectrum    [C, spectrum_bins] dB (device-rate, fftshifted)
-          zoomed      [C, blk] dB (demod-rate)
+          spectrum    [C, spectrum_bins] dB (device-rate, fftshifted) [spectra]
+          zoomed      [C, blk] dB (demod-rate)                        [spectra]
           smeter      dict of [C] dB estimates
           squelch_open[C] bool
           (+ taps if cfg.taps)
         """
-        return self._step(state, params, iq)
+        return self._step(state, params, iq, spectra=spectra)
 
-    def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array):
+    def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,
+                   spectra: bool = True):
         cfg = self.cfg
         out: dict[str, Any] = {}
         taps_out: dict[str, Any] = {}
@@ -315,13 +323,16 @@ class Receiver:
         # block.  Slicing the jit argument is free; slicing the dc-removed
         # stream makes XLA re-run the whole full-rate producer chain just for
         # the 2048-column consumer (~0.6 ms/block measured on v5e).
-        spec_full_state, full_db, overload = spectrum.averaged_spectrum(
-            state.spec_full,
-            iq[:, -cfg.spectrum_bins:],
-            self.w_full, self.cg_full, smoothing=0.5,
-            db_offset=cfg.db_offset)
-        out["spectrum"] = full_db
-        out["overload"] = overload
+        if spectra:
+            spec_full_state, full_db, overload = spectrum.averaged_spectrum(
+                state.spec_full,
+                iq[:, -cfg.spectrum_bins:],
+                self.w_full, self.cg_full, smoothing=0.5,
+                db_offset=cfg.db_offset)
+            out["spectrum"] = full_db
+            out["overload"] = overload
+        else:
+            spec_full_state = state.spec_full
 
         # --- tune + decimate (receiver.cpp:864-866, 910-911) -----------------
         if self.use_pallas:
@@ -344,14 +355,26 @@ class Receiver:
         if cfg.taps:
             taps_out["post_mixer"] = x
 
-        # demod-rate (zoomed) spectrum
-        spec_zoom_state, zoom_db, _ = spectrum.averaged_spectrum(
-            state.spec_zoom, x, self.w_zoom, self.cg_zoom, smoothing=0.5,
-            db_offset=cfg.db_offset)
-        out["zoomed"] = zoom_db
+        # demod-rate (zoomed) power — always needed (squelch/S-meter source);
+        # the dB display conversion + averaging only when spectra requested
+        n_z = x.shape[-1]
+        xw = x * self.w_zoom[None, :]
+        norm = 1.0 / (n_z * self.cg_zoom)
+        power_lin = spectrum._shifted_power(xw) * (norm * norm)
+        power_lin = power_lin * jnp.power(10.0, cfg.db_offset / 10.0)
+        # keep the DFT matmuls on the MXU: without this barrier XLA fuses them
+        # into the S-meter's masked reductions when the display path is off,
+        # re-deriving the transform as vector code (measured 17x slower)
+        power_lin = jax.lax.optimization_barrier(power_lin)
+        if spectra:
+            a = 0.5
+            avg = a * state.spec_zoom.avg_power + (1.0 - a) * power_lin
+            spec_zoom_state = spectrum.SpectrumState(avg_power=avg)
+            out["zoomed"] = dbu.power_to_db(avg)
+        else:
+            spec_zoom_state = state.spec_zoom
 
         # --- signal strength + squelch decision ------------------------------
-        power_lin = jnp.power(10.0, zoom_db / 10.0)
         sm = signalstrength.fd_estimate_masked(power_lin, params.sm_band,
                                                params.sm_noise)
         out["smeter"] = sm

@@ -275,3 +275,29 @@ class TestNoRecompile:
             gain=jnp.asarray(0.5, jnp.float32))
         state, _ = rx.step(state, params, jnp.asarray(iq))
         assert rx._step._cache_size() == compiles_after_first
+
+
+class TestSpectraThrottle:
+    def test_no_spectra_variant(self):
+        """spectra=False skips display spectra but keeps squelch/smeter, and
+        audio is identical to the spectra=True variant."""
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                             mode=DemodMode.AM, agc_mode="off")
+        rx = Receiver(cfg)
+        nb = 3
+        iq = am_iq(250_000.0, 1000.0, 0.8, nb)
+        params = rx.default_params(250_000.0)
+        sa, sb = rx.init_state(), rx.init_state()
+        for i in range(nb):
+            blk = jnp.asarray(iq[:, i * N:(i + 1) * N])
+            sa, oa = rx.step(sa, params, blk, spectra=True)
+            sb, ob = rx.step(sb, params, blk, spectra=False)
+            np.testing.assert_array_equal(np.asarray(oa["audio"]),
+                                          np.asarray(ob["audio"]))
+        assert "spectrum" in oa and "zoomed" in oa
+        assert "spectrum" not in ob and "zoomed" not in ob
+        assert "smeter" in ob and "squelch_open" in ob
+        # smeter identical between variants (computed from the same power)
+        np.testing.assert_allclose(
+            np.asarray(oa["smeter"]["snr_db"]),
+            np.asarray(ob["smeter"]["snr_db"]), atol=1e-4)
