@@ -27,34 +27,63 @@ class SAMConfig:
     def make(sample_rate: float, bandwidth: float = 10000.0) -> "SAMConfig":
         cfg = pll.make_pll_config(sample_rate, bw_hz=100.0, zeta=0.707,
                                   range_hz=1000.0, detector="atan2")
-        # analytic filter 0..bandwidth/2 (demod_sam.cpp GenerateHBFilter(5000))
-        taps = fir.design_hilbert(61, bandwidth / 4.0, bandwidth / 2.0, sample_rate)
+        # analytic filter 0..bandwidth/2 (demod_sam.cpp GenerateHBFilter(5000));
+        # unit passband gain (design_hilbert's 2x is the analytic-signal
+        # convention; the sideband split wants hi = upper sideband as-is)
+        taps = 0.5 * fir.design_hilbert(61, bandwidth / 4.0, bandwidth / 2.0,
+                                        sample_rate)
         return SAMConfig(sample_rate=sample_rate, pll=cfg, hilbert_taps=taps)
 
 
 @pytree_dataclass
 class SAMState:
     pll: pll.PLLState
-    dc: jax.Array
+    dc: jax.Array      # mono (L) DC blocker state
+    dc_r: jax.Array    # sideband-mix (R) DC blocker state
     hilbert_tail: jax.Array
+    align: jax.Array   # [C, (T-1)//2] delay aligning base with the Hilbert
+    #                    filter's group delay
 
 
 def sam_init(cfg: SAMConfig, channels: int) -> SAMState:
     return SAMState(
         pll=pll.pll_init(cfg.pll, channels),
         dc=jnp.zeros((channels,), jnp.float32),
+        dc_r=jnp.zeros((channels,), jnp.float32),
         hilbert_tail=fir.fir_tail_init(channels, len(cfg.hilbert_taps)),
+        align=jnp.zeros((channels, (len(cfg.hilbert_taps) - 1) // 2),
+                        jnp.complex64),
     )
 
 
 def sam_demod(cfg: SAMConfig, state: SAMState, x: jax.Array):
     """x: [C, N] complex64 -> (state', audio [C, N] float32 mono)."""
+    state2, mono, _l, _r = sam_demod_stereo(cfg, state, x)
+    return state2, mono
+
+
+def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array):
+    """Full SAM with the reference's sideband mix (demod_sam.cpp:5-112):
+    after PLL carrier removal, the analytic (Hilbert) filter isolates the
+    upper sideband; L = lo+hi (== the coherent mono), R = hi-lo — the
+    'mono-aural mix' that lets the ear separate the sidebands.
+
+    Returns (state', mono, left, right), each [C, N] float32.
+    """
     pll_state, phases, _ = pll.pll_run(cfg.pll, state.pll, x)
     base = x * jnp.exp(-1j * phases.astype(jnp.complex64))
-    # analytic split: hi sideband = +f part; lo = -f part (conj trick)
     taps_c = jnp.asarray(cfg.hilbert_taps, jnp.complex64)
     hi, tail = fir.fir_apply_complex(base, taps_c, state.hilbert_tail)
-    # coherent detection: real part carries the AM modulation
-    mono = base.real
-    dc, audio = iir.dc_removal_apply(state.dc, mono, alpha=0.9999)
-    return SAMState(pll=pll_state, dc=dc, hilbert_tail=tail), audio
+    # align base with hi: the linear-phase Hilbert FIR delays by (T-1)/2
+    n = base.shape[-1]
+    full = jnp.concatenate([state.align, base], axis=-1)
+    base_d = full[:, :n]
+    new_align = full[:, n:]
+    mono_raw = base_d.real                    # lo + hi
+    hi_minus_lo = (2.0 * hi - base_d).real    # hi - lo (still carries carrier)
+    dc, mono = iir.dc_removal_apply(state.dc, mono_raw, alpha=0.999)
+    dc_r, right = iir.dc_removal_apply(state.dc_r, hi_minus_lo, alpha=0.999)
+    left = mono
+    return (SAMState(pll=pll_state, dc=dc, dc_r=dc_r, hilbert_tail=tail,
+                     align=new_align),
+            mono, left, right)
