@@ -229,29 +229,19 @@ def _cascade_tm_kernel(taps_list, b, c_lanes,
     yi_ref[:, :] = yi
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("taps_tuple", "sub_block", "interpret"))
-def fused_downconvert_tm(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
-                         f_lo: jax.Array, tails_ri: tuple, taps_tuple: tuple,
-                         sub_block: int = 4096, interpret: bool = False):
-    """Time-major fused downconvert (TPU-compiling variant).
+def fused_downconvert_planes(xr_t: jax.Array, xi_t: jax.Array,
+                             phase0: jax.Array, f_hi: jax.Array,
+                             f_lo: jax.Array, tails_tm: list,
+                             taps_tuple: tuple, sub_block: int = 512,
+                             interpret: bool = False):
+    """Transpose-free core: time-major planes in, time-major planes out.
 
-    Same contract as fused_downconvert: x_ri [C, 2, N] f32, per-channel
-    phase/freq [C], tails_ri per stage [C, 2, T-1].  Streams the block through
-    the kernel in `sub_block`-sample chunks (VMEM bound), threading tails.
+    xr_t/xi_t: [N, C] f32; tails_tm: per stage [2*(T-1), C] (re rows then im
+    rows).  Returns (yr [M, C], yi [M, C], new_tails_tm list).
     """
-    c, _, n = x_ri.shape
+    n, c = xr_t.shape
     k = len(taps_tuple)
     assert n % sub_block == 0
-    # time-major planes [N, C]
-    xr_t = jnp.transpose(x_ri[:, 0, :])
-    xi_t = jnp.transpose(x_ri[:, 1, :])
-    # tails -> stacked time-major [2*(T-1), C]
-    tails_tm = [
-        jnp.concatenate([jnp.transpose(t_ri[:, 0, :]),
-                         jnp.transpose(t_ri[:, 1, :])], axis=0)
-        for t_ri in tails_ri
-    ]
     phase_row = phase0[None, :]
     fhi_row = f_hi[None, :].astype(jnp.float32)
     flo_row = f_lo[None, :].astype(jnp.float32)
@@ -281,6 +271,33 @@ def fused_downconvert_tm(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
 
     yr = jnp.concatenate([a for a, _ in out_chunks], axis=0)  # [M, C]
     yi = jnp.concatenate([b for _, b in out_chunks], axis=0)
+    return yr, yi, tails_tm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("taps_tuple", "sub_block", "interpret"))
+def fused_downconvert_tm(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
+                         f_lo: jax.Array, tails_ri: tuple, taps_tuple: tuple,
+                         sub_block: int = 4096, interpret: bool = False):
+    """Time-major fused downconvert (TPU-compiling variant).
+
+    Same contract as fused_downconvert: x_ri [C, 2, N] f32, per-channel
+    phase/freq [C], tails_ri per stage [C, 2, T-1].  Streams the block through
+    the kernel in `sub_block`-sample chunks (VMEM bound), threading tails.
+    """
+    c, _, n = x_ri.shape
+    # time-major planes [N, C]
+    xr_t = jnp.transpose(x_ri[:, 0, :])
+    xi_t = jnp.transpose(x_ri[:, 1, :])
+    # tails -> stacked time-major [2*(T-1), C]
+    tails_tm = [
+        jnp.concatenate([jnp.transpose(t_ri[:, 0, :]),
+                         jnp.transpose(t_ri[:, 1, :])], axis=0)
+        for t_ri in tails_ri
+    ]
+    yr, yi, tails_tm = fused_downconvert_planes(
+        xr_t, xi_t, phase0, f_hi, f_lo, tails_tm, taps_tuple,
+        sub_block=sub_block, interpret=interpret)
     y_ri = jnp.stack([jnp.transpose(yr), jnp.transpose(yi)], axis=1)
     new_tails = tuple(
         jnp.stack([jnp.transpose(tm[: tm.shape[0] // 2, :]),
