@@ -27,6 +27,18 @@ from pebblesdr_tpu.utils.perform import Perform
 
 
 def make_source(args) -> sources.Source:
+    if args.source:
+        from pebblesdr_tpu.io import registry
+
+        kwargs = {}
+        if args.source == "file":
+            kwargs = {"path": args.wav or args.path, "pace": args.pace}
+        elif args.source == "rtl_tcp":
+            kwargs = {"host": args.host, "port": args.port,
+                      "sample_rate": args.sample_rate}
+        elif args.source in ("synthetic", "morsegen"):
+            kwargs = {"sample_rate": args.sample_rate}
+        return registry.create(args.source, **kwargs)
     if args.wav:
         return sources.FileSource(args.wav, loop=True, pace=args.pace)
     fs = args.sample_rate
@@ -53,6 +65,11 @@ def main(argv=None):
     src.add_argument("--wav", help="IQ wav file input")
     src.add_argument("--synthetic", choices=["am", "tone", "morse"],
                      help="synthetic test source")
+    src.add_argument("--source", help="registered source by name "
+                     "(file/synthetic/morsegen/rtl_tcp/...)")
+    p.add_argument("--path", help="wav path for --source file")
+    p.add_argument("--host", default="127.0.0.1", help="rtl_tcp host")
+    p.add_argument("--port", type=int, default=1234, help="rtl_tcp port")
     p.add_argument("--sample-rate", type=int, default=2_048_000,
                    help="sample rate for synthetic sources")
     p.add_argument("--mode", default="AM",

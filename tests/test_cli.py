@@ -1,0 +1,59 @@
+"""CLI smoke tests (the app-shell surface) — run in-process via main()."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pebblesdr_tpu.serve.cli import main
+
+
+class TestCli:
+    def test_synthetic_usb(self, tmp_path, capsys):
+        out_wav = str(tmp_path / "a.wav")
+        rc = main(["--synthetic", "tone", "--mode", "USB", "--tune", "400000",
+                   "--seconds", "0.3", "--audio-out", out_wav, "--json"])
+        assert rc == 0 or rc is None
+        captured = capsys.readouterr().out.strip().splitlines()[-1]
+        metrics = json.loads(captured)
+        assert metrics["squelch_open"] is True
+        assert metrics["audio_rms"] > 0.1
+        with open(out_wav, "rb") as f:
+            assert f.read(4) == b"RIFF"
+
+    def test_wav_roundtrip_with_checkpoint(self, tmp_path, capsys):
+        from pebblesdr_tpu.io import wav
+
+        fs = 2_048_000
+        t = np.arange(fs // 4) / fs
+        iq = (0.4 * (1 + 0.5 * np.cos(2 * np.pi * 1000 * t)) / 2
+              * np.exp(2j * np.pi * 300_000 * t)).astype(np.complex64)
+        p = str(tmp_path / "in.wav")
+        wav.write_iq_wav(p, iq, fs, center_freq_hz=300_000.0, demod_mode="AM")
+        ck = str(tmp_path / "state.npz")
+        rc = main(["--wav", p, "--mode", "AM", "--seconds", "0.2",
+                   "--checkpoint", ck, "--json"])
+        assert rc == 0 or rc is None
+        # resume from the checkpoint
+        rc = main(["--wav", p, "--mode", "AM", "--seconds", "0.1",
+                   "--resume", ck, "--json"])
+        assert rc == 0 or rc is None
+
+    def test_rtl_tcp_source(self, capsys):
+        from pebblesdr_tpu.io import registry
+        from pebblesdr_tpu.io.rtl_tcp import RtlTcpServer
+
+        src = registry.create("synthetic", sample_rate=2_048_000,
+                              tones=((251_000.0, 0.4),))
+        server = RtlTcpServer(src, port=0, block=32768)
+        server.start()
+        try:
+            rc = main(["--source", "rtl_tcp", "--host", "127.0.0.1",
+                       "--port", str(server.port), "--sample-rate", "2048000",
+                       "--mode", "AM", "--tune", "250000",
+                       "--seconds", "0.2", "--json"])
+            assert rc == 0 or rc is None
+            metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert metrics["snr_db"] > 30
+        finally:
+            server.stop()
