@@ -26,6 +26,9 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "32768"))
 FS = 2_048_000
 WARMUP = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+# blocks per dispatch (Receiver.step_many lax.scan): amortizes the host
+# dispatch latency (~1.4 ms on a network-attached chip) across K blocks
+BLOCKS = int(os.environ.get("BENCH_BLOCKS", "8"))
 MODE = os.environ.get("BENCH_MODE", "am")  # am | wfm
 REFERENCE_MSPS = 2048.0 / 7.035e-3 / 1e6  # 0.291 Msps (receiver.cpp:780-785)
 
@@ -59,14 +62,14 @@ def main():
         env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
         iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
     iq_ri = np.broadcast_to(np.stack([iq.real, iq.imag]).astype(np.float32),
-                            (CHANNELS, 2, FRAMES)).copy()
+                            (BLOCKS, CHANNELS, 2, FRAMES)).copy()
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("spectra",))
     def step(state, params, iq_ri, spectra=True):
-        iq_c = jax.lax.complex(iq_ri[:, 0, :], iq_ri[:, 1, :])
-        return rx._step_impl(state, params, iq_c, spectra=spectra)
+        iq_c = jax.lax.complex(iq_ri[..., 0, :], iq_ri[..., 1, :])
+        return rx._step_many_impl(state, params, iq_c, spectra=spectra)
 
     # display spectra run at the reference's updatesPerSecond cadence
     # (signalspectrum.cpp:63-86), not per block: every 6th 16 ms block ~ 10/s
@@ -86,7 +89,7 @@ def main():
     out["audio"].block_until_ready()
     dt = time.perf_counter() - t0
 
-    samples = CHANNELS * FRAMES * STEPS
+    samples = CHANNELS * FRAMES * BLOCKS * STEPS
     msps = samples / dt / 1e6
     result = {
         "metric": "iq_msps_per_chip",
@@ -99,8 +102,8 @@ def main():
     # supplementary metrics on stderr (not part of the driver contract)
     per_chan = samples / CHANNELS / dt
     print(f"# per-channel {per_chan/1e6:.2f} Msps, realtime x{per_chan/FS:.2f}, "
-          f"block time {dt/STEPS*1e3:.2f} ms for {CHANNELS} channels",
-          file=sys.stderr)
+          f"block time {dt/(STEPS*BLOCKS)*1e3:.2f} ms for {CHANNELS} channels "
+          f"({BLOCKS} blocks/dispatch)", file=sys.stderr)
 
 
 if __name__ == "__main__":

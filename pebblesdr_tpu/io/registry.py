@@ -13,6 +13,7 @@ from typing import Callable
 
 from pebblesdr_tpu.io import sources as _src
 from pebblesdr_tpu.io import rtl_tcp as _rtl
+from pebblesdr_tpu.io import sdr_ip as _sdrip
 
 _REGISTRY: dict[str, Callable] = {}
 
@@ -58,3 +59,4 @@ register("file", _src.FileSource)
 register("synthetic", _src.SyntheticSource)
 register("morsegen", _src.MorseGenSource)
 register("rtl_tcp", _rtl.RtlTcpSource)
+register("sdr_ip", _sdrip.SdrIpSource)

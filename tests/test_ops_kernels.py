@@ -213,6 +213,36 @@ class TestIIR:
                                    [1.0, coef.a1, coef.a2], x, axis=1)
         np.testing.assert_allclose(stream, ref, atol=1e-2)
 
+    def test_first_order_chunked_matches_lfilter(self):
+        # chunked-matmul one-pole path (fast decay: N*(1-a) large so neither
+        # the cumsum closed form nor a trivial case) vs scipy float64
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(2, 2048)).astype(np.float32)
+        for a in (0.81, 0.999):
+            b = 1.0 - a
+            y0 = np.asarray([0.5, -0.25], np.float32)
+            last, y = iir.first_order_apply(jnp.asarray(y0), jnp.asarray(x),
+                                            a, b)
+            zi = scipy.signal.lfiltic([b], [1.0, -a], [y0[0]])
+            ref0 = scipy.signal.lfilter([b], [1.0, -a], x[0], zi=zi)[0]
+            np.testing.assert_allclose(np.asarray(y)[0], ref0, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(last)[0], ref0[-1],
+                                       atol=2e-4)
+
+    def test_biquad_chunked_matches_scan(self):
+        # high-Q resonator with a random carried state: the chunked-matmul
+        # fast path must agree with the associative-scan formulation
+        coef = iir.design_biquad("bandpass", 19000.0, 240000.0, 500.0)
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(3, 2048)).astype(np.float32)
+        st = jnp.asarray(rng.normal(size=(3, 2)).astype(np.float32))
+        s_fast, y_fast = iir.biquad_apply(st, jnp.asarray(x), coef)
+        s_scan, y_scan = iir._biquad_apply_scan(st, jnp.asarray(x), coef)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_scan),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_scan),
+                                   atol=5e-3)
+
     def test_dc_removal(self):
         x = jnp.ones((1, 4096), jnp.float32) * 0.7
         carry = jnp.zeros((1,))
