@@ -157,8 +157,11 @@ class Receiver:
 
         # --- AGC --------------------------------------------------------------
         agc_mode = cfg.agc_mode if cfg.agc_mode is not None else info.agc_mode
+        agc_stride = max(1, cfg.agc_stride)
+        while self.blk % agc_stride:  # stride must divide the demod block
+            agc_stride //= 2
         self.agc_cfg = agc.AGCConfig.make(self.demod_rate, agc_mode,
-                                          stride=cfg.agc_stride)
+                                          stride=agc_stride)
 
         # --- spectra ----------------------------------------------------------
         w_full, cg_full = spectrum.make_window(cfg.spectrum_bins)

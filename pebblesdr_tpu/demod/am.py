@@ -44,7 +44,10 @@ def am_init(cfg: AMConfig, channels: int) -> AMState:
 def am_demod(cfg: AMConfig, state: AMState, x: jax.Array):
     """x: [C, N] complex64 (post-bandpass) -> (state', audio [C, N] float32)."""
     mag = jnp.abs(x)
-    dc, audio = iir.dc_removal_apply(state.dc, mag, alpha=0.9999)
+    # chunked DC blocker: the alpha=0.9999 estimate has a ~160 ms time
+    # constant, so a 256-sample (4 ms at 64 ksps) piecewise-constant estimate
+    # is equivalent while costing two passes instead of a length-N recurrence
+    dc, audio = iir.dc_removal_chunked(state.dc, mag, alpha=0.9999, chunk=256)
     audio, tail = fir.fir_apply_real_signal(audio, None, state.lp_tail,
                                             taps_np=cfg.taps)
     return AMState(dc=dc, lp_tail=tail), audio

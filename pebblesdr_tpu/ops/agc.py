@@ -82,11 +82,17 @@ class AGCState:
 
 def agc_init(cfg: AGCConfig, channels: int) -> AGCState:
     floor = math.log10(MIN_CONSTANT)
+    if cfg.algorithm == "parallel" and cfg.stride > 1:
+        # the strided parallel path keeps its peak-window tail on the coarse
+        # (one-max-per-stride) grid
+        w = max(1, cfg.window // cfg.stride)
+    else:
+        w = cfg.window
     return AGCState(
         attack_avg=jnp.full((channels,), floor, jnp.float32),
         decay_avg=jnp.full((channels,), floor, jnp.float32),
         hang_count=jnp.zeros((channels,), jnp.int32),
-        window_tail=jnp.full((channels, cfg.window - 1), floor, jnp.float32),
+        window_tail=jnp.full((channels, max(w - 1, 0)), floor, jnp.float32),
         delay_line=jnp.zeros((channels, cfg.delay), jnp.complex64),
     )
 
@@ -100,16 +106,28 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     rate = cfg.sample_rate
     decay_ms, _use_hang = MODES[cfg.mode]
 
+    # stride>1: collapse the envelope to one max per `stride` samples FIRST,
+    # then run every scan/window op on the N/stride coarse envelope (the gain
+    # law only moves on ms timescales, so a 0.25 ms grid loses nothing; the
+    # documented stride deviation).  All state arrays stay on the coarse grid.
+    s = cfg.stride
+    if s > 1 and n % s:
+        raise ValueError(f"AGC stride {s} must divide block length {n}")
     logmag = jnp.log10(jnp.abs(x) + MIN_CONSTANT)
+    if s > 1:
+        logmag = jnp.max(logmag.reshape(c, n // s, s), axis=-1)
+    rate_s = rate / s
+    window = max(1, cfg.window // s)
     ext = jnp.concatenate([state.window_tail, logmag], axis=-1)
-    peak = _windowed_max(ext, cfg.window)
-    new_window_tail = ext[:, -(cfg.window - 1):]
+    peak = _windowed_max(ext, window) if window > 1 else ext
+    new_window_tail = (ext[:, -(window - 1):] if window > 1
+                       else ext[:, :0])
 
     # exponential release: log10-amplitude decays at log10(e)/tau per second
-    d = 0.43429448 / max(decay_ms / 1000.0, 1e-3) / rate
+    d = 0.43429448 / max(decay_ms / 1000.0, 1e-3) / rate_s
     dec_last, env = _decaying_max(state.decay_avg, peak, d)
     # fast attack smoothing (linear recurrence -> associative scan)
-    att_coef = _coef(ATTACK_RISE_TIMECONST, rate)
+    att_coef = _coef(ATTACK_RISE_TIMECONST, rate_s)
     att_last, level = first_order_apply(state.attack_avg, env, 1.0 - att_coef,
                                         att_coef)
 
@@ -117,6 +135,18 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     log_gain = jnp.where(level > knee,
                          cfg.slope_factor * (level - knee) - level, -knee)
     gain = jnp.power(10.0, log_gain) * AGC_OUTSCALE
+    if s > 1:
+        # piecewise-linear gain interpolation back to the sample grid (avoids
+        # staircase zipper): g[i*s + j] = lerp(g[i-1], g[i], (j+1)/s), i.e.
+        # each coarse gain is reached at the END of its stride window.
+        lg0 = jnp.where(state.attack_avg > knee,
+                        cfg.slope_factor * (state.attack_avg - knee)
+                        - state.attack_avg, -knee)
+        g0 = jnp.power(10.0, lg0) * AGC_OUTSCALE  # gain at end of prev block
+        g_prev = jnp.concatenate([g0[:, None], gain[:, :-1]], axis=-1)
+        w_up = (jnp.arange(1, s + 1, dtype=jnp.float32) / s)[None, None, :]
+        gain = (g_prev[:, :, None] * (1.0 - w_up)
+                + gain[:, :, None] * w_up).reshape(c, n)
 
     full = jnp.concatenate([state.delay_line, x], axis=-1)
     delayed = full[:, :n]

@@ -102,6 +102,23 @@ class TestAGC:
         st2, y = agc.agc_apply(cfg, st, x[None])
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x[None]))
 
+    def test_strided_parallel_streaming_continuity(self):
+        # the strided parallel path (coarse envelope grid) must be exactly
+        # block-size invariant: 4 x 1024-blocks == one 4096-block
+        fs = 64000.0
+        cfg = agc.AGCConfig.make(fs, "med", stride=16)
+        rng = np.random.default_rng(0)
+        x = ((rng.standard_normal((3, 4096))
+              + 1j * rng.standard_normal((3, 4096))) * 0.3).astype(np.complex64)
+        st0 = agc.agc_init(cfg, 3)
+        _, y_once = agc.agc_apply(cfg, st0, jnp.asarray(x))
+        st, ys = st0, []
+        for k in range(4):
+            st, y = agc.agc_apply(cfg, st, jnp.asarray(x[:, k*1024:(k+1)*1024]))
+            ys.append(y)
+        err = float(jnp.max(jnp.abs(y_once - jnp.concatenate(ys, -1))))
+        assert err < 1e-4, err
+
     def test_strided_close_to_exact(self):
         fs = 48000.0
         import jax
