@@ -244,15 +244,31 @@ class TimeMajorReceiver:
         new_del_i = fulli[b:, :]
 
         # --- AM demod: magnitude -> DC block -> LP matmul --------------------
+        # chunked piecewise-constant DC estimate, matching demod/am.py's
+        # dc_removal_chunked(chunk=256) so both layouts agree bit-for-bit
         mag = jnp.sqrt(xr_g * xr_g + xi_g * xi_g)
         alpha = 0.9999
-        kk2 = jnp.arange(b, dtype=jnp.float32)[:, None]
-        ap = jnp.exp(kk2 * float(np.log(alpha)))
-        ai = jnp.exp(-kk2 * float(np.log(alpha)))
-        m_seed = alpha * state.am_dc
-        m_est = ap * (m_seed + jnp.cumsum((1 - alpha) * mag * ai, axis=0))
-        new_am_dc = m_est[-1:, :]
-        audio = mag - m_est
+        chunk_am = 256
+        if b % chunk_am == 0:
+            mag3 = mag.reshape(b // chunk_am, chunk_am, c)
+            am_means = jnp.mean(mag3, axis=1)               # [K, C]
+            a_am = alpha ** chunk_am
+
+            def am_ewma(m_prev, mk):
+                m = a_am * m_prev + (1 - a_am) * mk
+                return m, m
+
+            am_last, am_m = jax.lax.scan(am_ewma, state.am_dc[0], am_means)
+            new_am_dc = am_last[None, :]
+            audio = (mag3 - am_m[:, None, :]).reshape(b, c)
+        else:
+            kk2 = jnp.arange(b, dtype=jnp.float32)[:, None]
+            ap = jnp.exp(kk2 * float(np.log(alpha)))
+            ai = jnp.exp(-kk2 * float(np.log(alpha)))
+            m_seed = alpha * state.am_dc
+            m_est = ap * (m_seed + jnp.cumsum((1 - alpha) * mag * ai, axis=0))
+            new_am_dc = m_est[-1:, :]
+            audio = mag - m_est
         ext_a = jnp.concatenate([state.am_tail, audio], axis=0)  # [B+T-1, C]
         audio = self._am_op @ ext_a
         new_am_tail = ext_a[-(self.am_t - 1):, :]
