@@ -61,15 +61,19 @@ def main():
     else:
         env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
         iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
-    iq_ri = np.broadcast_to(np.stack([iq.real, iq.imag]).astype(np.float32),
-                            (BLOCKS, CHANNELS, 2, FRAMES)).copy()
+    # [K, 2, N, C] float32 time-major planes — the Receiver fast path: the
+    # front end keeps the physical layout time-major so the polyphase
+    # decimator's stride-2 split rides the sublane dimension (80x faster
+    # than channel-major input)
+    iq_ri = np.broadcast_to(
+        np.stack([iq.real, iq.imag]).astype(np.float32)[None, :, :, None],
+        (BLOCKS, 2, FRAMES, CHANNELS)).copy()
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("spectra",))
     def step(state, params, iq_ri, spectra=True):
-        iq_c = jax.lax.complex(iq_ri[..., 0, :], iq_ri[..., 1, :])
-        return rx._step_many_impl(state, params, iq_c, spectra=spectra)
+        return rx._step_many_impl(state, params, iq_ri, spectra=spectra)
 
     # display spectra run at the reference's updatesPerSecond cadence
     # (signalspectrum.cpp:63-86), not per block: every 6th 16 ms block ~ 10/s

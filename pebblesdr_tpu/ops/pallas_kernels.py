@@ -229,6 +229,79 @@ def _cascade_tm_kernel(taps_list, b, c_lanes,
     yi_ref[:, :] = yi
 
 
+def _cascade_tm_grid_kernel(taps_list, sub_block, c_lanes, nsub,
+                            xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref,
+                            *refs):
+    """Grid variant: one kernel instance, grid=(nsub,) sub-blocks executed
+    sequentially on the core.  The per-stage carry tails live in the tail
+    OUTPUT refs (constant index map -> the block stays resident in VMEM across
+    grid iterations); iteration 0 seeds them from the tail inputs.
+
+    refs: [tail_in_0..k-1, yr, yi, tail_out_0..k-1]."""
+    k = len(taps_list)
+    tail_in = refs[:k]
+    yr_ref, yi_ref = refs[k], refs[k + 1]
+    tail_out = refs[k + 2:]
+
+    s = pl.program_id(0)
+
+    # ---- NCO mix: phase = phase0 + (s*sub_block + i) * (fhi + flo) ---------
+    i = jax.lax.broadcasted_iota(jnp.int32, (sub_block, c_lanes), 0
+                                 ).astype(jnp.float32)
+    fhi = fhi_ref[0, :][None, :]
+    flo = flo_ref[0, :][None, :]
+    k0 = (s * sub_block).astype(jnp.float32)
+    ph0 = jnp.mod(phase_ref[0, :][None, :]
+                  + jnp.mod(k0 * fhi, 1.0) + k0 * flo, 1.0)
+    ph = jnp.mod(ph0 + jnp.mod(i * fhi, 1.0) + i * flo, 1.0)
+    ang = TWO_PI * ph
+    cs = jnp.cos(ang)
+    sn = jnp.sin(ang)
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    yr = xr * cs + xi * sn
+    yi = xi * cs - xr * sn
+
+    first = s == 0
+    for st in range(k):
+        taps = taps_list[st]
+        t = len(taps)
+        tl = jnp.where(first, tail_in[st][:, :], tail_out[st][:, :])
+        er = jnp.concatenate([tl[: t - 1, :], yr], axis=0)   # [L+T-1, C]
+        ei = jnp.concatenate([tl[t - 1:, :], yi], axis=0)
+        ln = yr.shape[0]
+        m = ln // 2
+        tail_out[st][: t - 1, :] = er[-(t - 1):, :]
+        tail_out[st][t - 1:, :] = ei[-(t - 1):, :]
+        l2 = er.shape[0]
+        if l2 % 2:
+            pad = jnp.zeros((1, c_lanes), jnp.float32)
+            er = jnp.concatenate([er, pad], axis=0)
+            ei = jnp.concatenate([ei, pad], axis=0)
+            l2 += 1
+        er2 = er.reshape(l2 // 2, 2, c_lanes)
+        ei2 = ei.reshape(l2 // 2, 2, c_lanes)
+        ee_r, eo_r = er2[:, 0, :], er2[:, 1, :]
+        ee_i, eo_i = ei2[:, 0, :], ei2[:, 1, :]
+        acc_r = acc_i = None
+        for j in range(t):
+            h = float(taps[j])
+            if h == 0.0:
+                continue
+            idx = t - 1 - j
+            off = idx // 2
+            src_r = ee_r if (idx & 1) == 0 else eo_r
+            src_i = ee_i if (idx & 1) == 0 else eo_i
+            term_r = h * jax.lax.slice_in_dim(src_r, off, off + m, axis=0)
+            term_i = h * jax.lax.slice_in_dim(src_i, off, off + m, axis=0)
+            acc_r = term_r if acc_r is None else acc_r + term_r
+            acc_i = term_i if acc_i is None else acc_i + term_i
+        yr, yi = acc_r, acc_i
+
+    yr_ref[:, :] = yr
+    yi_ref[:, :] = yi
+
+
 def fused_downconvert_planes(xr_t: jax.Array, xi_t: jax.Array,
                              phase0: jax.Array, f_hi: jax.Array,
                              f_lo: jax.Array, tails_tm: list,
@@ -238,40 +311,50 @@ def fused_downconvert_planes(xr_t: jax.Array, xi_t: jax.Array,
 
     xr_t/xi_t: [N, C] f32; tails_tm: per stage [2*(T-1), C] (re rows then im
     rows).  Returns (yr [M, C], yi [M, C], new_tails_tm list).
+
+    One pallas_call with grid=(N/sub_block,): sub-blocks run sequentially on
+    the core with the carry tails resident in VMEM, so there is a single
+    kernel instance to compile and a single launch per block (the previous
+    Python-loop formulation emitted N/sub_block separate pallas_calls, which
+    dominated both compile time and dispatch overhead).
     """
     n, c = xr_t.shape
     k = len(taps_tuple)
     assert n % sub_block == 0
+    nsub = n // sub_block
+    m_sub = sub_block >> k
     phase_row = phase0[None, :]
     fhi_row = f_hi[None, :].astype(jnp.float32)
     flo_row = f_lo[None, :].astype(jnp.float32)
 
-    m_sub = sub_block >> k
-    out_chunks = []
-    for s in range(n // sub_block):
-        xr_s = jax.lax.slice_in_dim(xr_t, s * sub_block, (s + 1) * sub_block, axis=0)
-        xi_s = jax.lax.slice_in_dim(xi_t, s * sub_block, (s + 1) * sub_block, axis=0)
-        # per-sub-block phase offset
-        k0 = jnp.float32(s * sub_block)
-        ph_s = jnp.mod(phase_row + jnp.mod(k0 * fhi_row, 1.0) + k0 * flo_row, 1.0)
+    in_specs = [
+        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
+        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
+        pl.BlockSpec((1, c), lambda s: (0, 0)),
+        pl.BlockSpec((1, c), lambda s: (0, 0)),
+        pl.BlockSpec((1, c), lambda s: (0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
+                  jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32)]
+    out_specs = [pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
+                 pl.BlockSpec((m_sub, c), lambda s: (s, 0))]
+    for taps in taps_tuple:
+        rows = 2 * (len(taps) - 1)
+        in_specs.append(pl.BlockSpec((rows, c), lambda s: (0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((rows, c), jnp.float32))
+        out_specs.append(pl.BlockSpec((rows, c), lambda s: (0, 0)))
 
-        out_shapes = [jax.ShapeDtypeStruct((m_sub, c), jnp.float32),
-                      jax.ShapeDtypeStruct((m_sub, c), jnp.float32)]
-        for taps in taps_tuple:
-            out_shapes.append(
-                jax.ShapeDtypeStruct((2 * (len(taps) - 1), c), jnp.float32))
-        kernel = functools.partial(_cascade_tm_kernel, taps_tuple, sub_block, c)
-        outs = pl.pallas_call(
-            kernel,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(xr_s, xi_s, ph_s, fhi_row, flo_row, *tails_tm)
-        out_chunks.append((outs[0], outs[1]))
-        tails_tm = list(outs[2:])
-
-    yr = jnp.concatenate([a for a, _ in out_chunks], axis=0)  # [M, C]
-    yi = jnp.concatenate([b for _, b in out_chunks], axis=0)
-    return yr, yi, tails_tm
+    kernel = functools.partial(_cascade_tm_grid_kernel, taps_tuple, sub_block,
+                               c, nsub)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nsub,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xr_t, xi_t, phase_row, fhi_row, flo_row, *tails_tm)
+    return outs[0], outs[1], list(outs[2:])
 
 
 @functools.partial(jax.jit,

@@ -37,13 +37,15 @@ def main():
     t = np.arange(FRAMES) / FS
     env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
     iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
-    iq_ri = np.broadcast_to(np.stack([iq.real, iq.imag]).astype(np.float32),
-                            (BLOCKS, CHANNELS, 2, FRAMES)).copy()
+    iq_ri = np.broadcast_to(
+        np.stack([iq.real, iq.imag]).astype(np.float32)[None, :, :, None],
+        (BLOCKS, 2, FRAMES, CHANNELS)).copy()
     iq_dev = jnp.asarray(iq_ri)
 
-    def partial_step(state, blk, upto, spectra):
+    def partial_step(state, params, blk_tm, upto, spectra):
         """Prefix of Receiver._step_impl; `upto` picks how far to run."""
         out = {}
+        blk = jax.lax.complex(blk_tm[0].T, blk_tm[1].T)
         dc, x = iir.dc_removal_chunked(state.dc, blk, alpha=0.9999)
         new = dict(dc=dc)
         if upto >= 1:
@@ -72,8 +74,11 @@ def main():
             resamp_state, x = resampler.apply(rx.rs_plan, state.resamp, x)
             new.update(resamp=resamp_state)
         if upto >= 6 and spectra:
+            raw_tail = jax.lax.complex(
+                jnp.transpose(blk_tm[0, -cfg.spectrum_bins:, :]),
+                jnp.transpose(blk_tm[1, -cfg.spectrum_bins:, :]))
             spec_full_state, full_db, overload = spectrum.averaged_spectrum(
-                state.spec_full, blk[:, -cfg.spectrum_bins:],
+                state.spec_full, raw_tail,
                 rx.w_full, rx.cg_full, smoothing=0.5)
             out["spectrum"] = full_db
             new.update(spec_full=spec_full_state)
@@ -85,10 +90,9 @@ def main():
 
     def make_fn(upto, spectra):
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def fn(state, iq_ri):
+        def fn(state, params, iq_ri):
             def body(st, blk_ri):
-                blk = jax.lax.complex(blk_ri[:, 0], blk_ri[:, 1])
-                return partial_step(st, blk, upto, spectra)
+                return partial_step(st, params, blk_ri, upto, spectra)
             return jax.lax.scan(body, state, iq_ri)
         return fn
 
@@ -98,13 +102,13 @@ def main():
     for upto in range(7):
         fn = make_fn(upto, spectra=(upto >= 6))
         state = jax.jit(lambda: rx.init_state())()
-        st, out = fn(state, iq_dev)
+        st, out = fn(state, params, iq_dev)
         out["x"].block_until_ready()
-        st, out = fn(st, iq_dev)
+        st, out = fn(st, params, iq_dev)
         out["x"].block_until_ready()
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            st, out = fn(st, iq_dev)
+            st, out = fn(st, params, iq_dev)
         out["x"].block_until_ready()
         dt = (time.perf_counter() - t0) / (STEPS * BLOCKS) * 1e3
         print(f"{names[upto]:>20s}: {dt:7.3f} ms/block  (+{dt-prev:６.3f})"
@@ -116,8 +120,7 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("spectra",))
     def full(state, iq_ri, spectra):
-        iq_c = jax.lax.complex(iq_ri[..., 0, :], iq_ri[..., 1, :])
-        return rx._step_many_impl(state, params, iq_c, spectra=spectra)
+        return rx._step_many_impl(state, params, iq_ri, spectra=spectra)
 
     for spectra in (False, True):
         st = jax.jit(lambda: rx.init_state())()
