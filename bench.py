@@ -25,7 +25,7 @@ CHANNELS = int(os.environ.get("BENCH_CHANNELS", "64"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "32768"))
 FS = 2_048_000
 WARMUP = 3
-STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+STEPS = int(os.environ.get("BENCH_STEPS", "40"))
 # blocks per dispatch (Receiver.step_many lax.scan): amortizes the host
 # dispatch latency (~1.4 ms on a network-attached chip) across K blocks
 BLOCKS = int(os.environ.get("BENCH_BLOCKS", "8"))
@@ -79,18 +79,26 @@ def main():
     # (signalspectrum.cpp:63-86), not per block: every 6th 16 ms block ~ 10/s
     spectra_every = int(os.environ.get("BENCH_SPECTRA_EVERY", "1"))
 
+    # HONEST SYNC: over the axon tunnel, block_until_ready() can return at
+    # enqueue time without waiting for the device (a 0.35 ms/block compute
+    # "measures" as 0.02), and the backlog drains into whatever runs next.
+    # The only trustworthy barrier is fetching a scalar through a pre-warmed
+    # jitted reduction — it cannot complete until every queued dependency has
+    # executed.
+    sync = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+
     iq_dev = jnp.asarray(iq_ri)
     t_c = time.perf_counter()
     for i in range(max(WARMUP, 2)):
         state, out = step(state, params, iq_dev, spectra=(i % spectra_every == 0))
-    out["audio"].block_until_ready()
+    float(sync(out["audio"]))
     print(f"# compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, out = step(state, params, iq_dev,
                           spectra=(i % spectra_every == 0))
-    out["audio"].block_until_ready()
+    float(sync(out["audio"]))
     dt = time.perf_counter() - t0
 
     samples = CHANNELS * FRAMES * BLOCKS * STEPS

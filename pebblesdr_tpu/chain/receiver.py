@@ -60,6 +60,12 @@ class ReceiverConfig:
     mode: DemodMode = DemodMode.AM
     audio_rate: int = 48000
     spectrum_bins: int = 2048
+    zoom_bins: int = 2048                 # demod-rate (HiRes) spectrum size,
+    #                                       capped at the demod block length.
+    #                                       Fixed like the reference's
+    #                                       numHiResSpectrumBins (settings.h):
+    #                                       display/S-meter cost must not grow
+    #                                       with frames_per_buffer
     enable_noise_blanker: bool = False
     enable_anf: bool = False
     enable_iq_balance: bool = False
@@ -167,23 +173,43 @@ class Receiver:
         w_full, cg_full = spectrum.make_window(cfg.spectrum_bins)
         self.w_full = jnp.asarray(w_full)
         self.cg_full = cg_full
-        w_zoom, cg_zoom = spectrum.make_window(self.blk)
+        # HiRes/zoom spectrum size is FIXED (reference: numHiResSpectrumBins,
+        # settings.h) — only the trailing zoom_bins demod samples feed the
+        # display + S-meter transform, so its cost does not scale with
+        # frames_per_buffer (a whole-block DFT is quadratic in block length)
+        self.zoom_bins = min(self.blk, int(cfg.zoom_bins))
+        w_zoom, cg_zoom = spectrum.make_window(self.zoom_bins)
         self.w_zoom = jnp.asarray(w_zoom)
         self.cg_zoom = cg_zoom
 
-        # fused Pallas front end (mix + cascade in VMEM).  Standalone it is
-        # 6.3x faster than the XLA front end (0.065 vs 0.407 ms, 64ch x 32k),
-        # but integrated in the channel-major chain the layout transposes +
-        # per-sub-block launches eat the gain (bench: 652 vs 716 Msps), so the
-        # default is OFF until the chain goes fully time-major; opt in with
-        # use_pallas=True.
-        self.use_pallas = bool(cfg.use_pallas)
+        # Fused Pallas front end: ONE kernel for DC blocker + NCO mix +
+        # composed-FIR decimation (dc_removal_chunked / mixer.mix /
+        # decimator.apply collapsed via the noble identity into a single MXU
+        # dot — see pallas_kernels.fused_front_planes).  Honest-synced
+        # measurement on v5e: 0.16 vs 0.35 ms/block for the XLA staged front
+        # (64ch x 32k).  Auto-enabled on TPU when nothing sits between the DC
+        # blocker and the mixer (IQ balance / noise blanker / taps disable it)
+        # and the block length divides into sub-blocks.
         self._pallas_interpret = jax.devices()[0].platform == "cpu"
+        front_ok = (not cfg.enable_iq_balance and not cfg.enable_noise_blanker
+                    and not cfg.taps and len(self.plan.stages) > 0)
+        sub = min(4096, cfg.frames_per_buffer)
+        front_ok = front_ok and cfg.frames_per_buffer % sub == 0 and sub % 512 == 0
+        if cfg.use_pallas is None:
+            self.use_pallas = front_ok and not self._pallas_interpret
+        else:
+            self.use_pallas = bool(cfg.use_pallas) and front_ok
         if self.use_pallas:
             from pebblesdr_tpu.ops import pallas_kernels as _pk
 
             self._pk = _pk
-            self._taps_tuple = _pk.plan_taps_tuple(self.plan)
+            h = decimator.compose_response(self.plan)
+            d = len(h) - 1
+            self._front_d_rows = ((d + 7) // 8) * 8
+            self._front_sub = sub
+            w = _pk.build_composed_w(h, self.plan.factor, sub,
+                                     self._front_d_rows - d)
+            self._front_wt = jnp.asarray(np.ascontiguousarray(w.T))
 
         self._step = jax.jit(self._step_impl, donate_argnums=(0,),
                              static_argnames=("spectra",))
@@ -217,16 +243,18 @@ class Receiver:
             resamp_state = resampler.state_init(self.rs_plan, c, resamp_dtype)
         return ReceiverState(
             mixer=mixer.mixer_init(c),
-            decim=decimator.state_init(self.plan, c),
+            decim=(jnp.zeros((2 * self._front_d_rows, c), jnp.float32)
+                   if self.use_pallas else decimator.state_init(self.plan, c)),
             fastfir=fastfir.state_init(c, self.blk),
-            dc=jnp.zeros((c,), jnp.complex64),
+            dc=(jnp.zeros((2, c), jnp.float32) if self.use_pallas
+                else jnp.zeros((c,), jnp.complex64)),
             nb=scanops.noise_blanker_init(c) if self.cfg.enable_noise_blanker else None,
             anf=scanops.anf_init(c, dtype=jnp.complex64) if self.cfg.enable_anf else None,
             agc=agc.agc_init(self.agc_cfg, c),
             demod=demod_state,
             resamp=resamp_state,
             spec_full=spectrum.state_init(c, self.cfg.spectrum_bins),
-            spec_zoom=spectrum.state_init(c, self.blk),
+            spec_zoom=spectrum.state_init(c, self.zoom_bins),
             rds=rds_mod.rds_init(self.rds_cfg, c) if self.cfg.rds else None,
             squelch=jnp.zeros((c,), bool),
         )
@@ -250,7 +278,7 @@ class Receiver:
                                      self.blk, offset_hz)
         mask = jnp.asarray(np.stack([mask_c.real, mask_c.imag]).astype(np.float32))
         band, noise = signalstrength.band_masks(lo_hz, hi_hz, self.demod_rate,
-                                                self.blk)
+                                                self.zoom_bins)
         return mask, jnp.asarray(band), jnp.asarray(noise)
 
     def set_bandpass(self, params: "RxParams", lo_hz: float, hi_hz: float,
@@ -344,24 +372,11 @@ class Receiver:
         # ms/block, 64ch x 32k).  Feeders produce this layout for free when
         # deinterleaving wire formats.
         if iq.ndim == 3:
-            iq_cn = jax.lax.complex(iq[0].T, iq[1].T)
             raw_tail = jax.lax.complex(
                 jnp.transpose(iq[0, -cfg.spectrum_bins:, :]),
                 jnp.transpose(iq[1, -cfg.spectrum_bins:, :]))
         else:
-            iq_cn = iq
             raw_tail = iq[:, -cfg.spectrum_bins:]
-
-        # --- full-rate front end (receiver.cpp:814-826) ----------------------
-        dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
-        if cfg.enable_iq_balance:
-            x = scanops.iq_balance(x, params.iq_gain, params.iq_phase)
-        if cfg.enable_noise_blanker:
-            nb_state, x = scanops.noise_blanker(state.nb, x)
-        else:
-            nb_state = state.nb
-        if cfg.taps:
-            taps_out["raw_iq"] = x
 
         # device-rate ("unprocessed") spectrum over the tail of the RAW input
         # block.  Slicing the jit argument is free; slicing the dc-removed
@@ -378,21 +393,36 @@ class Receiver:
         else:
             spec_full_state = state.spec_full
 
-        # --- tune + decimate (receiver.cpp:864-866, 910-911) -----------------
+        # --- full-rate front end (receiver.cpp:814-826) ----------------------
         if self.use_pallas:
-            # fused VMEM kernel: one HBM read for the whole front end
-            x_ri = jnp.stack([x.real, x.imag], axis=1)
-            tails_ri = tuple(jnp.stack([t.real, t.imag], axis=1)
-                             for t in state.decim)
-            y_ri, new_tails_ri, new_phase = self._pk.fused_downconvert_tm(
-                x_ri, state.mixer.phase, params.tune_hi, params.tune_lo,
-                tails_ri, self._taps_tuple, sub_block=512,
-                interpret=self._pallas_interpret)
-            x = jax.lax.complex(y_ri[:, 0], y_ri[:, 1])
-            decim_state = tuple(jax.lax.complex(t[:, 0], t[:, 1])
-                                for t in new_tails_ri)
+            # ONE fused VMEM kernel: DC blocker + NCO mix + composed-FIR
+            # decimation (0.16 vs 0.35 ms/block staged, 64ch x 32k on v5e).
+            # Gated in __init__ so nothing sits between its stages here.
+            if iq.ndim == 3:
+                xr_t, xi_t = iq[0], iq[1]
+            else:
+                xr_t, xi_t = iq.real.T, iq.imag.T
+            yr, yi, dc, decim_state, new_phase = self._pk.fused_front_planes(
+                xr_t, xi_t, state.dc, state.mixer.phase,
+                params.tune_hi, params.tune_lo, state.decim, self._front_wt,
+                self.plan.factor, self._front_d_rows, 0.9999,
+                sub_block=self._front_sub, interpret=self._pallas_interpret)
+            x = jax.lax.complex(yr.T, yi.T)
             mix_state = mixer.MixerState(phase=new_phase)
+            nb_state = state.nb
         else:
+            iq_cn = (jax.lax.complex(iq[0].T, iq[1].T) if iq.ndim == 3 else iq)
+            dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
+            if cfg.enable_iq_balance:
+                x = scanops.iq_balance(x, params.iq_gain, params.iq_phase)
+            if cfg.enable_noise_blanker:
+                nb_state, x = scanops.noise_blanker(state.nb, x)
+            else:
+                nb_state = state.nb
+            if cfg.taps:
+                taps_out["raw_iq"] = x
+
+            # --- tune + decimate (receiver.cpp:864-866, 910-911) -------------
             mix_state, x = mixer.mix(state.mixer, x, params.tune_hi,
                                      params.tune_lo)
             decim_state, x = decimator.apply(self.plan, state.decim, x)
@@ -400,9 +430,11 @@ class Receiver:
             taps_out["post_mixer"] = x
 
         # demod-rate (zoomed) power — always needed (squelch/S-meter source);
-        # the dB display conversion + averaging only when spectra requested
-        n_z = x.shape[-1]
-        xw = x * self.w_zoom[None, :]
+        # the dB display conversion + averaging only when spectra requested.
+        # Only the trailing zoom_bins samples feed the transform (fixed-size
+        # display/S-meter cost, see __init__).
+        n_z = self.zoom_bins
+        xw = x[:, -n_z:] * self.w_zoom[None, :]
         norm = 1.0 / (n_z * self.cg_zoom)
         power_lin = spectrum._shifted_power(xw) * (norm * norm)
         power_lin = power_lin * jnp.power(10.0, cfg.db_offset / 10.0)

@@ -390,3 +390,169 @@ def fused_downconvert_tm(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
     nf = jnp.float32(n)
     new_phase = jnp.mod(phase0 + jnp.mod(nf * f_hi, 1.0) + nf * f_lo, 1.0)
     return y_ri, new_tails, new_phase
+
+
+# ---------------------------------------------------------------------------
+# Fused FRONT END: DC blocker + NCO mix + composed-FIR decimation, one kernel.
+#
+# The staged XLA front end (dc_removal_chunked -> mixer.mix -> decimator.apply)
+# costs ~40 distinct full-rate HBM passes per block (measured 0.35 ms/block at
+# 64ch x 32k on v5e through the tunnel); this kernel reads the input once,
+# does everything in VMEM, and turns the ENTIRE halfband cascade into a single
+# MXU dot against the composed response (decimator.compose_response — the
+# noble-identity collapse of conv h1 ↓2 conv h2 ↓2 ... into conv H ↓2^k).
+#
+# Layout: time-major [N, C] float32 planes, C channels on lanes.  Grid over
+# time sub-blocks; the D-sample post-mix history and the DC estimate live in
+# output refs with constant index maps, so they stay VMEM-resident across the
+# sequential grid steps (same pattern as _cascade_tm_grid_kernel).
+# ---------------------------------------------------------------------------
+
+DC_CHUNK = 512  # matches ops.iir.dc_removal_chunked default
+
+
+def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
+                     pad: int) -> np.ndarray:
+    """W [pad + D + sub, sub/factor] f32 with W[w, o] = H[D + pad + F*o - w]
+    (zero outside [0, D]): the Toeplitz block mapping a tail-extended
+    time-major input chunk to its decimated outputs, y = W^T @ xext."""
+    d = len(h) - 1
+    o_out = sub_block // factor
+    wn = pad + d + sub_block
+    w = np.zeros((wn, o_out), np.float32)
+    for o in range(o_out):
+        base = pad + d + factor * o
+        w[base - d: base + 1, o] = h[::-1]
+    return w
+
+
+def _front_kernel(sub_block, c_lanes, d_rows, dc_alpha_c, nchunk,
+                  xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref, wt_ref,
+                  dc_in_ref, tail_in_ref,
+                  yr_ref, yi_ref, dc_out_ref, tail_out_ref):
+    """One grid step: sub_block input rows -> sub_block/F output rows.
+
+    dc refs: [2, C] (re, im of the chunked-EWMA DC estimate).
+    tail refs: [2 * d_rows, C] post-mix history planes (re rows, then im).
+    wt_ref: [o_out, d_rows + sub_block] composed-response Toeplitz transpose.
+    """
+    s = pl.program_id(0)
+    first = s == 0
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+
+    # ---- DC blocker: piecewise-constant per DC_CHUNK, EWMA across chunks
+    # (exact dc_removal_chunked semantics: means -> first-order recurrence
+    # with alpha^chunk -> subtract) --------------------------------------
+    mr = jnp.where(first, dc_in_ref[0:1, :], dc_out_ref[0:1, :])
+    mi = jnp.where(first, dc_in_ref[1:2, :], dc_out_ref[1:2, :])
+    xr3 = xr.reshape(nchunk, DC_CHUNK, c_lanes)
+    xi3 = xi.reshape(nchunk, DC_CHUNK, c_lanes)
+    mean_r = jnp.mean(xr3, axis=1)  # [nchunk, C]
+    mean_i = jnp.mean(xi3, axis=1)
+    a = dc_alpha_c
+    ms_r = []
+    ms_i = []
+    for k in range(nchunk):  # tiny unrolled recurrence (nchunk = sub/512)
+        mr = a * mr + (1.0 - a) * mean_r[k:k + 1, :]
+        mi = a * mi + (1.0 - a) * mean_i[k:k + 1, :]
+        ms_r.append(mr)
+        ms_i.append(mi)
+    dc_out_ref[0:1, :] = mr
+    dc_out_ref[1:2, :] = mi
+    m_r = jnp.concatenate(ms_r, axis=0)[:, None, :]  # [nchunk, 1, C]
+    m_i = jnp.concatenate(ms_i, axis=0)[:, None, :]
+    zr = (xr3 - m_r).reshape(sub_block, c_lanes)
+    zi = (xi3 - m_i).reshape(sub_block, c_lanes)
+
+    # ---- NCO mix, factorized (coarse 128-sample chunks x fine ramp):
+    # osc[q*128 + r] = exp(-j*2*pi*(ph0 + (q*128 + r)*f)) -----------------
+    fhi = fhi_ref[0, :][None, :]
+    flo = flo_ref[0, :][None, :]
+    k0 = (s * sub_block).astype(jnp.float32)
+    ph0 = jnp.mod(phase_ref[0, :][None, :]
+                  + jnp.mod(k0 * fhi, 1.0) + k0 * flo, 1.0)
+    nq = sub_block // 128
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (128, c_lanes), 0
+                                     ).astype(jnp.float32)
+    fine_arg = jnp.mod(jnp.mod(r_idx * fhi, 1.0) + r_idx * flo, 1.0)
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (nq, c_lanes), 0
+                                     ).astype(jnp.float32) * 128.0
+    coarse_arg = jnp.mod(ph0 + jnp.mod(q_idx * fhi, 1.0) + q_idx * flo, 1.0)
+    fr_ = jnp.cos(TWO_PI * fine_arg)
+    fi_ = jnp.sin(TWO_PI * fine_arg)
+    cr_ = jnp.cos(TWO_PI * coarse_arg)
+    ci_ = jnp.sin(TWO_PI * coarse_arg)
+    # osc = (cr - j*ci)(fr - j*fi); y = z * osc
+    or_ = cr_[:, None, :] * fr_[None, :, :] - ci_[:, None, :] * fi_[None, :, :]
+    oi_ = cr_[:, None, :] * fi_[None, :, :] + ci_[:, None, :] * fr_[None, :, :]
+    zr3 = zr.reshape(nq, 128, c_lanes)
+    zi3 = zi.reshape(nq, 128, c_lanes)
+    yr = (zr3 * or_ + zi3 * oi_).reshape(sub_block, c_lanes)
+    yi = (zi3 * or_ - zr3 * oi_).reshape(sub_block, c_lanes)
+
+    # ---- composed-FIR decimation: one MXU dot per plane ------------------
+    tl = jnp.where(first, tail_in_ref[:, :], tail_out_ref[:, :])
+    er = jnp.concatenate([tl[:d_rows, :], yr], axis=0)   # [d_rows + sub, C]
+    ei = jnp.concatenate([tl[d_rows:, :], yi], axis=0)
+    tail_out_ref[:d_rows, :] = er[-d_rows:, :]
+    tail_out_ref[d_rows:, :] = ei[-d_rows:, :]
+    wt = wt_ref[:, :]
+    yr_ref[:, :] = jnp.dot(wt, er, preferred_element_type=jnp.float32)
+    yi_ref[:, :] = jnp.dot(wt, ei, preferred_element_type=jnp.float32)
+
+
+def fused_front_planes(xr_t: jax.Array, xi_t: jax.Array,
+                       dc_ri: jax.Array, phase0: jax.Array,
+                       f_hi: jax.Array, f_lo: jax.Array,
+                       tail_tm: jax.Array, wt: jax.Array,
+                       factor: int, d_rows: int, dc_alpha: float,
+                       sub_block: int = 2048, interpret: bool = False):
+    """Whole front end in one pallas_call.
+
+    xr_t/xi_t: [N, C] f32 time-major planes (the raw input layout).
+    dc_ri: [2, C] DC estimate (re, im).  phase0/f_hi/f_lo: [C].
+    tail_tm: [2*d_rows, C] post-mix history (re rows then im rows); d_rows =
+    composed delay D padded so that d_rows + sub_block stays 8-aligned.
+    wt: [sub/factor, d_rows + sub_block] from build_composed_w().T.
+
+    Returns (yr [M, C], yi [M, C], dc_ri', tail_tm', phase') with
+    M = N/factor.
+    """
+    n, c = xr_t.shape
+    assert n % sub_block == 0 and sub_block % DC_CHUNK == 0
+    nsub = n // sub_block
+    m_sub = sub_block // factor
+    nchunk = sub_block // DC_CHUNK
+    a_c = float(dc_alpha) ** DC_CHUNK
+
+    kern = functools.partial(_front_kernel, sub_block, c, d_rows, a_c, nchunk)
+    in_specs = [
+        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
+        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
+        pl.BlockSpec((1, c), lambda s: (0, 0)),
+        pl.BlockSpec((1, c), lambda s: (0, 0)),
+        pl.BlockSpec((1, c), lambda s: (0, 0)),
+        pl.BlockSpec((m_sub, d_rows + sub_block), lambda s: (0, 0)),
+        pl.BlockSpec((2, c), lambda s: (0, 0)),
+        pl.BlockSpec((2 * d_rows, c), lambda s: (0, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
+        jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
+        jax.ShapeDtypeStruct((2, c), jnp.float32),
+        jax.ShapeDtypeStruct((2 * d_rows, c), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
+        pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
+        pl.BlockSpec((2, c), lambda s: (0, 0)),
+        pl.BlockSpec((2 * d_rows, c), lambda s: (0, 0)),
+    ]
+    yr, yi, dc2, tail2 = pl.pallas_call(
+        kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(xr_t, xi_t, phase0[None, :], f_hi[None, :].astype(jnp.float32),
+      f_lo[None, :].astype(jnp.float32), wt, dc_ri, tail_tm)
+    phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
+    return yr, yi, dc2, tail2, phase2

@@ -96,6 +96,10 @@ def main():
             return jax.lax.scan(body, state, iq_ri)
         return fn
 
+    # HONEST SYNC (see bench.py): block_until_ready() can lie over the axon
+    # tunnel; only a pre-warmed scalar fetch truly drains the queue.
+    sync = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+
     names = ["dc only", "+mix+cascade", "+zoompower+smeter", "+fastfir",
              "+agc+am", "+resampler", "+full-spectrum"]
     prev = 0.0
@@ -103,13 +107,13 @@ def main():
         fn = make_fn(upto, spectra=(upto >= 6))
         state = jax.jit(lambda: rx.init_state())()
         st, out = fn(state, params, iq_dev)
-        out["x"].block_until_ready()
+        float(sync(out["x"]))
         st, out = fn(st, params, iq_dev)
-        out["x"].block_until_ready()
+        float(sync(out["x"]))
         t0 = time.perf_counter()
         for _ in range(STEPS):
             st, out = fn(st, params, iq_dev)
-        out["x"].block_until_ready()
+        float(sync(out["x"]))
         dt = (time.perf_counter() - t0) / (STEPS * BLOCKS) * 1e3
         print(f"{names[upto]:>20s}: {dt:7.3f} ms/block  (+{dt-prev:６.3f})"
               .replace("６", "6"))
@@ -125,13 +129,13 @@ def main():
     for spectra in (False, True):
         st = jax.jit(lambda: rx.init_state())()
         st, out = full(st, iq_dev, spectra)
-        out["audio"].block_until_ready()
+        float(sync(out["audio"]))
         st, out = full(st, iq_dev, spectra)
-        out["audio"].block_until_ready()
+        float(sync(out["audio"]))
         t0 = time.perf_counter()
         for _ in range(STEPS):
             st, out = full(st, iq_dev, spectra)
-        out["audio"].block_until_ready()
+        float(sync(out["audio"]))
         dt = (time.perf_counter() - t0) / (STEPS * BLOCKS) * 1e3
         print(f"full step_many spectra={spectra!s:>5s}: {dt:7.3f} ms/block")
 
