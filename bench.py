@@ -26,9 +26,10 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "32768"))
 FS = 2_048_000
 WARMUP = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "40"))
-# blocks per dispatch (Receiver.step_many lax.scan): amortizes the host
-# dispatch latency (~1.4 ms on a network-attached chip) across K blocks
-BLOCKS = int(os.environ.get("BENCH_BLOCKS", "8"))
+# blocks per dispatch (Receiver.step_many lax.scan): amortizes the
+# ~0.55 ms/dispatch floor of the network-attached chip across K blocks
+# (8 -> 8357 Msps, 32 -> 11333, 64 -> 11941; 32 balances compile time)
+BLOCKS = int(os.environ.get("BENCH_BLOCKS", "32"))
 MODE = os.environ.get("BENCH_MODE", "am")  # am | wfm
 REFERENCE_MSPS = 2048.0 / 7.035e-3 / 1e6  # 0.291 Msps (receiver.cpp:780-785)
 

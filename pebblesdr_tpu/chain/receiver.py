@@ -193,7 +193,10 @@ class Receiver:
         self._pallas_interpret = jax.devices()[0].platform == "cpu"
         front_ok = (not cfg.enable_iq_balance and not cfg.enable_noise_blanker
                     and not cfg.taps and len(self.plan.stages) > 0)
-        sub = min(4096, cfg.frames_per_buffer)
+        # sub_block 2048: 4096 is ~9% faster at 32k frames but overflows the
+        # 16 MB scoped-VMEM stack (Mosaic straight-line temporaries) once the
+        # whole-chain graph grows, e.g. at frames_per_buffer >= 64k
+        sub = min(2048, cfg.frames_per_buffer)
         front_ok = front_ok and cfg.frames_per_buffer % sub == 0 and sub % 512 == 0
         if cfg.use_pallas is None:
             self.use_pallas = front_ok and not self._pallas_interpret

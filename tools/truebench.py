@@ -88,29 +88,31 @@ def main():
 
     if which in ("pallas", "all"):
         from pebblesdr_tpu.ops import pallas_kernels as pk
-        taps_tuple = pk.plan_taps_tuple(rx.plan)
+
+        h = decimator.compose_response(rx.plan)
+        d = len(h) - 1
+        d_rows = ((d + 7) // 8) * 8
+        sub = min(4096, FRAMES)
+        wt = jnp.asarray(np.ascontiguousarray(
+            pk.build_composed_w(h, rx.plan.factor, sub, d_rows - d).T))
+        f_hi = jnp.full((CHANNELS,), 0.1, jnp.float32)
+        f_lo = jnp.zeros((CHANNELS,), jnp.float32)
 
         def pfront_body(carry, blk_tm):
-            phase, tails = carry
-            f_hi = jnp.broadcast_to(jnp.float32(0.1), (CHANNELS,))
-            f_lo = jnp.zeros((CHANNELS,), jnp.float32)
-            yr, yi, tails = pk.fused_downconvert_planes(
-                blk_tm[0], blk_tm[1], phase, f_hi, f_lo, tails,
-                taps_tuple, sub_block=512)
-            return (phase, tails), {"ya": jnp.abs(yr) + jnp.abs(yi)}
+            dc_ri, phase, tail = carry
+            yr, yi, dc_ri, tail, phase = pk.fused_front_planes(
+                blk_tm[0], blk_tm[1], dc_ri, phase, f_hi, f_lo, tail, wt,
+                rx.plan.factor, d_rows, 0.9999, sub_block=sub)
+            return (dc_ri, phase, tail), {"ya": jnp.abs(yr) + jnp.abs(yi)}
 
         @jax.jit
         def pfront(carry, iq_ri):
             return jax.lax.scan(pfront_body, carry, iq_ri)
 
-        tails0 = [jnp.zeros((2 * (len(tp) - 1), CHANNELS), jnp.float32)
-                  for tp in taps_tuple]
-        phase0 = jnp.zeros((CHANNELS,), jnp.float32)
-
-        def pf(carry_and_dummy, iq):
-            return pfront(carry_and_dummy, iq)
-
-        measure("front Pallas grid (fused)", pf, (phase0, tails0),
+        carry0 = (jnp.zeros((2, CHANNELS), jnp.float32),
+                  jnp.zeros((CHANNELS,), jnp.float32),
+                  jnp.zeros((2 * d_rows, CHANNELS), jnp.float32))
+        measure("front fused (dc+mix+decim)", pfront, carry0,
                 lambda o: o["ya"])
 
     if which in ("chain", "all"):
