@@ -62,10 +62,9 @@ def main():
     else:
         env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
         iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
-    # [K, 2, N, C] float32 time-major planes — the Receiver fast path: the
-    # front end keeps the physical layout time-major so the polyphase
-    # decimator's stride-2 split rides the sublane dimension (80x faster
-    # than channel-major input)
+    # [K, 2, N, C] float32 time-major blocks for the scanned step_many path
+    # (the batched_many straight-line path instead takes a (re, im) pair of
+    # [K*N, C] planes; it is opt-in while slower than the scan)
     iq_ri = np.broadcast_to(
         np.stack([iq.real, iq.imag]).astype(np.float32)[None, :, :, None],
         (BLOCKS, 2, FRAMES, CHANNELS)).copy()

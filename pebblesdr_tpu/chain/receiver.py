@@ -77,6 +77,14 @@ class ReceiverConfig:
     audio_lpf: bool = True
     use_pallas: bool | None = None        # fused downconvert kernel for the
     #                                       front end; None = auto (TPU only)
+    batched_many: bool = False            # step_many as ONE straight-line
+    #                                       graph (no lax.scan): parity-exact
+    #                                       and simpler, but currently ~15%
+    #                                       slower than the scan on v5e (the
+    #                                       single big pallas grid pipelines
+    #                                       worse than scanned per-block
+    #                                       calls) and slower to compile —
+    #                                       opt-in until it wins
     db_offset: float = 0.0                # display calibration offset applied
     #                                       to both spectra (settings.h dbOffset)
 
@@ -354,11 +362,191 @@ class Receiver:
         return self._step_many(state, params, iq, spectra=spectra)
 
     def _step_many_impl(self, state, params, iq, spectra=True):
+        # Batched fast path: with the fused Pallas front end and time-major
+        # plane input, the whole K-block dispatch runs as ONE straight-line
+        # graph (no lax.scan): one pallas_call over the concatenated input,
+        # demod-rate tail ops once on [C, K*blk], per-block quantities
+        # (spectra, S-meter, squelch) as closed-form batched ops.  This
+        # divides the per-op launch overhead (~1 us/op on a network-attached
+        # chip; a ~60-op tail costs ~60 us/block scanned, ~60 us/DISPATCH
+        # batched).  Bit-compatible with the scan path: every op is
+        # streaming-exact for any block length.
+        # (SAM/FMN stay on the scan path: their chunked-PLL demods are only
+        # approximately block-length invariant, and the batched form changes
+        # the chunk geometry.)
+        batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
+                         DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
+                         DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
+        plane_pair = isinstance(iq, (tuple, list)) and len(iq) == 2
+        if (self.cfg.batched_many and self.use_pallas
+                and self.cfg.mode in batched_modes
+                and not self.cfg.enable_anf
+                and self.cfg.spectrum_bins <= self._front_sub
+                and (plane_pair or (iq.ndim == 4 and iq.shape[0] == 2))):
+            # Preferred input: a (re, im) PAIR of [K, N, C] float32 arrays —
+            # two standalone entry buffers reach the fused kernel as pure
+            # bitcasts.  A stacked [2, K, N, C] also works but XLA
+            # materializes + relayouts the 2x64 MB plane slices
+            # (~4 ms/dispatch at K=32); pairs avoid that entirely.
+            if plane_pair:
+                xr, xi = iq
+            else:
+                xr, xi = iq[0], iq[1]
+            return self._step_many_batched(state, params, xr, xi,
+                                           spectra=spectra)
+        if plane_pair:
+            a, b = iq
+            if a.ndim == 2:  # [K*N, C] -> [K, N, C]
+                a = a.reshape(-1, self.cfg.frames_per_buffer, a.shape[-1])
+                b = b.reshape(-1, self.cfg.frames_per_buffer, b.shape[-1])
+            iq = jnp.stack((a, b), axis=1)   # -> [K, 2, N, C] for the scan
+        elif iq.ndim == 4 and iq.shape[0] == 2:
+            iq = jnp.moveaxis(iq, 0, 1)
+
         def body(st, blk):
             st, out = self._step_impl(st, params, blk, spectra=spectra)
             return st, out
 
         return jax.lax.scan(body, state, iq)
+
+    def _ewma_blocks(self, prev, p, a):
+        """Closed-form per-block EWMA: avg_k = a*avg_{k-1} + (1-a)*p_k over
+        the leading K axis, seeded by `prev` — one small matmul instead of a
+        K-step scan.  p: [K, ...]; returns (avg [K, ...], avg_last)."""
+        k = p.shape[0]
+        kk = np.arange(k)
+        lmat = np.where(kk[:, None] >= kk[None, :],
+                        (1.0 - a) * a ** (kk[:, None] - kk[None, :]), 0.0)
+        with jax.ensure_compile_time_eval():
+            lmat_d = jnp.asarray(lmat.astype(np.float32))
+            seed_d = jnp.asarray((a ** (kk + 1)).astype(np.float32))
+        flat = p.reshape(k, -1)
+        avg = (lmat_d @ flat).reshape(p.shape) + \
+            seed_d.reshape((k,) + (1,) * (p.ndim - 1)) * prev[None]
+        return avg, avg[-1]
+
+    def _step_many_batched(self, state: ReceiverState, params: RxParams,
+                           xr: jax.Array, xi: jax.Array, spectra: bool = True):
+        """One straight-line graph for K blocks (see _step_many_impl).
+
+        xr/xi: [K*N, C] (preferred — matches the backend's default 2D layout
+        exactly, zero input copies) or [K, N, C] float32 time-major planes
+        (the backend's default 3D layout is (0,2,1) N-minor, so 3D inputs pay
+        one retiling pass)."""
+        cfg = self.cfg
+        n = cfg.frames_per_buffer
+        if xr.ndim == 3:
+            xr = xr.reshape(-1, xr.shape[-1])
+            xi = xi.reshape(-1, xi.shape[-1])
+        total, c = xr.shape
+        k = total // n
+        blk = self.blk
+        l = k * blk
+        out: dict[str, Any] = {}
+
+        # ---- front end: ONE pallas call over the concatenated stream -------
+        yr, yi, dc, decim_state, new_phase, raw_r, raw_i = \
+            self._pk.fused_front_planes(
+                xr, xi, state.dc, state.mixer.phase,
+                params.tune_hi, params.tune_lo, state.decim, self._front_wt,
+                self.plan.factor, self._front_d_rows, 0.9999,
+                sub_block=self._front_sub, n_block=n,
+                raw_rows=cfg.spectrum_bins if spectra else 0,
+                interpret=self._pallas_interpret)
+        x_cat = jax.lax.complex(yr.T, yi.T)                    # [C, K*blk]
+        mix_state = mixer.MixerState(phase=new_phase)
+
+        # ---- full-rate spectrum per block (batched) ------------------------
+        if spectra:
+            bins = cfg.spectrum_bins
+            tails_r = raw_r                                   # [K, bins, C]
+            tails_i = raw_i
+            raw = jax.lax.complex(jnp.moveaxis(tails_r, 2, 1),
+                                  jnp.moveaxis(tails_i, 2, 1))  # [K, C, bins]
+            overload = jnp.max(jnp.abs(raw.real), axis=-1) > spectrum.OVERLOAD_LEVEL
+            xw = raw * self.w_full[None, None, :]
+            norm = 1.0 / (bins * self.cg_full)
+            p_full = (spectrum._shifted_power(xw.reshape(k * c, bins))
+                      .reshape(k, c, bins) * (norm * norm))
+            avg, avg_last = self._ewma_blocks(state.spec_full.avg_power,
+                                              p_full, 0.5)
+            out["spectrum"] = dbu.power_to_db(avg) + cfg.db_offset
+            out["overload"] = overload
+            spec_full_state = spectrum.SpectrumState(avg_power=avg_last)
+        else:
+            spec_full_state = state.spec_full
+
+        # ---- zoom power + S-meter per block (batched) ----------------------
+        n_z = self.zoom_bins
+        xz = x_cat.reshape(c, k, blk)[:, :, -n_z:]            # [C, K, n_z]
+        xzw = jnp.moveaxis(xz, 1, 0) * self.w_zoom[None, None, :]
+        normz = 1.0 / (n_z * self.cg_zoom)
+        power_lin = (spectrum._shifted_power(xzw.reshape(k * c, n_z))
+                     .reshape(k, c, n_z) * (normz * normz))
+        power_lin = power_lin * jnp.power(10.0, cfg.db_offset / 10.0)
+        power_lin = jax.lax.optimization_barrier(power_lin)
+        if spectra:
+            zavg, zavg_last = self._ewma_blocks(state.spec_zoom.avg_power,
+                                                power_lin, 0.5)
+            out["zoomed"] = dbu.power_to_db(zavg)
+            spec_zoom_state = spectrum.SpectrumState(avg_power=zavg_last)
+        else:
+            spec_zoom_state = state.spec_zoom
+        sm = signalstrength.fd_estimate_masked(
+            power_lin.reshape(k * c, n_z), params.sm_band, params.sm_noise)
+        sm = {key: v.reshape(k, c) for key, v in sm.items()}
+        out["smeter"] = sm
+
+        # ---- squelch with hysteresis: associative boolean recurrence -------
+        # open_k = b_k | (a_k & open_{k-1});  b = snr>thr, a = snr>thr-3
+        snr = sm["snr_db"]
+        b_seq = snr > params.squelch_db
+        a_seq = snr > params.squelch_db - 3.0
+
+        def comb(x1, x2):
+            a1, o1 = x1
+            a2, o2 = x2
+            return a1 & a2, o2 | (a2 & o1)
+
+        pref_a, opens = jax.lax.associative_scan(comb, (a_seq, b_seq), axis=0)
+        squelch_open = opens | (pref_a & state.squelch[None])
+        out["squelch_open"] = squelch_open
+
+        # ---- demod-rate tail ONCE on the concatenated stream ---------------
+        mask = jax.lax.complex(params.bp_mask[0], params.bp_mask[1])
+        ff_state, xt = fastfir.apply_many(state.fastfir, x_cat, mask, blk)
+        agc_state, xt = agc.agc_apply(self.agc_cfg, state.agc, xt)
+        m = cfg.mode
+        if m == DemodMode.AM:
+            demod_state, audio = am_mod.am_demod(self.am_cfg, state.demod, xt)
+        elif m == DemodMode.SAM:
+            demod_state, audio = sam_mod.sam_demod(self.sam_cfg, state.demod, xt)
+        elif m == DemodMode.FMN:
+            demod_state, audio = nfm_mod.nfm_demod(self.nfm_cfg, state.demod, xt)
+        elif m in (DemodMode.USB, DemodMode.CWU, DemodMode.DIGU):
+            demod_state, audio = state.demod, ssb_mod.usb_demod(xt)
+        elif m in (DemodMode.LSB, DemodMode.CWL, DemodMode.DIGL):
+            demod_state, audio = state.demod, ssb_mod.lsb_demod(xt)
+        elif m == DemodMode.DSB:
+            demod_state, audio = state.demod, ssb_mod.dsb_demod(xt)
+        else:
+            demod_state, audio = state.demod, xt.real
+        resamp_state, audio = resampler.apply_many(self.rs_plan, state.resamp,
+                                                   audio)
+        audio_blk = audio.shape[-1] // k
+        audio = jnp.moveaxis(audio.reshape(c, k, audio_blk), 1, 0)  # [K,C,M]
+
+        gate = squelch_open.astype(jnp.float32) * params.gain * (
+            1.0 - params.mute.astype(jnp.float32))
+        out["audio"] = audio * gate[:, :, None]
+
+        new_state = ReceiverState(
+            mixer=mix_state, decim=decim_state, fastfir=ff_state, dc=dc,
+            nb=state.nb, anf=state.anf, agc=agc_state, demod=demod_state,
+            resamp=resamp_state, spec_full=spec_full_state,
+            spec_zoom=spec_zoom_state, rds=state.rds,
+            squelch=squelch_open[-1])
+        return new_state, out
 
     def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,
                    spectra: bool = True):
@@ -367,13 +555,9 @@ class Receiver:
         taps_out: dict[str, Any] = {}
 
         # Input layouts: [C, N] complex64 (classic) or [2, N, C] float32
-        # time-major planes.  The time-major form is the fast path: the
-        # transposes below are LOGICAL (XLA keeps the physical layout
-        # time-major), and the polyphase decimator's stride-2 time split then
-        # lands on the sublane dimension instead of the lane dimension —
-        # measured 80x faster for the full-rate front end (0.004 vs 0.32
-        # ms/block, 64ch x 32k).  Feeders produce this layout for free when
-        # deinterleaving wire formats.
+        # time-major planes.  Feeders produce the plane layout for free when
+        # deinterleaving wire formats; it is also what the fused front end
+        # consumes directly.
         if iq.ndim == 3:
             raw_tail = jax.lax.complex(
                 jnp.transpose(iq[0, -cfg.spectrum_bins:, :]),
@@ -405,11 +589,13 @@ class Receiver:
                 xr_t, xi_t = iq[0], iq[1]
             else:
                 xr_t, xi_t = iq.real.T, iq.imag.T
-            yr, yi, dc, decim_state, new_phase = self._pk.fused_front_planes(
-                xr_t, xi_t, state.dc, state.mixer.phase,
-                params.tune_hi, params.tune_lo, state.decim, self._front_wt,
-                self.plan.factor, self._front_d_rows, 0.9999,
-                sub_block=self._front_sub, interpret=self._pallas_interpret)
+            yr, yi, dc, decim_state, new_phase, _, _ = \
+                self._pk.fused_front_planes(
+                    xr_t, xi_t, state.dc, state.mixer.phase,
+                    params.tune_hi, params.tune_lo, state.decim,
+                    self._front_wt, self.plan.factor, self._front_d_rows,
+                    0.9999, sub_block=self._front_sub,
+                    interpret=self._pallas_interpret)
             x = jax.lax.complex(yr.T, yi.T)
             mix_state = mixer.MixerState(phase=new_phase)
             nb_state = state.nb

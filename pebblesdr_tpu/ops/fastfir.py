@@ -64,3 +64,24 @@ def apply(state: jax.Array, x: jax.Array, mask: jax.Array):
     filtered = jnp.fft.ifft(spec * mask[None, :], axis=-1)
     b = x.shape[-1]
     return x, filtered[:, b:].astype(jnp.complex64)
+
+
+def apply_many(state: jax.Array, x_cat: jax.Array, mask: jax.Array, block: int):
+    """K overlap-save rounds in ONE batched FFT — bit-identical to K
+    sequential apply() calls on consecutive blocks.
+
+    x_cat: [C, K*block] (K consecutive blocks concatenated in time),
+    state: [C, block] previous block.  Returns (new_state, y [C, K*block]).
+    The batched form exists so a multi-block dispatch pays the op-launch
+    overhead once instead of K times (lax.scan tail ops dominate the
+    demod-rate cost on a network-attached TPU)."""
+    c, l = x_cat.shape
+    k = l // block
+    ext = jnp.concatenate([state, x_cat], axis=-1)     # [C, (K+1)*B]
+    # windows[k] = ext[:, k*B:(k+2)*B]  -> [K, C, 2B]
+    wins = jnp.stack([jax.lax.slice_in_dim(ext, i * block, (i + 2) * block,
+                                           axis=1) for i in range(k)])
+    spec = jnp.fft.fft(wins, axis=-1)
+    filtered = jnp.fft.ifft(spec * mask[None, None, :], axis=-1)
+    y = jnp.moveaxis(filtered[:, :, block:], 0, 1).reshape(c, l)
+    return ext[:, -block:], y.astype(jnp.complex64)

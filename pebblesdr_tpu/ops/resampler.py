@@ -129,6 +129,30 @@ def apply(p: ResamplePlan, state: jax.Array, x: jax.Array):
     return new_state, y.astype(x.dtype)
 
 
+def apply_many(p: ResamplePlan, state: jax.Array, x_cat: jax.Array):
+    """K consecutive blocks in ONE batched matmul against the PER-BLOCK
+    banded operator — numerically identical to K sequential apply() calls
+    (the fractional-time pattern is periodic per block, so every block uses
+    the same operator).  x_cat: [C, K*n_in] -> (state', y [C, K*n_out]).
+    Unlike plan(n_in=K*blk) (whose dense operator grows as K^2 and is
+    untenable past a few blocks), memory here stays K-linear."""
+    c, l = x_cat.shape
+    k = l // p.n_in
+    ext = jnp.concatenate([state, x_cat], axis=-1)      # [C, taps + K*N]
+    wins = jnp.stack([jax.lax.slice_in_dim(ext, i * p.n_in,
+                                           i * p.n_in + p.n_in + p.taps,
+                                           axis=1) for i in range(k)])
+    dense = _dense_dev(p)
+    if jnp.iscomplexobj(ext):
+        y = jax.lax.complex(
+            jnp.matmul(wins.real, dense, precision="highest"),
+            jnp.matmul(wins.imag, dense, precision="highest"))
+    else:
+        y = jnp.matmul(wins, dense, precision="highest")  # [K, C, M]
+    y = jnp.moveaxis(y, 0, 1).reshape(c, k * p.n_out)
+    return ext[:, -p.taps:], y.astype(x_cat.dtype)
+
+
 def apply_gather(p: ResamplePlan, state: jax.Array, x: jax.Array):
     """Reference gather+MAC formulation (kept for parity testing)."""
     xx = jnp.concatenate([state, x], axis=-1)

@@ -1,0 +1,87 @@
+"""step_many batched (straight-line, no-scan) path == sequential step()
+for every supported mode, including spectra/S-meter/squelch and carry state
+(CPU, fused front kernel in interpret mode)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+from pebblesdr_tpu.demod.modes import DemodMode
+
+FS, N, K, C = 2_048_000, 32768, 3, 2
+
+
+def _signal():
+    t = np.arange(K * N) / FS
+    env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+    iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    iq = iq + 1e-4 * (rng.standard_normal(iq.shape)
+                      + 1j * rng.standard_normal(iq.shape)).astype(np.complex64)
+    return iq[None, :] * np.ones((C, 1), np.float32)
+
+
+@pytest.mark.parametrize("mode", [DemodMode.AM, DemodMode.USB, DemodMode.LSB])
+def test_batched_matches_sequential(mode):
+    iq = _signal()
+    xr2 = np.ascontiguousarray(iq.real.astype(np.float32).T)   # [K*N, C]
+    xi2 = np.ascontiguousarray(iq.imag.astype(np.float32).T)
+    blocks_tm = np.stack([xr2.reshape(K, N, C), xi2.reshape(K, N, C)], axis=1)
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=mode, use_pallas=True, batched_many=True)
+    rx = Receiver(cfg)
+    assert rx.use_pallas
+    params = rx.default_params(250_000.0)
+
+    st = rx.init_state()
+    outs = []
+    step = jax.jit(functools.partial(rx._step_impl, spectra=True))
+    for k in range(K):
+        st, o = step(st, params, jnp.asarray(blocks_tm[k]))
+        outs.append(o)
+    audio_seq = np.concatenate([np.asarray(o["audio"]) for o in outs], -1)
+    spec_seq = np.stack([np.asarray(o["spectrum"]) for o in outs])
+    zoom_seq = np.stack([np.asarray(o["zoomed"]) for o in outs])
+    snr_seq = np.stack([np.asarray(o["smeter"]["snr_db"]) for o in outs])
+    sq_seq = np.stack([np.asarray(o["squelch_open"]) for o in outs])
+
+    st2 = rx.init_state()
+    st2, ob = jax.jit(functools.partial(rx._step_many_impl, spectra=True))(
+        st2, params, (jnp.asarray(xr2), jnp.asarray(xi2)))
+    audio_b = np.asarray(ob["audio"]).transpose(1, 0, 2).reshape(C, -1)
+
+    assert np.abs(audio_seq - audio_b).max() < 2e-4
+    assert np.abs(spec_seq - np.asarray(ob["spectrum"])).max() < 0.1
+    assert np.abs(zoom_seq - np.asarray(ob["zoomed"])).max() < 0.1
+    assert np.abs(snr_seq - np.asarray(ob["smeter"]["snr_db"])).max() < 0.1
+    assert (sq_seq == np.asarray(ob["squelch_open"])).all()
+
+    # carry state must continue identically
+    for name in ("fastfir", "agc", "resamp", "dc", "decim", "demod"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(st, name)),
+                        jax.tree_util.tree_leaves(getattr(st2, name))):
+            d = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+            assert d < 1e-4, (name, d)
+
+
+def test_batched_falls_back_for_scan_modes():
+    """SAM (chunked-PLL demod) must take the scan path even when batched
+    is requested."""
+    iq = _signal()
+    blocks_tm = np.stack(
+        [iq.real.astype(np.float32).T.reshape(K, N, C),
+         iq.imag.astype(np.float32).T.reshape(K, N, C)], axis=1)
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=DemodMode.SAM, use_pallas=True,
+                         batched_many=True)
+    rx = Receiver(cfg)
+    params = rx.default_params(250_000.0)
+    st = rx.init_state()
+    st, out = jax.jit(functools.partial(rx._step_many_impl, spectra=False))(
+        st, params, jnp.asarray(blocks_tm))
+    assert out["audio"].shape[0] == K

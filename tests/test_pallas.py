@@ -115,7 +115,7 @@ class TestFusedFrontPlanes:
         tail = jnp.zeros((2 * d_rows, c), jnp.float32)
         outs = []
         for b in xs:
-            yr, yi, dc_ri, tail, phase = pk.fused_front_planes(
+            yr, yi, dc_ri, tail, phase, _, _ = pk.fused_front_planes(
                 jnp.asarray(b.real.T.copy()), jnp.asarray(b.imag.T.copy()),
                 dc_ri, phase, hi, lo, tail, wt, f, d_rows, 0.9999,
                 sub_block=sub, interpret=True)

@@ -100,7 +100,7 @@ def main():
 
         def pfront_body(carry, blk_tm):
             dc_ri, phase, tail = carry
-            yr, yi, dc_ri, tail, phase = pk.fused_front_planes(
+            yr, yi, dc_ri, tail, phase, _, _ = pk.fused_front_planes(
                 blk_tm[0], blk_tm[1], dc_ri, phase, f_hi, f_lo, tail, wt,
                 rx.plan.factor, d_rows, 0.9999, sub_block=sub)
             return (dc_ri, phase, tail), {"ya": jnp.abs(yr) + jnp.abs(yi)}
