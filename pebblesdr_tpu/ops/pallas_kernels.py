@@ -1,26 +1,34 @@
-"""Pallas TPU kernels: fused downconvert (NCO mix + halfband cascade).
+"""Pallas TPU kernel: the fused wideband FRONT END.
 
-The CDownConvert analog (pebblelib/downconvert.cpp:257-325 fuses oscillator +
-decimation per-sample for CPU speed): here ONE Pallas kernel keeps the entire
-wideband front end in VMEM — read the [C, 2, N] float32 IQ block from HBM
-once, generate the per-channel phase ramp, complex-multiply, run every
-decimate-by-2 polyphase stage on-chip, and write only the 2^k-times-smaller
-baseband block (plus the per-stage carry tails) back to HBM.  The op is
-bandwidth-bound, so eliminating the per-stage HBM round-trips puts it at the
-speed-of-light input-read bound.
+One kernel runs the entire full-rate half of the receive chain — DC blocker +
+NCO mixer + the whole halfband decimator cascade — replacing the reference's
+per-sample CDownConvert loop (pebblelib/downconvert.cpp:257-325) and the
+separate DCRemoval/Mixer/Decimator steps (application/receiver.cpp:814-911):
 
-Grid: channel tiles (TILE_C channels per program); everything inside a tile
-is plain jnp on VMEM refs (VPU work, static shapes).  Falls back to the
-ops.mixer + ops.decimator XLA path when unavailable (use_pallas=False or
-non-TPU backends — the kernel also runs under interpret=True for CPU tests).
+  * the input block is read from HBM exactly ONCE (the staged XLA pipeline
+    costs ~40 full-rate passes; honest-synced measurement on v5e: 0.16 vs
+    0.35 ms/block for 64ch x 32k);
+  * the DC blocker is the chunked-EWMA formulation (exact
+    ops.iir.dc_removal_chunked semantics, chunk=512);
+  * the oscillator is factorized (coarse x fine phasor tables — 16x fewer
+    transcendentals than a per-sample ramp) with split-precision phase
+    (ops.mixer semantics, zero amplitude drift vs the reference's
+    renormalized recursive oscillator, mixer.cpp:61-67);
+  * the decimator cascade is collapsed by the noble identity into ONE
+    composed FIR (ops.decimator.compose_response) applied as a Toeplitz-block
+    MXU dot per time sub-block — no per-stage state, just a D-sample raw
+    history (D = composed group delay, ~710 for the 32x plan).
 
-STATUS: numerically validated in interpret mode (tests/test_pallas.py).
-Mosaic currently rejects the stride-2 lane access the even/odd split needs
-('tpu.reshape'/'extract_strided_slice' limitations), so real-TPU compilation
-requires the planned time-major [N, channels-on-lanes] layout where the
-even/odd split lands on the sublane dimension; until then the XLA polyphase
-path (ops.fir.fir_decimate2_polyphase, 0.04 ms/block for 64ch x 32k on v5e)
-is the production front end.
+Layout contract: time-major [N, C] float32 planes with channels on lanes.
+Feed 2D arrays — this backend's default layout for rank-3+ arrays is
+N-minor ((0,2,1)), and any XLA-side reshape/slice of a big 3D input into the
+kernel costs a full ~50 GB/s retiling pass.
+
+Grid: sequential time sub-blocks; the DC estimate and the post-mix history
+live in constant-index output refs, so they stay VMEM-resident across grid
+steps.  Streaming-exact: block-by-block == one-shot (tests/test_pallas.py
+validates against the staged XLA ops in interpret mode; the same kernel
+compiles for real TPUs).
 """
 
 from __future__ import annotations
@@ -34,379 +42,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 TWO_PI = 2.0 * math.pi
-
-
-def _cascade_kernel(taps_list, n, tile_c,
-                    x_ref, phase_ref, fhi_ref, flo_ref, *refs):
-    """refs: [tail_in_0..k-1, y_ref, tail_out_0..k-1]."""
-    k = len(taps_list)
-    tail_in = refs[:k]
-    y_ref = refs[k]
-    tail_out = refs[k + 1:]
-
-    xr = x_ref[:, 0, :]
-    xi = x_ref[:, 1, :]
-
-    # ---- NCO mix: exact split-precision phase ramp (ops.mixer semantics) ----
-    i = jax.lax.broadcasted_iota(jnp.int32, (tile_c, n), 1).astype(jnp.float32)
-    fhi = fhi_ref[:, 0][:, None]
-    flo = flo_ref[:, 0][:, None]
-    ramp = jnp.mod(i * fhi, 1.0) + i * flo
-    ph = jnp.mod(phase_ref[:, 0][:, None] + ramp, 1.0)
-    ang = TWO_PI * ph
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
-    # (xr + j*xi) * exp(-j*ang)
-    yr = xr * c + xi * s
-    yi = xi * c - xr * s
-
-    # ---- halfband cascade, polyphase shifted adds, all in VMEM -------------
-    for st in range(k):
-        taps = taps_list[st]
-        t = len(taps)
-        tr = tail_in[st][:, 0, :]
-        ti = tail_in[st][:, 1, :]
-        er = jnp.concatenate([tr, yr], axis=-1)  # [TC, L + T - 1]
-        ei = jnp.concatenate([ti, yi], axis=-1)
-        ln = yr.shape[-1]
-        m = ln // 2
-        # new tails = last T-1 columns of the extended input
-        tail_out[st][:, 0, :] = er[:, -(t - 1):]
-        tail_out[st][:, 1, :] = ei[:, -(t - 1):]
-        # even/odd split via strided slices (Mosaic rejects lane reshapes)
-        l2 = er.shape[-1]
-        if l2 % 2:
-            er = jnp.concatenate([er, jnp.zeros((tile_c, 1), jnp.float32)], -1)
-            ei = jnp.concatenate([ei, jnp.zeros((tile_c, 1), jnp.float32)], -1)
-            l2 += 1
-        ee_r = jax.lax.slice(er, (0, 0), (tile_c, l2), (1, 2))
-        eo_r = jax.lax.slice(er, (0, 1), (tile_c, l2), (1, 2))
-        ee_i = jax.lax.slice(ei, (0, 0), (tile_c, l2), (1, 2))
-        eo_i = jax.lax.slice(ei, (0, 1), (tile_c, l2), (1, 2))
-        acc_r = None
-        acc_i = None
-        for j in range(t):
-            h = float(taps[j])
-            if h == 0.0:
-                continue
-            idx = t - 1 - j
-            off = idx // 2
-            if (idx & 1) == 0:
-                term_r = h * jax.lax.slice_in_dim(ee_r, off, off + m, axis=1)
-                term_i = h * jax.lax.slice_in_dim(ee_i, off, off + m, axis=1)
-            else:
-                term_r = h * jax.lax.slice_in_dim(eo_r, off, off + m, axis=1)
-                term_i = h * jax.lax.slice_in_dim(eo_i, off, off + m, axis=1)
-            acc_r = term_r if acc_r is None else acc_r + term_r
-            acc_i = term_i if acc_i is None else acc_i + term_i
-        yr, yi = acc_r, acc_i
-
-    y_ref[:, 0, :] = yr
-    y_ref[:, 1, :] = yi
-
-
-@functools.partial(jax.jit, static_argnames=("taps_tuple", "tile_c", "interpret"))
-def fused_downconvert(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
-                      f_lo: jax.Array, tails_ri: tuple,
-                      taps_tuple: tuple, tile_c: int = 8,
-                      interpret: bool = False):
-    """x_ri: [C, 2, N] f32; phase0/f_hi/f_lo: [C]; tails_ri: per-stage
-    [C, 2, T_s-1] f32.  taps_tuple: tuple of tap tuples (static).
-
-    Returns (y_ri [C, 2, N/2^k], new_tails_ri tuple, new_phase [C]).
-    """
-    c, _, n = x_ri.shape
-    k = len(taps_tuple)
-    m_out = n >> k
-    assert c % tile_c == 0, (c, tile_c)
-    grid = (c // tile_c,)
-
-    def row_map(i):
-        return (i, 0, 0)
-
-    in_specs = [
-        pl.BlockSpec((tile_c, 2, n), row_map),
-        pl.BlockSpec((tile_c, 1), lambda i: (i, 0)),
-        pl.BlockSpec((tile_c, 1), lambda i: (i, 0)),
-        pl.BlockSpec((tile_c, 1), lambda i: (i, 0)),
-    ]
-    for taps in taps_tuple:
-        in_specs.append(pl.BlockSpec((tile_c, 2, len(taps) - 1), row_map))
-
-    out_shapes = [jax.ShapeDtypeStruct((c, 2, m_out), jnp.float32)]
-    out_specs = [pl.BlockSpec((tile_c, 2, m_out), row_map)]
-    for taps in taps_tuple:
-        out_shapes.append(jax.ShapeDtypeStruct((c, 2, len(taps) - 1), jnp.float32))
-        out_specs.append(pl.BlockSpec((tile_c, 2, len(taps) - 1), row_map))
-
-    kernel = functools.partial(_cascade_kernel, taps_tuple, n, tile_c)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(x_ri, phase0[:, None], f_hi[:, None], f_lo[:, None], *tails_ri)
-    y_ri = outs[0]
-    new_tails = tuple(outs[1:])
-    # phase advance (host formula, same as ops.mixer.mix)
-    nf = jnp.float32(n)
-    new_phase = jnp.mod(phase0 + jnp.mod(nf * f_hi, 1.0) + nf * f_lo, 1.0)
-    return y_ri, new_tails, new_phase
-
-
-def plan_taps_tuple(plan) -> tuple:
-    """ops.decimator.DecimatorPlan -> static taps tuple for the kernel."""
-    return tuple(tuple(float(v) for v in st.taps) for st in plan.stages)
-
-
-# --------------------------------------------------------------------------
-# v2: TIME-MAJOR layout [time, channels] — channels ride the 128 lanes and
-# the even/odd decimation split lands on the SUBLANE (major) dimension, which
-# Mosaic supports (the lane-dim stride-2 access of the channel-major kernel
-# above does not lower).  This is the kernel that compiles for real TPUs.
-# --------------------------------------------------------------------------
-
-def _cascade_tm_kernel(taps_list, b, c_lanes,
-                       xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref, *refs):
-    """Time-major: xr/xi [B, C]; tails per stage [2*(T-1), C] stacked (re then
-    im rows); outputs y_r/y_i [B/2^k, C] + new tails."""
-    k = len(taps_list)
-    tail_in = refs[:k]
-    yr_ref, yi_ref = refs[k], refs[k + 1]
-    tail_out = refs[k + 2:]
-
-    # ---- NCO mix (phase ramp along the sublane/time dim) -------------------
-    i = jax.lax.broadcasted_iota(jnp.int32, (b, c_lanes), 0).astype(jnp.float32)
-    fhi = fhi_ref[0, :][None, :]
-    flo = flo_ref[0, :][None, :]
-    ph = jnp.mod(phase_ref[0, :][None, :] + jnp.mod(i * fhi, 1.0) + i * flo, 1.0)
-    ang = TWO_PI * ph
-    cs = jnp.cos(ang)
-    sn = jnp.sin(ang)
-    xr = xr_ref[:, :]
-    xi = xi_ref[:, :]
-    yr = xr * cs + xi * sn
-    yi = xi * cs - xr * sn
-
-    for st in range(k):
-        taps = taps_list[st]
-        t = len(taps)
-        tl = tail_in[st]
-        er = jnp.concatenate([tl[: t - 1, :], yr], axis=0)   # [L+T-1, C]
-        ei = jnp.concatenate([tl[t - 1:, :], yi], axis=0)
-        ln = yr.shape[0]
-        m = ln // 2
-        tail_out[st][: t - 1, :] = er[-(t - 1):, :]
-        tail_out[st][t - 1:, :] = ei[-(t - 1):, :]
-        l2 = er.shape[0]
-        if l2 % 2:
-            pad = jnp.zeros((1, c_lanes), jnp.float32)
-            er = jnp.concatenate([er, pad], axis=0)
-            ei = jnp.concatenate([ei, pad], axis=0)
-            l2 += 1
-        er2 = er.reshape(l2 // 2, 2, c_lanes)
-        ei2 = ei.reshape(l2 // 2, 2, c_lanes)
-        ee_r, eo_r = er2[:, 0, :], er2[:, 1, :]
-        ee_i, eo_i = ei2[:, 0, :], ei2[:, 1, :]
-        acc_r = acc_i = None
-        for j in range(t):
-            h = float(taps[j])
-            if h == 0.0:
-                continue
-            idx = t - 1 - j
-            off = idx // 2
-            src_r = ee_r if (idx & 1) == 0 else eo_r
-            src_i = ee_i if (idx & 1) == 0 else eo_i
-            term_r = h * jax.lax.slice_in_dim(src_r, off, off + m, axis=0)
-            term_i = h * jax.lax.slice_in_dim(src_i, off, off + m, axis=0)
-            acc_r = term_r if acc_r is None else acc_r + term_r
-            acc_i = term_i if acc_i is None else acc_i + term_i
-        yr, yi = acc_r, acc_i
-
-    yr_ref[:, :] = yr
-    yi_ref[:, :] = yi
-
-
-def _cascade_tm_grid_kernel(taps_list, sub_block, c_lanes, nsub,
-                            xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref,
-                            *refs):
-    """Grid variant: one kernel instance, grid=(nsub,) sub-blocks executed
-    sequentially on the core.  The per-stage carry tails live in the tail
-    OUTPUT refs (constant index map -> the block stays resident in VMEM across
-    grid iterations); iteration 0 seeds them from the tail inputs.
-
-    refs: [tail_in_0..k-1, yr, yi, tail_out_0..k-1]."""
-    k = len(taps_list)
-    tail_in = refs[:k]
-    yr_ref, yi_ref = refs[k], refs[k + 1]
-    tail_out = refs[k + 2:]
-
-    s = pl.program_id(0)
-
-    # ---- NCO mix: phase = phase0 + (s*sub_block + i) * (fhi + flo) ---------
-    i = jax.lax.broadcasted_iota(jnp.int32, (sub_block, c_lanes), 0
-                                 ).astype(jnp.float32)
-    fhi = fhi_ref[0, :][None, :]
-    flo = flo_ref[0, :][None, :]
-    k0 = (s * sub_block).astype(jnp.float32)
-    ph0 = jnp.mod(phase_ref[0, :][None, :]
-                  + jnp.mod(k0 * fhi, 1.0) + k0 * flo, 1.0)
-    ph = jnp.mod(ph0 + jnp.mod(i * fhi, 1.0) + i * flo, 1.0)
-    ang = TWO_PI * ph
-    cs = jnp.cos(ang)
-    sn = jnp.sin(ang)
-    xr = xr_ref[:, :]
-    xi = xi_ref[:, :]
-    yr = xr * cs + xi * sn
-    yi = xi * cs - xr * sn
-
-    first = s == 0
-    for st in range(k):
-        taps = taps_list[st]
-        t = len(taps)
-        tl = jnp.where(first, tail_in[st][:, :], tail_out[st][:, :])
-        er = jnp.concatenate([tl[: t - 1, :], yr], axis=0)   # [L+T-1, C]
-        ei = jnp.concatenate([tl[t - 1:, :], yi], axis=0)
-        ln = yr.shape[0]
-        m = ln // 2
-        tail_out[st][: t - 1, :] = er[-(t - 1):, :]
-        tail_out[st][t - 1:, :] = ei[-(t - 1):, :]
-        l2 = er.shape[0]
-        if l2 % 2:
-            pad = jnp.zeros((1, c_lanes), jnp.float32)
-            er = jnp.concatenate([er, pad], axis=0)
-            ei = jnp.concatenate([ei, pad], axis=0)
-            l2 += 1
-        er2 = er.reshape(l2 // 2, 2, c_lanes)
-        ei2 = ei.reshape(l2 // 2, 2, c_lanes)
-        ee_r, eo_r = er2[:, 0, :], er2[:, 1, :]
-        ee_i, eo_i = ei2[:, 0, :], ei2[:, 1, :]
-        acc_r = acc_i = None
-        for j in range(t):
-            h = float(taps[j])
-            if h == 0.0:
-                continue
-            idx = t - 1 - j
-            off = idx // 2
-            src_r = ee_r if (idx & 1) == 0 else eo_r
-            src_i = ee_i if (idx & 1) == 0 else eo_i
-            term_r = h * jax.lax.slice_in_dim(src_r, off, off + m, axis=0)
-            term_i = h * jax.lax.slice_in_dim(src_i, off, off + m, axis=0)
-            acc_r = term_r if acc_r is None else acc_r + term_r
-            acc_i = term_i if acc_i is None else acc_i + term_i
-        yr, yi = acc_r, acc_i
-
-    yr_ref[:, :] = yr
-    yi_ref[:, :] = yi
-
-
-def fused_downconvert_planes(xr_t: jax.Array, xi_t: jax.Array,
-                             phase0: jax.Array, f_hi: jax.Array,
-                             f_lo: jax.Array, tails_tm: list,
-                             taps_tuple: tuple, sub_block: int = 512,
-                             interpret: bool = False):
-    """Transpose-free core: time-major planes in, time-major planes out.
-
-    xr_t/xi_t: [N, C] f32; tails_tm: per stage [2*(T-1), C] (re rows then im
-    rows).  Returns (yr [M, C], yi [M, C], new_tails_tm list).
-
-    One pallas_call with grid=(N/sub_block,): sub-blocks run sequentially on
-    the core with the carry tails resident in VMEM, so there is a single
-    kernel instance to compile and a single launch per block (the previous
-    Python-loop formulation emitted N/sub_block separate pallas_calls, which
-    dominated both compile time and dispatch overhead).
-    """
-    n, c = xr_t.shape
-    k = len(taps_tuple)
-    assert n % sub_block == 0
-    nsub = n // sub_block
-    m_sub = sub_block >> k
-    phase_row = phase0[None, :]
-    fhi_row = f_hi[None, :].astype(jnp.float32)
-    flo_row = f_lo[None, :].astype(jnp.float32)
-
-    in_specs = [
-        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
-        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
-        pl.BlockSpec((1, c), lambda s: (0, 0)),
-        pl.BlockSpec((1, c), lambda s: (0, 0)),
-        pl.BlockSpec((1, c), lambda s: (0, 0)),
-    ]
-    out_shapes = [jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
-                  jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32)]
-    out_specs = [pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
-                 pl.BlockSpec((m_sub, c), lambda s: (s, 0))]
-    for taps in taps_tuple:
-        rows = 2 * (len(taps) - 1)
-        in_specs.append(pl.BlockSpec((rows, c), lambda s: (0, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((rows, c), jnp.float32))
-        out_specs.append(pl.BlockSpec((rows, c), lambda s: (0, 0)))
-
-    kernel = functools.partial(_cascade_tm_grid_kernel, taps_tuple, sub_block,
-                               c, nsub)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nsub,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(xr_t, xi_t, phase_row, fhi_row, flo_row, *tails_tm)
-    return outs[0], outs[1], list(outs[2:])
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("taps_tuple", "sub_block", "interpret"))
-def fused_downconvert_tm(x_ri: jax.Array, phase0: jax.Array, f_hi: jax.Array,
-                         f_lo: jax.Array, tails_ri: tuple, taps_tuple: tuple,
-                         sub_block: int = 4096, interpret: bool = False):
-    """Time-major fused downconvert (TPU-compiling variant).
-
-    Same contract as fused_downconvert: x_ri [C, 2, N] f32, per-channel
-    phase/freq [C], tails_ri per stage [C, 2, T-1].  Streams the block through
-    the kernel in `sub_block`-sample chunks (VMEM bound), threading tails.
-    """
-    c, _, n = x_ri.shape
-    # time-major planes [N, C]
-    xr_t = jnp.transpose(x_ri[:, 0, :])
-    xi_t = jnp.transpose(x_ri[:, 1, :])
-    # tails -> stacked time-major [2*(T-1), C]
-    tails_tm = [
-        jnp.concatenate([jnp.transpose(t_ri[:, 0, :]),
-                         jnp.transpose(t_ri[:, 1, :])], axis=0)
-        for t_ri in tails_ri
-    ]
-    yr, yi, tails_tm = fused_downconvert_planes(
-        xr_t, xi_t, phase0, f_hi, f_lo, tails_tm, taps_tuple,
-        sub_block=sub_block, interpret=interpret)
-    y_ri = jnp.stack([jnp.transpose(yr), jnp.transpose(yi)], axis=1)
-    new_tails = tuple(
-        jnp.stack([jnp.transpose(tm[: tm.shape[0] // 2, :]),
-                   jnp.transpose(tm[tm.shape[0] // 2:, :])], axis=1)
-        for tm in tails_tm
-    )
-    nf = jnp.float32(n)
-    new_phase = jnp.mod(phase0 + jnp.mod(nf * f_hi, 1.0) + nf * f_lo, 1.0)
-    return y_ri, new_tails, new_phase
-
-
-# ---------------------------------------------------------------------------
-# Fused FRONT END: DC blocker + NCO mix + composed-FIR decimation, one kernel.
-#
-# The staged XLA front end (dc_removal_chunked -> mixer.mix -> decimator.apply)
-# costs ~40 distinct full-rate HBM passes per block (measured 0.35 ms/block at
-# 64ch x 32k on v5e through the tunnel); this kernel reads the input once,
-# does everything in VMEM, and turns the ENTIRE halfband cascade into a single
-# MXU dot against the composed response (decimator.compose_response — the
-# noble-identity collapse of conv h1 ↓2 conv h2 ↓2 ... into conv H ↓2^k).
-#
-# Layout: time-major [N, C] float32 planes, C channels on lanes.  Grid over
-# time sub-blocks; the D-sample post-mix history and the DC estimate live in
-# output refs with constant index maps, so they stay VMEM-resident across the
-# sequential grid steps (same pattern as _cascade_tm_grid_kernel).
-# ---------------------------------------------------------------------------
 
 DC_CHUNK = 512  # matches ops.iir.dc_removal_chunked default
 
