@@ -29,6 +29,12 @@ def build_sharded_step(rx: Receiver, mesh):
     runs time-sharded with explicit ppermute halos for every mode; the
     decimated tail (narrowband FastFIR/AGC/demod or the WFM composite
     discriminator/pilot/stereo path) runs channel-sharded."""
+    if rx.use_pallas:
+        raise ValueError(
+            "build_sharded_step needs the staged decimator state (per-stage "
+            "tails); construct the Receiver with use_pallas=False — the "
+            "sharded front end runs its own time-shard halo-exchange path, "
+            "not the single-chip fused kernel")
     plan = rx.plan
     csh = NamedSharding(mesh, P("channel", None))
     n_stages = len(plan.stages)
