@@ -124,3 +124,39 @@ def sharded_overlap_save(state_local, x_local, mask, axis_name: str):
     y = jnp.fft.ifft(spec * mask[None, :], axis=-1)[:, nl:].astype(jnp.complex64)
     new_state = _last_shard_tail(x_local, nl, axis_name)
     return new_state, y
+
+
+def sharded_composed_front(x_local: jax.Array, phase0: jax.Array, f_hi, f_lo,
+                           carry: jax.Array, w_dense: jax.Array, factor: int,
+                           axis_name: str):
+    """Time-sharded NCO mix + WHOLE decimator cascade in one step, using the
+    noble-identity composed response (ops.decimator.compose_response) — the
+    sharded twin of the single-chip fused front end.
+
+    Exchanges ONE halo of D = group-delay samples (post-mix) instead of one
+    per cascade stage: 1 ppermute + 1 all_gather per block total, and the
+    local work is a single banded matmul instead of k strided conv passes.
+
+    x_local: [C, Nl] complex64 (Nl % factor == 0); carry: [C, D] complex64 —
+    the previous global block's last D post-mix samples (same on all shards);
+    w_dense: [D + Nl, Nl//factor] float32 Toeplitz operator
+    (build_composed_w(h, factor, Nl, pad=0) with D = len(h)-1).
+
+    Returns (new_phase [C], new_carry [C, D], y_local [C, Nl//factor]).
+    Bit-compatible with mixer.mix + decimator.apply on the unsharded stream
+    (same composed-vs-staged float32 tolerance as the fused front kernel).
+    """
+    d = carry.shape[-1]
+    my_idx = lax.axis_index(axis_name)
+
+    new_phase, z_local = sharded_mix(phase0, x_local, f_hi, f_lo, axis_name)
+
+    neighbor = left_halo(z_local, d, axis_name)
+    lead = jnp.where(my_idx == 0, carry, neighbor)
+    ext = jnp.concatenate([lead, z_local], axis=-1)        # [C, D + Nl]
+    yr = jnp.matmul(ext.real, w_dense, precision="highest")
+    yi = jnp.matmul(ext.imag, w_dense, precision="highest")
+    y = lax.complex(yr, yi).astype(jnp.complex64)
+
+    new_carry = _last_shard_tail(z_local, d, axis_name)
+    return new_phase, new_carry, y

@@ -198,7 +198,7 @@ class TestShardedStepParity:
             ref.append(np.asarray(out["audio"]))
 
         step = channelizer.build_sharded_step(rx, m)
-        state_sh = mesh_mod.shard_state(rx.init_state(), m)
+        state_sh = mesh_mod.shard_state(channelizer.init_state(rx), m)
         got = []
         for i in range(2):
             blk = jax.device_put(jnp.asarray(iq[:, i * n:(i + 1) * n]),
@@ -240,7 +240,7 @@ class TestShardedWfmStep:
             ref.append(np.asarray(out["audio"]))
 
         step = channelizer.build_sharded_step(rx, m)
-        state_sh = mesh_mod.shard_state(rx.init_state(), m)
+        state_sh = mesh_mod.shard_state(channelizer.init_state(rx), m)
         got = []
         for i in range(nb):
             blk = jax.device_put(jnp.asarray(iq[:, i * n:(i + 1) * n]),
