@@ -160,13 +160,17 @@ def main(argv=None):
             break
         if rec is not None:
             rec.append(blk.copy())
-        iq_ri = np.stack([blk.real, blk.imag]).astype(np.float32)
-        iq_ri = np.broadcast_to(iq_ri, (args.channels, 2, args.frames)).copy()
+        # [2, N, C] time-major planes: the fused-front fast path, and the
+        # only complex-free layout the axon transport can ship
+        iq_tm = np.broadcast_to(
+            np.stack([blk.real, blk.imag]).astype(np.float32)[:, :, None],
+            (2, args.frames, args.channels)).copy()
         with perform.measure("step"):
-            state, out = rx.step(state, params, jax.lax.complex(
-                jnp.asarray(iq_ri[:, 0]), jnp.asarray(iq_ri[:, 1])))
-            out["audio"].block_until_ready()
-        audio_chunks.append(np.asarray(out["audio"]))
+            state, out = rx.step(state, params, jnp.asarray(iq_tm))
+            # fetch inside the timed region: block_until_ready alone can
+            # return at enqueue time on networked backends
+            audio_np = np.asarray(out["audio"])
+        audio_chunks.append(audio_np)
         if modem is not None:
             # re-frame the tap stream to whole modem frames (no sample drops)
             modem_buf = np.concatenate(
