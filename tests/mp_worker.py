@@ -1,0 +1,85 @@
+"""Worker for the true multi-process (2-host analog) distributed test.
+
+Launched by tests/test_multiprocess.py: two OS processes, 4 forced CPU
+devices each, joined by jax.distributed (gloo collectives) — the closest
+CPU analog of a 2-host pod.  Runs the sharded channelizer step over the
+GLOBAL (channel=2, time=4) mesh with host-local input distribution
+(multihost.distribute path) and asserts this host's audio shards match a
+locally-computed unsharded reference for its own channels.
+"""
+
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+from pebblesdr_tpu.demod.modes import DemodMode
+from pebblesdr_tpu.parallel import channelizer, mesh as mesh_mod, multihost
+
+assert len(jax.devices()) == 4 * nproc
+mesh = multihost.global_mesh()          # channel = n_hosts, time = 4
+assert mesh.shape["channel"] == nproc and mesh.shape["time"] == 4
+
+fs, n = 512_000, 8192
+c_total = 2 * nproc                     # 2 demod channels per host
+cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=n, channels=c_total,
+                     mode=DemodMode.AM, agc_mode="off", use_pallas=False)
+rx = Receiver(cfg)
+tunes = np.linspace(-150_000.0, 150_000.0, c_total)
+params = rx.default_params(tunes)
+step = channelizer.build_sharded_step(rx, mesh)
+state = mesh_mod.shard_state(channelizer.init_state(rx), mesh)
+
+# one wideband capture, every host generates the same signal deterministically
+t = np.arange(2 * n) / fs
+capture = sum(0.2 * np.exp(2j * np.pi * (f + 400.0) * t)
+              for f in tunes).astype(np.complex64)
+
+# host-local input: each host provides ITS channel rows only (the DCN
+# input-distribution path — no host holds the global array)
+my_lo, my_hi = pid * 2, pid * 2 + 2
+bsh = NamedSharding(mesh, P("channel", "time"))
+
+audio_local = []
+for i in range(2):
+    blk_local = np.broadcast_to(capture[i * n:(i + 1) * n], (2, n)).copy()
+    iq_g = jax.make_array_from_process_local_data(bsh, blk_local, (c_total, n))
+    state, audio = step(state, params, iq_g)
+    local_shards = [np.asarray(s.data) for s in audio.addressable_shards]
+    # all local shards are this host's channel rows (time axis not sharded
+    # on the audio output)
+    audio_local.append(local_shards[0])
+got = np.concatenate(audio_local, axis=-1)
+
+# unsharded reference for this host's channels
+cfg_ref = ReceiverConfig(sample_rate=fs, frames_per_buffer=n, channels=2,
+                         mode=DemodMode.AM, agc_mode="off", use_pallas=False)
+rx_ref = Receiver(cfg_ref)
+params_ref = rx_ref.default_params(tunes[my_lo:my_hi])
+st_ref = rx_ref.init_state()
+ref = []
+for i in range(2):
+    blk = np.broadcast_to(capture[i * n:(i + 1) * n], (2, n)).copy()
+    st_ref, out = rx_ref.step(st_ref, params_ref, jnp.asarray(blk))
+    ref.append(np.asarray(out["audio"]))
+ref = np.concatenate(ref, axis=-1)
+
+err = np.abs(got - ref).max()
+print(f"[{pid}] audio shards {got.shape} maxdiff {err:.2e}", flush=True)
+assert err < 2e-3, err
+print(f"[{pid}] MULTIPROCESS OK", flush=True)
