@@ -62,12 +62,13 @@ def main():
     else:
         env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
         iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
-    # [K, 2, N, C] float32 time-major blocks for the scanned step_many path
-    # (the batched_many straight-line path instead takes a (re, im) pair of
-    # [K*N, C] planes; it is opt-in while slower than the scan)
-    iq_ri = np.broadcast_to(
-        np.stack([iq.real, iq.imag]).astype(np.float32)[None, :, :, None],
-        (BLOCKS, 2, FRAMES, CHANNELS)).copy()
+    # [K*N, 2C] float32 lane-packed planes (re lanes then im lanes): the
+    # zero-copy entry layout for both the scanned and batched step_many paths
+    plane = np.concatenate([
+        np.broadcast_to(iq.real.astype(np.float32)[:, None], (FRAMES, CHANNELS)),
+        np.broadcast_to(iq.imag.astype(np.float32)[:, None], (FRAMES, CHANNELS)),
+    ], axis=1)
+    iq_ri = np.tile(plane, (BLOCKS, 1))
 
     import functools
 

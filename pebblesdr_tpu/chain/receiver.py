@@ -193,11 +193,12 @@ class Receiver:
         # Fused Pallas front end: ONE kernel for DC blocker + NCO mix +
         # composed-FIR decimation (dc_removal_chunked / mixer.mix /
         # decimator.apply collapsed via the noble identity into a single MXU
-        # dot — see pallas_kernels.fused_front_planes).  Honest-synced
-        # measurement on v5e: 0.16 vs 0.35 ms/block for the XLA staged front
-        # (64ch x 32k).  Auto-enabled on TPU when nothing sits between the DC
-        # blocker and the mixer (IQ balance / noise blanker / taps disable it)
-        # and the block length divides into sub-blocks.
+        # dot — see pallas_kernels.fused_front_packed).  Honest-synced
+        # measurement on v5e (64ch x 32k): 0.066 ms/block lane-packed vs
+        # 0.35 ms/block for the XLA staged front.  Auto-enabled on TPU when
+        # nothing sits between the DC blocker and the mixer (IQ balance /
+        # noise blanker / taps disable it) and the block length divides into
+        # sub-blocks.
         self._pallas_interpret = jax.devices()[0].platform == "cpu"
         front_ok = (not cfg.enable_iq_balance and not cfg.enable_noise_blanker
                     and not cfg.taps and len(self.plan.stages) > 0)
@@ -254,10 +255,10 @@ class Receiver:
             resamp_state = resampler.state_init(self.rs_plan, c, resamp_dtype)
         return ReceiverState(
             mixer=mixer.mixer_init(c),
-            decim=(jnp.zeros((2 * self._front_d_rows, c), jnp.float32)
+            decim=(jnp.zeros((self._front_d_rows, 2 * c), jnp.float32)
                    if self.use_pallas else decimator.state_init(self.plan, c)),
             fastfir=fastfir.state_init(c, self.blk),
-            dc=(jnp.zeros((2, c), jnp.float32) if self.use_pallas
+            dc=(jnp.zeros((1, 2 * c), jnp.float32) if self.use_pallas
                 else jnp.zeros((c,), jnp.complex64)),
             nb=scanops.noise_blanker_init(c) if self.cfg.enable_noise_blanker else None,
             anf=scanops.anf_init(c, dtype=jnp.complex64) if self.cfg.enable_anf else None,
@@ -329,9 +330,9 @@ class Receiver:
 
     def step(self, state: ReceiverState, params: RxParams, iq: jax.Array,
              spectra: bool = True):
-        """One block: iq [C, frames_per_buffer] complex64, or [2,
-        frames_per_buffer, C] float32 time-major (re, im) planes — the
-        time-major plane form is the TPU fast path (see _step_impl).
+        """One block: iq [frames_per_buffer, 2C] float32 lane-packed plane
+        (re lanes then im lanes — the TPU fast path), [2, frames_per_buffer,
+        C] float32 plane pair, or [C, frames_per_buffer] complex64.
 
         spectra=False skips the display spectra (the reference likewise
         computes them at updatesPerSecond, not per block —
@@ -350,8 +351,10 @@ class Receiver:
 
     def step_many(self, state: ReceiverState, params: RxParams, iq: jax.Array,
                   spectra: bool = True):
-        """Process K blocks in ONE dispatch: iq [K, C, frames_per_buffer]
-        complex64 or [K, 2, frames_per_buffer, C] float32 time-major planes.
+        """Process K blocks in ONE dispatch: iq [K*frames_per_buffer, 2C]
+        float32 lane-packed planes (the zero-copy TPU fast path; [K, N, 2C],
+        (re, im) pairs, [K, 2, N, C] stacks and [K, C, N] complex64 are also
+        accepted, at the cost of one device-side pack).
 
         A lax.scan over step() — the state threads through exactly as with K
         step() calls, outputs gain a leading K axis.  This is the streaming
@@ -377,37 +380,39 @@ class Receiver:
         batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
                          DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
                          DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
-        plane_pair = isinstance(iq, (tuple, list)) and len(iq) == 2
+        n = self.cfg.frames_per_buffer
+        # Normalize to the packed layout.  Preferred entry buffer: [K*N, 2C]
+        # float32 — it matches the backend's default 2D layout exactly (zero
+        # input copies); the device-side reshape to [K, N, 2C] for the scan
+        # is a free row split.  [K, N, 2C] and the legacy pair/stacked plane
+        # forms are also accepted (the pack costs one copy).
+        if isinstance(iq, (tuple, list)) and len(iq) == 2:
+            a, b = iq
+            x_pk = jnp.concatenate([a, b], axis=-1)  # [.., N, 2C]
+        elif iq.ndim == 4 and iq.shape[1] == 2:      # [K, 2, N, C]
+            x_pk = jnp.concatenate([iq[:, 0], iq[:, 1]], axis=-1)
+        elif iq.ndim == 4 and iq.shape[0] == 2:      # [2, K, N, C]
+            x_pk = jnp.concatenate([iq[0], iq[1]], axis=-1)
+        elif jnp.issubdtype(iq.dtype, jnp.floating):  # packed already
+            x_pk = iq
+        else:                                        # [K, C, N] complex64
+            x_pk = jnp.concatenate(
+                [jnp.moveaxis(iq.real, 1, 2), jnp.moveaxis(iq.imag, 1, 2)],
+                axis=-1)
         if (self.cfg.batched_many and self.use_pallas
                 and self.cfg.mode in batched_modes
                 and not self.cfg.enable_anf
-                and self.cfg.spectrum_bins <= self._front_sub
-                and (plane_pair or (iq.ndim == 4 and iq.shape[0] == 2))):
-            # Preferred input: a (re, im) PAIR of [K, N, C] float32 arrays —
-            # two standalone entry buffers reach the fused kernel as pure
-            # bitcasts.  A stacked [2, K, N, C] also works but XLA
-            # materializes + relayouts the 2x64 MB plane slices
-            # (~4 ms/dispatch at K=32); pairs avoid that entirely.
-            if plane_pair:
-                xr, xi = iq
-            else:
-                xr, xi = iq[0], iq[1]
-            return self._step_many_batched(state, params, xr, xi,
+                and self.cfg.spectrum_bins <= self._front_sub):
+            return self._step_many_batched(state, params, x_pk,
                                            spectra=spectra)
-        if plane_pair:
-            a, b = iq
-            if a.ndim == 2:  # [K*N, C] -> [K, N, C]
-                a = a.reshape(-1, self.cfg.frames_per_buffer, a.shape[-1])
-                b = b.reshape(-1, self.cfg.frames_per_buffer, b.shape[-1])
-            iq = jnp.stack((a, b), axis=1)   # -> [K, 2, N, C] for the scan
-        elif iq.ndim == 4 and iq.shape[0] == 2:
-            iq = jnp.moveaxis(iq, 0, 1)
+        if x_pk.ndim == 2:  # [K*N, 2C] -> [K, N, 2C]
+            x_pk = x_pk.reshape(-1, n, x_pk.shape[-1])
 
         def body(st, blk):
             st, out = self._step_impl(st, params, blk, spectra=spectra)
             return st, out
 
-        return jax.lax.scan(body, state, iq)
+        return jax.lax.scan(body, state, x_pk)
 
     def _ewma_blocks(self, prev, p, a):
         """Closed-form per-block EWMA: avg_k = a*avg_{k-1} + (1-a)*p_k over
@@ -426,43 +431,39 @@ class Receiver:
         return avg, avg[-1]
 
     def _step_many_batched(self, state: ReceiverState, params: RxParams,
-                           xr: jax.Array, xi: jax.Array, spectra: bool = True):
+                           x_pk: jax.Array, spectra: bool = True):
         """One straight-line graph for K blocks (see _step_many_impl).
 
-        xr/xi: [K*N, C] (preferred — matches the backend's default 2D layout
-        exactly, zero input copies) or [K, N, C] float32 time-major planes
-        (the backend's default 3D layout is (0,2,1) N-minor, so 3D inputs pay
-        one retiling pass)."""
+        x_pk: [K*N, 2C] (preferred — matches the backend's default 2D layout
+        exactly, zero input copies) or [K, N, 2C] float32 packed planes."""
         cfg = self.cfg
         n = cfg.frames_per_buffer
-        if xr.ndim == 3:
-            xr = xr.reshape(-1, xr.shape[-1])
-            xi = xi.reshape(-1, xi.shape[-1])
-        total, c = xr.shape
+        if x_pk.ndim == 3:
+            x_pk = x_pk.reshape(-1, x_pk.shape[-1])
+        total, c2 = x_pk.shape
+        c = c2 // 2
         k = total // n
         blk = self.blk
-        l = k * blk
         out: dict[str, Any] = {}
 
         # ---- front end: ONE pallas call over the concatenated stream -------
-        yr, yi, dc, decim_state, new_phase, raw_r, raw_i = \
-            self._pk.fused_front_planes(
-                xr, xi, state.dc, state.mixer.phase,
+        y_pk, dc, decim_state, new_phase, raw_pk = \
+            self._pk.fused_front_packed(
+                x_pk, state.dc, state.mixer.phase,
                 params.tune_hi, params.tune_lo, state.decim, self._front_wt,
                 self.plan.factor, self._front_d_rows, 0.9999,
                 sub_block=self._front_sub, n_block=n,
                 raw_rows=cfg.spectrum_bins if spectra else 0,
                 interpret=self._pallas_interpret)
-        x_cat = jax.lax.complex(yr.T, yi.T)                    # [C, K*blk]
+        x_cat = self._pk.unpack_to_complex(y_pk)               # [C, K*blk]
         mix_state = mixer.MixerState(phase=new_phase)
 
         # ---- full-rate spectrum per block (batched) ------------------------
         if spectra:
             bins = cfg.spectrum_bins
-            tails_r = raw_r                                   # [K, bins, C]
-            tails_i = raw_i
-            raw = jax.lax.complex(jnp.moveaxis(tails_r, 2, 1),
-                                  jnp.moveaxis(tails_i, 2, 1))  # [K, C, bins]
+            raw = jax.lax.complex(
+                jnp.moveaxis(raw_pk[:, :, :c], 2, 1),
+                jnp.moveaxis(raw_pk[:, :, c:], 2, 1))           # [K, C, bins]
             overload = jnp.max(jnp.abs(raw.real), axis=-1) > spectrum.OVERLOAD_LEVEL
             xw = raw * self.w_full[None, None, :]
             norm = 1.0 / (bins * self.cg_full)
@@ -551,19 +552,25 @@ class Receiver:
     def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,
                    spectra: bool = True):
         cfg = self.cfg
+        c = cfg.channels
         out: dict[str, Any] = {}
         taps_out: dict[str, Any] = {}
 
-        # Input layouts: [C, N] complex64 (classic) or [2, N, C] float32
-        # time-major planes.  Feeders produce the plane layout for free when
-        # deinterleaving wire formats; it is also what the fused front end
-        # consumes directly.
+        # Input layouts: [N, 2C] float32 lane-packed plane (re lanes, then im
+        # lanes — the TPU fast path, what feeders build for free when
+        # deinterleaving wire formats), [2, N, C] float32 plane pair (packed
+        # here, one copy), or [C, N] complex64 (classic).
         if iq.ndim == 3:
-            raw_tail = jax.lax.complex(
-                jnp.transpose(iq[0, -cfg.spectrum_bins:, :]),
-                jnp.transpose(iq[1, -cfg.spectrum_bins:, :]))
+            x_pk = jnp.concatenate([iq[0], iq[1]], axis=-1)
+        elif iq.ndim == 2 and jnp.issubdtype(iq.dtype, jnp.floating):
+            x_pk = iq
         else:
-            raw_tail = iq[:, -cfg.spectrum_bins:]
+            x_pk = None  # complex input; pack lazily only if needed
+        nb = cfg.spectrum_bins
+        if x_pk is None:
+            raw_tail = iq[:, -nb:]
+        else:
+            raw_tail = jax.lax.complex(x_pk[-nb:, :c].T, x_pk[-nb:, c:].T)
 
         # device-rate ("unprocessed") spectrum over the tail of the RAW input
         # block.  Slicing the jit argument is free; slicing the dc-removed
@@ -583,24 +590,23 @@ class Receiver:
         # --- full-rate front end (receiver.cpp:814-826) ----------------------
         if self.use_pallas:
             # ONE fused VMEM kernel: DC blocker + NCO mix + composed-FIR
-            # decimation (0.16 vs 0.35 ms/block staged, 64ch x 32k on v5e).
+            # decimation (0.066 vs 0.35 ms/block staged, 64ch x 32k on v5e).
             # Gated in __init__ so nothing sits between its stages here.
-            if iq.ndim == 3:
-                xr_t, xi_t = iq[0], iq[1]
-            else:
-                xr_t, xi_t = iq.real.T, iq.imag.T
-            yr, yi, dc, decim_state, new_phase, _, _ = \
-                self._pk.fused_front_planes(
-                    xr_t, xi_t, state.dc, state.mixer.phase,
+            if x_pk is None:
+                x_pk = self._pk.pack_planes(iq.real.T, iq.imag.T)
+            y_pk, dc, decim_state, new_phase, _ = \
+                self._pk.fused_front_packed(
+                    x_pk, state.dc, state.mixer.phase,
                     params.tune_hi, params.tune_lo, state.decim,
                     self._front_wt, self.plan.factor, self._front_d_rows,
                     0.9999, sub_block=self._front_sub,
                     interpret=self._pallas_interpret)
-            x = jax.lax.complex(yr.T, yi.T)
+            x = self._pk.unpack_to_complex(y_pk)
             mix_state = mixer.MixerState(phase=new_phase)
             nb_state = state.nb
         else:
-            iq_cn = (jax.lax.complex(iq[0].T, iq[1].T) if iq.ndim == 3 else iq)
+            iq_cn = (jax.lax.complex(x_pk[:, :c].T, x_pk[:, c:].T)
+                     if x_pk is not None else iq)
             dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
             if cfg.enable_iq_balance:
                 x = scanops.iq_balance(x, params.iq_gain, params.iq_phase)

@@ -41,11 +41,14 @@ class Feeder:
             if blk is None:
                 self.q.put(None)
                 return
-            ri = np.stack([blk.real, blk.imag]).astype(np.float32)
-            if self.channels > 1:
-                ri = np.broadcast_to(ri, (self.channels, 2, self.block)).copy()
-            else:
-                ri = ri[None]
+            # [N, 2C] lane-packed plane (re lanes then im lanes): the fused
+            # front end's zero-copy entry layout
+            ri = np.concatenate([
+                np.broadcast_to(blk.real.astype(np.float32)[:, None],
+                                (self.block, self.channels)),
+                np.broadcast_to(blk.imag.astype(np.float32)[:, None],
+                                (self.block, self.channels)),
+            ], axis=1)
             self.blocks_read += 1
             try:
                 self.q.put(ri, timeout=0.001)
@@ -78,5 +81,5 @@ class Feeder:
             yield item
 
     def next_block(self, timeout: float = 10.0):
-        """Blocking fetch of the next [C, 2, N] float32 block (None = EOS)."""
+        """Blocking fetch of the next [N, 2C] float32 block (None = EOS)."""
         return self.q.get(timeout=timeout)

@@ -6,12 +6,13 @@ per-sample CDownConvert loop (pebblelib/downconvert.cpp:257-325) and the
 separate DCRemoval/Mixer/Decimator steps (application/receiver.cpp:814-911):
 
   * the input block is read from HBM exactly ONCE (the staged XLA pipeline
-    costs ~40 full-rate passes; honest-synced measurement on v5e: 0.16 vs
-    0.35 ms/block for 64ch x 32k);
+    costs ~40 full-rate passes);
   * the DC blocker is the chunked-EWMA formulation (exact
     ops.iir.dc_removal_chunked semantics, chunk=512);
-  * the oscillator is factorized (coarse x fine phasor tables — 16x fewer
-    transcendentals than a per-sample ramp) with split-precision phase
+  * the oscillator is factorized (coarse phasors computed per sub-block x a
+    128-sample fine phasor table precomputed OUTSIDE the kernel — the fine
+    table is grid-invariant, so the per-step transcendental count drops from
+    sub_block to sub_block/128 per channel) with split-precision phase
     (ops.mixer semantics, zero amplitude drift vs the reference's
     renormalized recursive oscillator, mixer.cpp:61-67);
   * the decimator cascade is collapsed by the noble identity into ONE
@@ -19,10 +20,14 @@ separate DCRemoval/Mixer/Decimator steps (application/receiver.cpp:814-911):
     MXU dot per time sub-block — no per-stage state, just a D-sample raw
     history (D = composed group delay, ~710 for the 32x plan).
 
-Layout contract: time-major [N, C] float32 planes with channels on lanes.
-Feed 2D arrays — this backend's default layout for rank-3+ arrays is
-N-minor ((0,2,1)), and any XLA-side reshape/slice of a big 3D input into the
-kernel costs a full ~50 GB/s retiling pass.
+Layout contract (v2, lane-packed): ONE time-major [N, 2C] float32 plane with
+re in lanes [0, C) and im in lanes [C, 2C).  At the flagship C=64 this fills
+all 128 vector lanes; the unpacked two-plane form wasted half the DMA and
+VPU lanes (honest-synced on v5e, 64ch x 32k: 0.118 -> 0.066 ms/block, with a
+copy-only floor of 0.049).  Every elementwise stage runs on the packed plane;
+the complex mix needs the half-swapped plane [im | re], one lane-roll.  The
+composed FIR becomes a single [m, K] @ [K, 2C] MXU dot (real taps apply to re
+and im identically).
 
 Grid: sequential time sub-blocks; the DC estimate and the post-mix history
 live in constant-index output refs, so they stay VMEM-resident across grid
@@ -40,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 TWO_PI = 2.0 * math.pi
 
@@ -61,115 +67,99 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
     return w
 
 
-def _front_kernel(sub_block, c_lanes, d_rows, dc_alpha_c, nchunk, nsub_blk,
-                  raw_rows,
-                  xr_ref, xi_ref, phase_ref, fhi_ref, flo_ref, wt_ref,
-                  dc_in_ref, tail_in_ref,
-                  yr_ref, yi_ref, dc_out_ref, tail_out_ref,
-                  rawr_ref, rawi_ref):
-    """One grid step: sub_block input rows -> sub_block/F output rows.
+def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
+                  raw_rows, interpret,
+                  x_ref, phase_ref, fhi_ref, flo_ref,
+                  fr1_ref, fi1_ref, fi2_ref, fr2_ref,
+                  wt_ref, dc_in_ref, tail_in_ref,
+                  y_ref, dc_out_ref, tail_out_ref, raw_ref):
+    """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
-    dc refs: [2, C] (re, im of the chunked-EWMA DC estimate).
-    tail refs: [2 * d_rows, C] post-mix history planes (re rows, then im).
-    wt_ref: [o_out, d_rows + sub_block] composed-response Toeplitz transpose.
-    rawr/rawi: [n_blocks, raw_rows, C] — each *logical block*'s trailing
-    raw input rows (display-spectrum tails), written on its last sub-block.
-    Exporting them here keeps the entry planes single-consumer with the
-    default 2D layout (the backend's default 3D layout is (0,2,1) N-minor,
-    so any XLA-side [K, N, C] view of the input costs a full retiling copy).
+    x_ref: [sub, 2C] packed (re | im).  dc/tail refs: [1, 2C] / [d_rows, 2C].
+    phase/fhi/flo: [1, 2C] duplicated halves.  fr1/fi1/fi2/fr2: [128, 2C]
+    precomputed fine-phasor tables ([fr|fr], [fi|fi], [fi|-fi], [fr|-fr]).
+    wt_ref: [m_sub, d_rows + sub] composed-response Toeplitz transpose.
+    raw_ref: [n_blocks, raw_rows, 2C] — each *logical block*'s trailing raw
+    input rows (display-spectrum tails), written on its last sub-block.
     """
     s = pl.program_id(0)
     first = s == 0
-    xr = xr_ref[:, :]
-    xi = xi_ref[:, :]
+    xx = x_ref[:, :]
 
     @pl.when(s % nsub_blk == nsub_blk - 1)
     def _():
-        rawr_ref[0, :, :] = xr[sub_block - raw_rows:, :]
-        rawi_ref[0, :, :] = xi[sub_block - raw_rows:, :]
+        raw_ref[0, :, :] = xx[sub_block - raw_rows:, :]
 
     # ---- DC blocker: piecewise-constant per DC_CHUNK, EWMA across chunks
-    # (exact dc_removal_chunked semantics: means -> first-order recurrence
-    # with alpha^chunk -> subtract) --------------------------------------
-    mr = jnp.where(first, dc_in_ref[0:1, :], dc_out_ref[0:1, :])
-    mi = jnp.where(first, dc_in_ref[1:2, :], dc_out_ref[1:2, :])
-    xr3 = xr.reshape(nchunk, DC_CHUNK, c_lanes)
-    xi3 = xi.reshape(nchunk, DC_CHUNK, c_lanes)
-    mean_r = jnp.mean(xr3, axis=1)  # [nchunk, C]
-    mean_i = jnp.mean(xi3, axis=1)
+    # (exact dc_removal_chunked semantics); packed lanes are independent ----
+    m = jnp.where(first, dc_in_ref[0:1, :], dc_out_ref[0:1, :])
+    x3 = xx.reshape(nchunk, DC_CHUNK, 2 * c)
+    means = jnp.mean(x3, axis=1)              # [nchunk, 2C]
     a = dc_alpha_c
-    ms_r = []
-    ms_i = []
+    ms = []
     for k in range(nchunk):  # tiny unrolled recurrence (nchunk = sub/512)
-        mr = a * mr + (1.0 - a) * mean_r[k:k + 1, :]
-        mi = a * mi + (1.0 - a) * mean_i[k:k + 1, :]
-        ms_r.append(mr)
-        ms_i.append(mi)
-    dc_out_ref[0:1, :] = mr
-    dc_out_ref[1:2, :] = mi
-    m_r = jnp.concatenate(ms_r, axis=0)[:, None, :]  # [nchunk, 1, C]
-    m_i = jnp.concatenate(ms_i, axis=0)[:, None, :]
-    zr = (xr3 - m_r).reshape(sub_block, c_lanes)
-    zi = (xi3 - m_i).reshape(sub_block, c_lanes)
+        m = a * m + (1.0 - a) * means[k:k + 1, :]
+        ms.append(m)
+    dc_out_ref[0:1, :] = m
+    mm = jnp.concatenate(ms, axis=0)[:, None, :]
+    z = (x3 - mm).reshape(sub_block, 2 * c)
 
-    # ---- NCO mix, factorized (coarse 128-sample chunks x fine ramp):
-    # osc[q*128 + r] = exp(-j*2*pi*(ph0 + (q*128 + r)*f)) -----------------
+    # ---- NCO mix, fully packed: osc = conj phasor, factorized coarse x fine;
+    # yr = zr*or + zi*oi ; yi = zi*or - zr*oi  ==  y = z*A + roll(z, C)*B
+    # with A = [or|or] and B = [oi|-oi] built from the packed tables --------
     fhi = fhi_ref[0, :][None, :]
     flo = flo_ref[0, :][None, :]
     k0 = (s * sub_block).astype(jnp.float32)
     ph0 = jnp.mod(phase_ref[0, :][None, :]
                   + jnp.mod(k0 * fhi, 1.0) + k0 * flo, 1.0)
     nq = sub_block // 128
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (128, c_lanes), 0
-                                     ).astype(jnp.float32)
-    fine_arg = jnp.mod(jnp.mod(r_idx * fhi, 1.0) + r_idx * flo, 1.0)
-    q_idx = jax.lax.broadcasted_iota(jnp.int32, (nq, c_lanes), 0
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (nq, 2 * c), 0
                                      ).astype(jnp.float32) * 128.0
-    coarse_arg = jnp.mod(ph0 + jnp.mod(q_idx * fhi, 1.0) + q_idx * flo, 1.0)
-    fr_ = jnp.cos(TWO_PI * fine_arg)
-    fi_ = jnp.sin(TWO_PI * fine_arg)
-    cr_ = jnp.cos(TWO_PI * coarse_arg)
-    ci_ = jnp.sin(TWO_PI * coarse_arg)
-    # osc = (cr - j*ci)(fr - j*fi); y = z * osc
-    or_ = cr_[:, None, :] * fr_[None, :, :] - ci_[:, None, :] * fi_[None, :, :]
-    oi_ = cr_[:, None, :] * fi_[None, :, :] + ci_[:, None, :] * fr_[None, :, :]
-    zr3 = zr.reshape(nq, 128, c_lanes)
-    zi3 = zi.reshape(nq, 128, c_lanes)
-    yr = (zr3 * or_ + zi3 * oi_).reshape(sub_block, c_lanes)
-    yi = (zi3 * or_ - zr3 * oi_).reshape(sub_block, c_lanes)
+    coarse = jnp.mod(ph0 + jnp.mod(q_idx * fhi, 1.0) + q_idx * flo, 1.0)
+    cr2 = jnp.cos(TWO_PI * coarse)            # [nq, 2C]
+    ci2 = jnp.sin(TWO_PI * coarse)
+    fr1 = fr1_ref[:, :]
+    fi1 = fi1_ref[:, :]
+    fi2 = fi2_ref[:, :]
+    fr2 = fr2_ref[:, :]
+    a_ = cr2[:, None, :] * fr1[None, :, :] - ci2[:, None, :] * fi1[None, :, :]
+    b_ = cr2[:, None, :] * fi2[None, :, :] + ci2[:, None, :] * fr2[None, :, :]
+    if interpret:  # pltpu.roll is Mosaic-only
+        zsw = jnp.concatenate([z[:, c:], z[:, :c]], axis=1)
+    else:
+        zsw = pltpu.roll(z, c, 1)             # [im | re]
+    z3 = z.reshape(nq, 128, 2 * c)
+    zs3 = zsw.reshape(nq, 128, 2 * c)
+    ypk = (z3 * a_ + zs3 * b_).reshape(sub_block, 2 * c)
 
-    # ---- composed-FIR decimation: one MXU dot per plane ------------------
+    # ---- composed-FIR decimation: ONE packed MXU dot ----------------------
     tl = jnp.where(first, tail_in_ref[:, :], tail_out_ref[:, :])
-    er = jnp.concatenate([tl[:d_rows, :], yr], axis=0)   # [d_rows + sub, C]
-    ei = jnp.concatenate([tl[d_rows:, :], yi], axis=0)
-    tail_out_ref[:d_rows, :] = er[-d_rows:, :]
-    tail_out_ref[d_rows:, :] = ei[-d_rows:, :]
-    wt = wt_ref[:, :]
-    yr_ref[:, :] = jnp.dot(wt, er, preferred_element_type=jnp.float32)
-    yi_ref[:, :] = jnp.dot(wt, ei, preferred_element_type=jnp.float32)
+    e2 = jnp.concatenate([tl, ypk], axis=0)   # [d_rows + sub, 2C]
+    tail_out_ref[:, :] = e2[-d_rows:, :]
+    y_ref[:, :] = jnp.dot(wt_ref[:, :], e2, preferred_element_type=jnp.float32)
 
 
-def fused_front_planes(xr_t: jax.Array, xi_t: jax.Array,
-                       dc_ri: jax.Array, phase0: jax.Array,
+def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
                        f_hi: jax.Array, f_lo: jax.Array,
-                       tail_tm: jax.Array, wt: jax.Array,
+                       tail: jax.Array, wt: jax.Array,
                        factor: int, d_rows: int, dc_alpha: float,
                        sub_block: int = 2048, n_block: int = 0,
                        raw_rows: int = 0, interpret: bool = False):
-    """Whole front end in one pallas_call.
+    """Whole front end in one pallas_call, lane-packed layout.
 
-    xr_t/xi_t: [N, C] f32 time-major planes (the raw input layout) — N may
-    span many logical blocks (n_block rows each; defaults to N).
-    dc_ri: [2, C] DC estimate (re, im).  phase0/f_hi/f_lo: [C].
-    tail_tm: [2*d_rows, C] post-mix history (re rows then im rows); d_rows =
-    composed delay D padded so that d_rows + sub_block stays 8-aligned.
+    x_pk: [N, 2C] f32 packed plane (re lanes, then im lanes) — N may span
+    many logical blocks (n_block rows each; defaults to N).
+    dc: [1, 2C] DC estimate.  phase0/f_hi/f_lo: [C] (unpacked; packed here).
+    tail: [d_rows, 2C] post-mix history; d_rows = composed delay D padded so
+    that d_rows + sub_block stays 8-aligned.
     wt: [sub/factor, d_rows + sub_block] from build_composed_w().T.
 
-    Returns (yr [M, C], yi [M, C], dc_ri', tail_tm', phase',
-    raw_r [K, raw_rows, C], raw_i) with M = N/factor, K = N/n_block; raw_*
-    hold each logical block's trailing raw input rows (display tails).
+    Returns (y_pk [M, 2C], dc', tail', phase' [C], raw [K, raw_rows, 2C])
+    with M = N/factor, K = N/n_block; raw holds each logical block's trailing
+    raw input rows (display tails).
     """
-    n, c = xr_t.shape
+    n, c2 = x_pk.shape
+    c = c2 // 2
     assert n % sub_block == 0 and sub_block % DC_CHUNK == 0
     if not n_block:
         n_block = n
@@ -182,38 +172,64 @@ def fused_front_planes(xr_t: jax.Array, xi_t: jax.Array,
     a_c = float(dc_alpha) ** DC_CHUNK
     raw_rows = min(raw_rows, sub_block) or 8
 
+    # packed parameter vectors + grid-invariant fine-phasor tables (the
+    # oscillator's inner 128-sample period; XLA hoists these out of scans)
+    fhi2 = jnp.concatenate([f_hi, f_hi]).astype(jnp.float32)
+    flo2 = jnp.concatenate([f_lo, f_lo]).astype(jnp.float32)
+    ph2 = jnp.concatenate([phase0, phase0]).astype(jnp.float32)
+    r_idx = jnp.arange(128, dtype=jnp.float32)[:, None]
+    fine = jnp.mod(jnp.mod(r_idx * fhi2[None, :], 1.0)
+                   + r_idx * flo2[None, :], 1.0)
+    fr = jnp.cos(TWO_PI * fine)               # [128, 2C] = [fr | fr]
+    fi = jnp.sin(TWO_PI * fine)
+    sign = jnp.concatenate([jnp.ones((c,), jnp.float32),
+                            -jnp.ones((c,), jnp.float32)])[None, :]
+    fi2_t = fi * sign                          # [fi | -fi]
+    fr2_t = fr * sign                          # [fr | -fr]
+
     kern = functools.partial(_front_kernel, sub_block, c, d_rows, a_c,
-                             nchunk, nsub_blk, raw_rows)
+                             nchunk, nsub_blk, raw_rows, interpret)
     in_specs = [
-        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
-        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
-        pl.BlockSpec((1, c), lambda s: (0, 0)),
-        pl.BlockSpec((1, c), lambda s: (0, 0)),
-        pl.BlockSpec((1, c), lambda s: (0, 0)),
+        pl.BlockSpec((sub_block, c2), lambda s: (s, 0)),
+        pl.BlockSpec((1, c2), lambda s: (0, 0)),
+        pl.BlockSpec((1, c2), lambda s: (0, 0)),
+        pl.BlockSpec((1, c2), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2), lambda s: (0, 0)),
         pl.BlockSpec((m_sub, d_rows + sub_block), lambda s: (0, 0)),
-        pl.BlockSpec((2, c), lambda s: (0, 0)),
-        pl.BlockSpec((2 * d_rows, c), lambda s: (0, 0)),
+        pl.BlockSpec((1, c2), lambda s: (0, 0)),
+        pl.BlockSpec((d_rows, c2), lambda s: (0, 0)),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
-        jax.ShapeDtypeStruct((nsub * m_sub, c), jnp.float32),
-        jax.ShapeDtypeStruct((2, c), jnp.float32),
-        jax.ShapeDtypeStruct((2 * d_rows, c), jnp.float32),
-        jax.ShapeDtypeStruct((k_blocks, raw_rows, c), jnp.float32),
-        jax.ShapeDtypeStruct((k_blocks, raw_rows, c), jnp.float32),
+        jax.ShapeDtypeStruct((nsub * m_sub, c2), jnp.float32),
+        jax.ShapeDtypeStruct((1, c2), jnp.float32),
+        jax.ShapeDtypeStruct((d_rows, c2), jnp.float32),
+        jax.ShapeDtypeStruct((k_blocks, raw_rows, c2), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
-        pl.BlockSpec((m_sub, c), lambda s: (s, 0)),
-        pl.BlockSpec((2, c), lambda s: (0, 0)),
-        pl.BlockSpec((2 * d_rows, c), lambda s: (0, 0)),
-        pl.BlockSpec((1, raw_rows, c), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
-        pl.BlockSpec((1, raw_rows, c), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
+        pl.BlockSpec((m_sub, c2), lambda s: (s, 0)),
+        pl.BlockSpec((1, c2), lambda s: (0, 0)),
+        pl.BlockSpec((d_rows, c2), lambda s: (0, 0)),
+        pl.BlockSpec((1, raw_rows, c2), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
     ]
-    yr, yi, dc2, tail2, raw_r, raw_i = pl.pallas_call(
+    y, dc2, tail2, raw = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
-    )(xr_t, xi_t, phase0[None, :], f_hi[None, :].astype(jnp.float32),
-      f_lo[None, :].astype(jnp.float32), wt, dc_ri, tail_tm)
+    )(x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
+      fr, fi, fi2_t, fr2_t, wt, dc, tail)
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
-    return yr, yi, dc2, tail2, phase2, raw_r, raw_i
+    return y, dc2, tail2, phase2, raw
+
+
+def pack_planes(xr_t: jax.Array, xi_t: jax.Array) -> jax.Array:
+    """[N, C] re/im planes -> [N, 2C] packed (one copy; feeders should build
+    the packed layout directly and skip this)."""
+    return jnp.concatenate([xr_t, xi_t], axis=-1)
+
+
+def unpack_to_complex(y_pk: jax.Array) -> jax.Array:
+    """[M, 2C] packed -> [C, M] complex64."""
+    c = y_pk.shape[-1] // 2
+    return jax.lax.complex(y_pk[:, :c].T, y_pk[:, c:].T)

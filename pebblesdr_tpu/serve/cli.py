@@ -160,11 +160,14 @@ def main(argv=None):
             break
         if rec is not None:
             rec.append(blk.copy())
-        # [2, N, C] time-major planes: the fused-front fast path, and the
-        # only complex-free layout the axon transport can ship
-        iq_tm = np.broadcast_to(
-            np.stack([blk.real, blk.imag]).astype(np.float32)[:, :, None],
-            (2, args.frames, args.channels)).copy()
+        # [N, 2C] lane-packed time-major plane: the fused-front fast path,
+        # and the only complex-free layout the axon transport can ship
+        iq_tm = np.concatenate([
+            np.broadcast_to(blk.real.astype(np.float32)[:, None],
+                            (args.frames, args.channels)),
+            np.broadcast_to(blk.imag.astype(np.float32)[:, None],
+                            (args.frames, args.channels)),
+        ], axis=1)
         with perform.measure("step"):
             state, out = rx.step(state, params, jnp.asarray(iq_tm))
             # fetch inside the timed region: block_until_ready alone can

@@ -69,7 +69,7 @@ class TestFeeder:
             if i >= 4:
                 break
         f.stop()
-        assert blocks[0].shape == (2, 2, 4800)
+        assert blocks[0].shape == (4800, 4)  # [N, 2C] lane-packed
         assert blocks[0].dtype == np.float32
 
 

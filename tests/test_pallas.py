@@ -45,16 +45,18 @@ class TestFusedFrontPlanes:
             refs.append(np.asarray(y))
         ref = np.concatenate(refs, -1)
 
-        dc_ri = jnp.zeros((2, c), jnp.float32)
+        dc_pk = jnp.zeros((1, 2 * c), jnp.float32)
         phase = jnp.zeros((c,), jnp.float32)
-        tail = jnp.zeros((2 * d_rows, c), jnp.float32)
+        tail = jnp.zeros((d_rows, 2 * c), jnp.float32)
         outs = []
         for b in xs:
-            yr, yi, dc_ri, tail, phase, _, _ = pk.fused_front_planes(
-                jnp.asarray(b.real.T.copy()), jnp.asarray(b.imag.T.copy()),
-                dc_ri, phase, hi, lo, tail, wt, f, d_rows, 0.9999,
+            x_pk = jnp.asarray(
+                np.concatenate([b.real.T, b.imag.T], axis=-1).copy())
+            y_pk, dc_pk, tail, phase, _ = pk.fused_front_packed(
+                x_pk, dc_pk, phase, hi, lo, tail, wt, f, d_rows, 0.9999,
                 sub_block=sub, interpret=True)
-            outs.append(np.asarray(yr).T + 1j * np.asarray(yi).T)
+            y = np.asarray(y_pk)
+            outs.append(y[:, :c].T + 1j * y[:, c:].T)
         got = np.concatenate(outs, -1)
 
         scale = np.abs(ref).max()

@@ -46,10 +46,13 @@ def main():
     t = np.arange(FRAMES) / FS
     env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
     iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
-    iq_ri = np.broadcast_to(
-        np.stack([iq.real, iq.imag]).astype(np.float32)[None, :, :, None],
-        (BLOCKS, 2, FRAMES, CHANNELS)).copy()
-    iq_dev = jnp.asarray(iq_ri)
+    # [K*N, 2C] lane-packed planes: the zero-copy entry layout
+    plane = np.concatenate([
+        np.broadcast_to(iq.real.astype(np.float32)[:, None],
+                        (FRAMES, CHANNELS)),
+        np.broadcast_to(iq.imag.astype(np.float32)[:, None],
+                        (FRAMES, CHANNELS))], axis=1)
+    iq_dev = jnp.asarray(np.tile(plane, (BLOCKS, 1)))
 
     sync = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
 
@@ -70,8 +73,9 @@ def main():
         return dt
 
     if which in ("front", "all"):
-        def front_body(state, p, blk_tm):
-            blk = jax.lax.complex(blk_tm[0].T, blk_tm[1].T)
+        def front_body(state, p, blk_pk):
+            blk = jax.lax.complex(blk_pk[:, :CHANNELS].T,
+                                  blk_pk[:, CHANNELS:].T)
             dcs, x = iir.dc_removal_chunked(state.dc, blk, alpha=0.9999)
             mix_state, x = mixer.mix(state.mixer, x, p.tune_hi, p.tune_lo)
             decim_state, x = decimator.apply(rx.plan, state.decim, x)
@@ -81,7 +85,7 @@ def main():
         @functools.partial(jax.jit, donate_argnums=(0,))
         def front(state, iq_ri):
             return jax.lax.scan(lambda s, b: front_body(s, params, b),
-                                state, iq_ri)
+                                state, iq_ri.reshape(BLOCKS, FRAMES, -1))
 
         st = jax.jit(lambda: rx.init_state())()
         measure("front XLA (dc+mix+cascade)", front, st, lambda o: o["xa"])
@@ -98,20 +102,21 @@ def main():
         f_hi = jnp.full((CHANNELS,), 0.1, jnp.float32)
         f_lo = jnp.zeros((CHANNELS,), jnp.float32)
 
-        def pfront_body(carry, blk_tm):
-            dc_ri, phase, tail = carry
-            yr, yi, dc_ri, tail, phase, _, _ = pk.fused_front_planes(
-                blk_tm[0], blk_tm[1], dc_ri, phase, f_hi, f_lo, tail, wt,
+        def pfront_body(carry, x_pk):
+            dc_pk, phase, tail = carry
+            y_pk, dc_pk, tail, phase, _ = pk.fused_front_packed(
+                x_pk, dc_pk, phase, f_hi, f_lo, tail, wt,
                 rx.plan.factor, d_rows, 0.9999, sub_block=sub)
-            return (dc_ri, phase, tail), {"ya": jnp.abs(yr) + jnp.abs(yi)}
+            return (dc_pk, phase, tail), {"ya": jnp.abs(y_pk)}
 
         @jax.jit
         def pfront(carry, iq_ri):
-            return jax.lax.scan(pfront_body, carry, iq_ri)
+            return jax.lax.scan(pfront_body, carry,
+                                iq_ri.reshape(BLOCKS, FRAMES, -1))
 
-        carry0 = (jnp.zeros((2, CHANNELS), jnp.float32),
+        carry0 = (jnp.zeros((1, 2 * CHANNELS), jnp.float32),
                   jnp.zeros((CHANNELS,), jnp.float32),
-                  jnp.zeros((2 * d_rows, CHANNELS), jnp.float32))
+                  jnp.zeros((d_rows, 2 * CHANNELS), jnp.float32))
         measure("front fused (dc+mix+decim)", pfront, carry0,
                 lambda o: o["ya"])
 
