@@ -86,6 +86,10 @@ class ReceiverConfig:
     #                                       Applies to stateless-demod modes
     #                                       (AM/SSB/CW/DSB); SAM/FMN/WFM and
     #                                       ANF configs fall back to the scan
+    batched_wfm: bool = False             # opt-in: WFM through the batched
+    #                                       step_many graph (parity-tested;
+    #                                       currently ties the scan on v5e
+    #                                       but compiles ~9x slower)
     db_offset: float = 0.0                # display calibration offset applied
     #                                       to both spectra (settings.h dbOffset)
 
@@ -381,6 +385,18 @@ class Receiver:
         batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
                          DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
                          DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
+        # WFM can batch too (wfm_demod n_block mode; blockwise pilot PLL is
+        # streaming-equivalent to ~1e-3 rad) — except the RDS tap, whose
+        # bit/block decode stays per-block.  It is OPT-IN (batched_wfm):
+        # measured at parity with the scan on v5e (0.38 vs 0.36 ms/block,
+        # 16 ch) but ~9x slower to compile, so scan stays the WFM default.
+        # NFM batches for the elementwise discriminators; the PLL variant is
+        # a per-sample scan.
+        mode_ok = (self.cfg.mode in batched_modes
+                   or (is_wfm(self.cfg.mode) and not self.cfg.rds
+                       and self.cfg.batched_wfm)
+                   or (self.cfg.mode == DemodMode.FMN
+                       and self.nfm_cfg.algorithm in ("conj", "derivative")))
         n = self.cfg.frames_per_buffer
         # Normalize to the packed layout.  Preferred entry buffer: [K*N, 2C]
         # float32 — it matches the backend's default 2D layout exactly (zero
@@ -400,8 +416,7 @@ class Receiver:
             x_pk = jnp.concatenate(
                 [jnp.moveaxis(iq.real, 1, 2), jnp.moveaxis(iq.imag, 1, 2)],
                 axis=-1)
-        if (self.cfg.batched_many and self.use_pallas
-                and self.cfg.mode in batched_modes
+        if (self.cfg.batched_many and self.use_pallas and mode_ok
                 and not self.cfg.enable_anf
                 and self.cfg.spectrum_bins <= self._front_sub):
             return self._step_many_batched(state, params, x_pk,
@@ -462,6 +477,9 @@ class Receiver:
         # ---- full-rate spectrum per block (batched) ------------------------
         if spectra:
             bins = cfg.spectrum_bins
+            # raw display tails come from the kernel's raw export: slicing
+            # them off the entry buffer instead costs a [K, bins, 2C]
+            # strided-gather relayout (measured 25-40% whole-chain hit)
             raw = jax.lax.complex(
                 jnp.moveaxis(raw_pk[:, :, :c], 2, 1),
                 jnp.moveaxis(raw_pk[:, :, c:], 2, 1))           # [K, C, bins]
@@ -515,32 +533,56 @@ class Receiver:
         out["squelch_open"] = squelch_open
 
         # ---- demod-rate tail ONCE on the concatenated stream ---------------
-        mask = jax.lax.complex(params.bp_mask[0], params.bp_mask[1])
-        ff_state, xt = fastfir.apply_many(state.fastfir, x_cat, mask, blk)
-        agc_state, xt = agc.agc_apply(self.agc_cfg, state.agc, xt)
         m = cfg.mode
-        if m == DemodMode.AM:
-            demod_state, audio = am_mod.am_demod(self.am_cfg, state.demod, xt)
-        elif m == DemodMode.SAM:
-            demod_state, audio = sam_mod.sam_demod(self.sam_cfg, state.demod, xt)
-        elif m == DemodMode.FMN:
-            demod_state, audio = nfm_mod.nfm_demod(self.nfm_cfg, state.demod, xt)
-        elif m in (DemodMode.USB, DemodMode.CWU, DemodMode.DIGU):
-            demod_state, audio = state.demod, ssb_mod.usb_demod(xt)
-        elif m in (DemodMode.LSB, DemodMode.CWL, DemodMode.DIGL):
-            demod_state, audio = state.demod, ssb_mod.lsb_demod(xt)
-        elif m == DemodMode.DSB:
-            demod_state, audio = state.demod, ssb_mod.dsb_demod(xt)
+        if is_wfm(m):
+            # WFM skips FastFIR/AGC (like _wfm_path); wfm_demod runs the
+            # whole K-block composite stream with per-block pilot-lock
+            demod_state, wout = wfm_mod.wfm_demod(self.wfm_cfg, state.demod,
+                                                  x_cat, n_block=blk)
+            out["pilot_locked"] = wout["pilot_locked"].T      # [K, C]
+            ff_state, agc_state = state.fastfir, state.agc
+            if self.wfm_cfg.stereo:
+                lr = jnp.concatenate([wout["left"], wout["right"]], axis=0)
+                resamp_state, lr = resampler.apply_many(self.rs_plan,
+                                                        state.resamp, lr)
+                audio_blk = lr.shape[-1] // k
+                lr = lr.reshape(2, c, k, audio_blk)           # [2, C, K, M]
+                audio = jnp.moveaxis(lr, (2, 1), (0, 1))      # [K, C, 2, M]
+            else:
+                resamp_state, mono = resampler.apply_many(self.rs_plan,
+                                                          state.resamp,
+                                                          wout["left"])
+                audio_blk = mono.shape[-1] // k
+                audio = jnp.moveaxis(mono.reshape(c, k, audio_blk), 1, 0)
         else:
-            demod_state, audio = state.demod, xt.real
-        resamp_state, audio = resampler.apply_many(self.rs_plan, state.resamp,
-                                                   audio)
-        audio_blk = audio.shape[-1] // k
-        audio = jnp.moveaxis(audio.reshape(c, k, audio_blk), 1, 0)  # [K,C,M]
+            mask = jax.lax.complex(params.bp_mask[0], params.bp_mask[1])
+            ff_state, xt = fastfir.apply_many(state.fastfir, x_cat, mask, blk)
+            agc_state, xt = agc.agc_apply(self.agc_cfg, state.agc, xt)
+            if m == DemodMode.AM:
+                demod_state, audio = am_mod.am_demod(self.am_cfg, state.demod,
+                                                     xt)
+            elif m == DemodMode.SAM:
+                demod_state, audio = sam_mod.sam_demod(self.sam_cfg,
+                                                       state.demod, xt)
+            elif m == DemodMode.FMN:
+                demod_state, audio = nfm_mod.nfm_demod(self.nfm_cfg,
+                                                       state.demod, xt)
+            elif m in (DemodMode.USB, DemodMode.CWU, DemodMode.DIGU):
+                demod_state, audio = state.demod, ssb_mod.usb_demod(xt)
+            elif m in (DemodMode.LSB, DemodMode.CWL, DemodMode.DIGL):
+                demod_state, audio = state.demod, ssb_mod.lsb_demod(xt)
+            elif m == DemodMode.DSB:
+                demod_state, audio = state.demod, ssb_mod.dsb_demod(xt)
+            else:
+                demod_state, audio = state.demod, xt.real
+            resamp_state, audio = resampler.apply_many(self.rs_plan,
+                                                       state.resamp, audio)
+            audio_blk = audio.shape[-1] // k
+            audio = jnp.moveaxis(audio.reshape(c, k, audio_blk), 1, 0)
 
         gate = squelch_open.astype(jnp.float32) * params.gain * (
             1.0 - params.mute.astype(jnp.float32))
-        out["audio"] = audio * gate[:, :, None]
+        out["audio"] = audio * gate[(...,) + (None,) * (audio.ndim - 2)]
 
         new_state = ReceiverState(
             mixer=mix_state, decim=decim_state, fastfir=ff_state, dc=dc,

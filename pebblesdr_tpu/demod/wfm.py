@@ -111,12 +111,34 @@ def discriminator(last: jax.Array, x: jax.Array, gain: float):
     return x[:, -1], jnp.arctan2(delta.imag, delta.real) * gain
 
 
-def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array):
+def _ewma_rows(prev: jax.Array, p: jax.Array, a: float):
+    """Per-block EWMA over the trailing axis of p [C, K], seeded by prev [C]:
+    one tiny closed-form matmul instead of a K-step scan (the batched
+    step_many analog of the per-call `a*level + (1-a)*coh` update)."""
+    k = p.shape[-1]
+    kk = np.arange(k)
+    lmat = np.where(kk[:, None] <= kk[None, :],
+                    (1.0 - a) * a ** (kk[None, :] - kk[:, None]), 0.0)
+    with jax.ensure_compile_time_eval():
+        lmat_d = jnp.asarray(lmat.astype(np.float32))
+        seed_d = jnp.asarray((a ** (kk + 1)).astype(np.float32))
+    return p @ lmat_d + prev[:, None] * seed_d[None, :]
+
+
+def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
+              n_block: int = 0):
     """x: [C, N] complex64 composite-rate IQ.
 
+    n_block > 0 treats x as K = N // n_block concatenated logical blocks in
+    ONE call (the batched step_many path): every stage is streaming-exact on
+    the concatenated stream (FIR tails, biquads, deemphasis; the blockwise
+    pilot PLL matches sequential calls to ~1e-3 rad — fp32 ramp precision),
+    and the per-block pilot lock EWMA keeps its per-call semantics via a
+    closed-form K-matmul.
+
     Returns (state', out) with out = dict(left [C, M], right [C, M],
-    pilot_locked [C] bool, rds_baseband [C, N] complex64 | None) where
-    M = N // audio_decim.
+    pilot_locked ([C] bool, or [C, K] when n_block), rds_baseband
+    [C, N] complex64 | None) where M = N // audio_decim.
     """
     fs = cfg.sample_rate
     disc_gain = fs / (2.0 * np.pi * cfg.max_deviation)
@@ -124,6 +146,8 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array):
 
     taps = jnp.asarray(cfg.audio_taps, jnp.float32)
     alpha = iir.deemphasis_alpha(cfg.deemphasis_us, cfg.audio_rate)
+    c, n = x.shape
+    k_blocks = (n // n_block) if n_block else 1
 
     if cfg.stereo:
         # --- pilot recovery ---------------------------------------------------
@@ -145,16 +169,30 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array):
         # demod_wfm.cpp:275-284).
         # (the sign() detector has two stable lock points, pilot = +-A*sin(phi);
         # both yield the same sin(2*phi) demux, so lock on |coherence|)
-        coh = jnp.abs(jnp.mean(pilot * jnp.sin(phases), axis=-1))
-        level = 0.9 * state.pilot_level + 0.1 * coh
-        locked = level > 0.002
+        coh_s = pilot * jnp.sin(phases)
+        if n_block:
+            coh = jnp.abs(jnp.mean(coh_s.reshape(c, k_blocks, n_block), -1))
+            level_k = _ewma_rows(state.pilot_level, coh, 0.9)   # [C, K]
+            level = level_k[:, -1]
+            locked = level_k > 0.002                            # [C, K]
+        else:
+            coh = jnp.abs(jnp.mean(coh_s, axis=-1))
+            level = 0.9 * state.pilot_level + 0.1 * coh
+            locked = level > 0.002                              # [C]
         # --- demux ------------------------------------------------------------
         lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
         mono_a, tail_m = fir.fir_apply_real_signal(raw, taps, state.lp_tail_mono,
                                                    decim=cfg.audio_decim)
         lmr_a, tail_s = fir.fir_apply_real_signal(lmr, taps, state.lp_tail_lmr,
                                                   decim=cfg.audio_decim)
-        lmr_a = jnp.where(locked[:, None], lmr_a, 0.0)
+        if n_block:
+            m_all = lmr_a.shape[-1]
+            lmr_a = jnp.where(
+                locked[:, :, None],
+                lmr_a.reshape(c, k_blocks, m_all // k_blocks),
+                0.0).reshape(c, m_all)
+        else:
+            lmr_a = jnp.where(locked[:, None], lmr_a, 0.0)
         left = mono_a + lmr_a
         right = mono_a - lmr_a
         # --- polish: pilot notch + de-emphasis --------------------------------
@@ -169,7 +207,8 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array):
         right = left
         bq_state, pll_state = state.pilot_bq, state.pilot_pll
         level = state.pilot_level
-        locked = jnp.zeros((x.shape[0],), bool)
+        locked = (jnp.zeros((c, k_blocks), bool) if n_block
+                  else jnp.zeros((c,), bool))
         tail_s, notch_l, notch_r = state.lp_tail_lmr, state.notch_l, state.notch_r
         dr = state.deemph_r
 

@@ -69,6 +69,57 @@ def test_batched_matches_sequential(mode):
             assert d < 1e-4, (name, d)
 
 
+def _wfm_signal():
+    """Stereo FM composite: L-only 1 kHz program + 19 kHz pilot."""
+    t = np.arange(K * N) / FS
+    a = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    th = 2 * np.pi * 19000.0 * t
+    comp = 0.45 * a + 0.1 * np.sin(th) + 0.45 * a * np.sin(2 * th)
+    phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+    iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+          ).astype(np.complex64)
+    return iq[None, :] * np.ones((C, 1), np.float32)
+
+
+@pytest.mark.parametrize("mode", [DemodMode.FMS, DemodMode.FMM,
+                                  DemodMode.FMN])
+def test_batched_fm_matches_sequential(mode):
+    iq = _wfm_signal() if mode != DemodMode.FMN else _signal()
+    xr2 = np.ascontiguousarray(iq.real.astype(np.float32).T)   # [K*N, C]
+    xi2 = np.ascontiguousarray(iq.imag.astype(np.float32).T)
+    x_pk = np.concatenate([xr2, xi2], axis=1)                  # [K*N, 2C]
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=mode, use_pallas=True, batched_many=True,
+                         batched_wfm=True)
+    rx = Receiver(cfg)
+    params = rx.default_params(250_000.0)
+
+    st = rx.init_state()
+    outs = []
+    step = jax.jit(functools.partial(rx._step_impl, spectra=False))
+    for k in range(K):
+        st, o = step(st, params,
+                     jnp.asarray(x_pk[k * N:(k + 1) * N]))
+        outs.append(o)
+    audio_seq = np.concatenate([np.asarray(o["audio"]) for o in outs], -1)
+
+    st2 = rx.init_state()
+    st2, ob = jax.jit(functools.partial(rx._step_many_impl, spectra=False))(
+        st2, params, jnp.asarray(x_pk))
+    a_b = np.asarray(ob["audio"])                  # [K, C, (2,) M]
+    audio_b = np.moveaxis(a_b, 0, -2).reshape(audio_seq.shape)
+
+    scale = max(np.abs(audio_seq).max(), 1e-6)
+    # blockwise pilot PLL is streaming-equivalent to ~1e-3 rad (fp32 ramp
+    # precision), so FM stereo parity is tolerance-bounded, not bit-exact
+    tol = 2e-3 if mode != DemodMode.FMN else 2e-4
+    assert np.abs(audio_seq - audio_b).max() / scale < tol
+    if mode == DemodMode.FMS:
+        locked = np.asarray(ob["pilot_locked"])
+        assert locked.shape == (K, C) and locked[-1].all()
+
+
 def test_batched_falls_back_for_scan_modes():
     """SAM (chunked-PLL demod) must take the scan path even when batched
     is requested."""
