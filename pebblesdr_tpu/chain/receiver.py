@@ -396,7 +396,10 @@ class Receiver:
                    or (is_wfm(self.cfg.mode) and not self.cfg.rds
                        and self.cfg.batched_wfm)
                    or (self.cfg.mode == DemodMode.FMN
-                       and self.nfm_cfg.algorithm in ("conj", "derivative")))
+                       and self.nfm_cfg.algorithm in ("conj", "derivative"))
+                   or (self.cfg.mode == DemodMode.SAM
+                       and self.sam_cfg.algorithm == "aimed"
+                       and self.blk % 128 == 0))
         n = self.cfg.frames_per_buffer
         # Normalize to the packed layout.  Preferred entry buffer: [K*N, 2C]
         # float32 — it matches the backend's default 2D layout exactly (zero
@@ -563,7 +566,8 @@ class Receiver:
                                                      xt)
             elif m == DemodMode.SAM:
                 demod_state, audio = sam_mod.sam_demod(self.sam_cfg,
-                                                       state.demod, xt)
+                                                       state.demod, xt,
+                                                       n_block=blk)
             elif m == DemodMode.FMN:
                 demod_state, audio = nfm_mod.nfm_demod(self.nfm_cfg,
                                                        state.demod, xt)

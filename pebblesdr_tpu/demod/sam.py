@@ -22,9 +22,19 @@ class SAMConfig:
     sample_rate: float = static_field()
     pll: pll.PLLConfig = static_field()
     hilbert_taps: np.ndarray = static_field()
+    algorithm: str = static_field(default="aimed")  # 'aimed' (two-stage
+    #                               blockwise carrier loop, vectorizes) |
+    #                               'scan' (per-sample loop, the reference's
+    #                               exact recurrence, demod_sam.cpp:5-112)
+    pll_chunk: int = static_field(default=8)   # blockwise loop stability
+    #                               needs alpha*chunk << 1: the SAM loop is
+    #                               100 Hz BW at ~32 ksps, so chunk 8 keeps
+    #                               the rescaled gain at 0.22 (chunk 64 put
+    #                               it at 1.8 — divergent)
 
     @staticmethod
-    def make(sample_rate: float, bandwidth: float = 10000.0) -> "SAMConfig":
+    def make(sample_rate: float, bandwidth: float = 10000.0,
+             algorithm: str = "aimed") -> "SAMConfig":
         cfg = pll.make_pll_config(sample_rate, bw_hz=100.0, zeta=0.707,
                                   range_hz=1000.0, detector="atan2")
         # analytic filter 0..bandwidth/2 (demod_sam.cpp GenerateHBFilter(5000));
@@ -32,7 +42,8 @@ class SAMConfig:
         # convention; the sideband split wants hi = upper sideband as-is)
         taps = 0.5 * fir.design_hilbert(61, bandwidth / 4.0, bandwidth / 2.0,
                                         sample_rate)
-        return SAMConfig(sample_rate=sample_rate, pll=cfg, hilbert_taps=taps)
+        return SAMConfig(sample_rate=sample_rate, pll=cfg, hilbert_taps=taps,
+                         algorithm=algorithm)
 
 
 @pytree_dataclass
@@ -43,6 +54,7 @@ class SAMState:
     hilbert_tail: jax.Array
     align: jax.Array   # [C, (T-1)//2] delay aligning base with the Hilbert
     #                    filter's group delay
+    aim: jax.Array     # [C] carried aim-ramp phase ('aimed' algorithm)
 
 
 def sam_init(cfg: SAMConfig, channels: int) -> SAMState:
@@ -53,24 +65,39 @@ def sam_init(cfg: SAMConfig, channels: int) -> SAMState:
         hilbert_tail=fir.fir_tail_init(channels, len(cfg.hilbert_taps)),
         align=jnp.zeros((channels, (len(cfg.hilbert_taps) - 1) // 2),
                         jnp.complex64),
+        aim=jnp.zeros((channels,), jnp.float32),
     )
 
 
-def sam_demod(cfg: SAMConfig, state: SAMState, x: jax.Array):
+def sam_demod(cfg: SAMConfig, state: SAMState, x: jax.Array,
+              n_block: int = 0):
     """x: [C, N] complex64 -> (state', audio [C, N] float32 mono)."""
-    state2, mono, _l, _r = sam_demod_stereo(cfg, state, x)
+    state2, mono, _l, _r = sam_demod_stereo(cfg, state, x, n_block=n_block)
     return state2, mono
 
 
-def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array):
+def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array,
+                     n_block: int = 0):
     """Full SAM with the reference's sideband mix (demod_sam.cpp:5-112):
-    after PLL carrier removal, the analytic (Hilbert) filter isolates the
+    after PLL carrier recovery, the analytic (Hilbert) filter isolates the
     upper sideband; L = lo+hi (== the coherent mono), R = hi-lo — the
     'mono-aural mix' that lets the ear separate the sidebands.
 
+    algorithm='aimed' (default): two-stage blockwise carrier loop (conj-
+    product frequency aim + chunked residual loop) — vectorizes, supports
+    n_block concatenated logical blocks in one call (batched step_many).
+    algorithm='scan': the reference's per-sample PLL recurrence.
+
     Returns (state', mono, left, right), each [C, N] float32.
     """
-    pll_state, phases, _ = pll.pll_run(cfg.pll, state.pll, x)
+    aim = state.aim
+    nb_len = n_block or x.shape[-1]
+    if cfg.algorithm == "aimed" and nb_len % 128 == 0:
+        pll_state, aim, phases, _ = pll.pll_run_aimed(
+            cfg.pll, state.pll, state.aim, x, chunk=cfg.pll_chunk,
+            n_block=n_block)
+    else:  # 'scan', or a block too short for the multi-resolution aim
+        pll_state, phases, _ = pll.pll_run(cfg.pll, state.pll, x)
     base = x * jnp.exp(-1j * phases.astype(jnp.complex64))
     taps_c = jnp.asarray(cfg.hilbert_taps, jnp.complex64)
     hi, tail = fir.fir_apply_complex(base, taps_c, state.hilbert_tail)
@@ -85,5 +112,5 @@ def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array):
     dc_r, right = iir.dc_removal_apply(state.dc_r, hi_minus_lo, alpha=0.999)
     left = mono
     return (SAMState(pll=pll_state, dc=dc, dc_r=dc_r, hilbert_tail=tail,
-                     align=new_align),
+                     align=new_align, aim=aim),
             mono, left, right)

@@ -190,3 +190,67 @@ def pll_run_blockwise(cfg: PLLConfig, state: PLLState, x: jax.Array,
              * jnp.ones_like(t_in)[None, None, :]).reshape(c, n)
     new_state = PLLState(phase=ph, fdev=fr / chunk, amp=am)
     return new_state, phases, freqs
+
+
+def pll_run_aimed(cfg: PLLConfig, state: PLLState, aim_phase: jax.Array,
+                  x: jax.Array, chunk: int = 64, n_block: int = 0):
+    """Two-stage blockwise PLL for WIDE pull ranges (SAM: +-1 kHz at ~30 ksps,
+    where pll_run_blockwise's fixed-center chunk sums lose coherence).
+
+    Stage 1 AIMS: the block's carrier frequency comes from the conj-product
+    mean (one reduction — the discriminator trick), clipped to the loop
+    range; the block is derotated by the carried aim ramp.  Stage 2 runs the
+    chunked blockwise loop on the (now near-zero) residual.  The aim phase
+    carries across calls so the reconstructed phase is continuous.
+
+    n_block > 0 computes the aim per logical block of the concatenated
+    stream (the batched step_many path) with a closed-form carried-phase
+    cumsum — matches sequential calls up to fp32 ramp precision.
+
+    Returns (state', aim_phase' [C], phases [C, N], freqs [C, N] rad/sample).
+    """
+    c, n = x.shape
+    nb = n_block or n
+    k = n // nb
+    # ---- stage 1: per-block carrier frequency, multi-resolution aim.
+    # A plain conj-product mean is biased by strong sidebands (an AM signal's
+    # sideband pulls the estimate hundreds of Hz); instead, progressively
+    # longer coherent sums act as boxcar lowpass stages that attenuate the
+    # sidebands before each frequency read, while each read's unambiguous
+    # range (|f*span| < pi) still covers the previous stage's residual.
+    z = x.reshape(c, k, nb)
+    f_est = jnp.zeros((c, k), jnp.float32)
+    span = 1
+    for fold in (8, 4, 4):
+        z = jnp.sum(z.reshape(c, k, -1, fold), axis=-1)         # [C, K, M]
+        span *= fold
+        # within-block products only, so the K-block batched call computes
+        # the exact same per-block aim as K sequential calls
+        dm = jnp.mean(z[:, :, 1:] * jnp.conj(z[:, :, :-1]), axis=-1)
+        f_step = jnp.arctan2(dm.imag, dm.real) / span           # rad/sample
+        f_est = f_est + f_step
+        # derotate the summed stream by this stage's estimate so the next
+        # (longer) coherent sum sees the carrier near DC
+        m_idx = jnp.arange(z.shape[-1], dtype=jnp.float32)
+        rot = (f_step[:, :, None] * span) * m_idx[None, None, :]
+        z = z * jnp.exp(-1j * rot.astype(jnp.complex64))
+    f_est = jnp.clip(f_est, cfg.freq_lo, cfg.freq_hi)
+    # carried aim phase at each block start: aim + cumsum(f_est * nb)
+    steps = f_est * float(nb)
+    starts = aim_phase[:, None] + jnp.concatenate(
+        [jnp.zeros((c, 1), jnp.float32), jnp.cumsum(steps[:, :-1], axis=-1)],
+        axis=-1)                                                # [C, K]
+    starts = jnp.mod(starts + math.pi, TWO_PI) - math.pi
+    t_in = jnp.arange(nb, dtype=jnp.float32)
+    ramp = (starts[:, :, None] + f_est[:, :, None] * t_in[None, None, :]
+            ).reshape(c, n)
+    xd = x * jnp.exp(-1j * ramp.astype(jnp.complex64))
+    cfg0 = PLLConfig(alpha=cfg.alpha, beta=cfg.beta, freq_center=0.0,
+                     freq_lo=cfg.freq_lo - cfg.freq_hi,
+                     freq_hi=cfg.freq_hi - cfg.freq_lo,
+                     detector=cfg.detector)
+    st2, ph_res, fr_res = pll_run_blockwise(cfg0, state, xd, chunk=chunk)
+    phases = ramp + ph_res
+    freqs = jnp.repeat(f_est, nb, axis=-1) + fr_res
+    aim2 = jnp.mod(starts[:, -1] + steps[:, -1] + math.pi, TWO_PI) - math.pi
+    return st2, aim2, phases, freqs

@@ -82,9 +82,10 @@ def _wfm_signal():
 
 
 @pytest.mark.parametrize("mode", [DemodMode.FMS, DemodMode.FMM,
-                                  DemodMode.FMN])
+                                  DemodMode.FMN, DemodMode.SAM])
 def test_batched_fm_matches_sequential(mode):
-    iq = _wfm_signal() if mode != DemodMode.FMN else _signal()
+    iq = (_wfm_signal() if mode in (DemodMode.FMS, DemodMode.FMM)
+          else _signal())
     xr2 = np.ascontiguousarray(iq.real.astype(np.float32).T)   # [K*N, C]
     xi2 = np.ascontiguousarray(iq.imag.astype(np.float32).T)
     x_pk = np.concatenate([xr2, xi2], axis=1)                  # [K*N, 2C]
@@ -111,9 +112,9 @@ def test_batched_fm_matches_sequential(mode):
     audio_b = np.moveaxis(a_b, 0, -2).reshape(audio_seq.shape)
 
     scale = max(np.abs(audio_seq).max(), 1e-6)
-    # blockwise pilot PLL is streaming-equivalent to ~1e-3 rad (fp32 ramp
-    # precision), so FM stereo parity is tolerance-bounded, not bit-exact
-    tol = 2e-3 if mode != DemodMode.FMN else 2e-4
+    # blockwise PLLs are streaming-equivalent to ~1e-3 rad (fp32 ramp
+    # precision), so PLL-mode parity is tolerance-bounded, not bit-exact
+    tol = 2e-4 if mode == DemodMode.FMN else 2e-3
     assert np.abs(audio_seq - audio_b).max() / scale < tol
     if mode == DemodMode.FMS:
         locked = np.asarray(ob["pilot_locked"])
@@ -121,15 +122,16 @@ def test_batched_fm_matches_sequential(mode):
 
 
 def test_batched_falls_back_for_scan_modes():
-    """SAM (chunked-PLL demod) must take the scan path even when batched
-    is requested."""
-    iq = _signal()
+    """Configs the batched graph cannot serve (here: WFM with the RDS
+    bit-decode tap) must take the scan path even when batched is
+    requested."""
+    iq = _wfm_signal()
     blocks_tm = np.stack(
         [iq.real.astype(np.float32).T.reshape(K, N, C),
          iq.imag.astype(np.float32).T.reshape(K, N, C)], axis=1)
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
-                         mode=DemodMode.SAM, use_pallas=True,
-                         batched_many=True)
+                         mode=DemodMode.FMS, rds=True, use_pallas=True,
+                         batched_many=True, batched_wfm=True)
     rx = Receiver(cfg)
     params = rx.default_params(250_000.0)
     st = rx.init_state()
