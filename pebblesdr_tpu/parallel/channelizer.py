@@ -58,7 +58,6 @@ def build_sharded_step(rx: Receiver, mesh):
             "front end runs its own time-shard halo-exchange path, not the "
             "single-chip fused kernel)")
     from pebblesdr_tpu.ops import decimator as decim_mod
-    from pebblesdr_tpu.ops import pallas_kernels as pk
 
     plan = rx.plan
     csh = NamedSharding(mesh, P("channel", None))
@@ -69,10 +68,9 @@ def build_sharded_step(rx: Receiver, mesh):
     if n_local % plan.factor:
         raise ValueError(f"per-shard chunk {n_local} not divisible by the "
                          f"decimation factor {plan.factor}")
-    w_dense = jnp.asarray(pk.build_composed_w(h, plan.factor, n_local, 0))
 
     front = jax.shard_map(
-        functools.partial(_front_end, w_dense, plan.factor),
+        functools.partial(_front_end, h, plan.factor),
         mesh=mesh,
         in_specs=(P("channel"), P("channel", None),
                   P("channel", "time"), P("channel"), P("channel")),
@@ -108,7 +106,7 @@ def build_sharded_step(rx: Receiver, mesh):
     return step
 
 
-def _front_end(w_dense, factor, phase0, carry, xl, hi, lo):
+def _front_end(h_np, factor, phase0, carry, xl, hi, lo):
     phase2, new_carry, y = time_shard.sharded_composed_front(
-        xl, phase0, hi, lo, carry, w_dense, factor, "time")
+        xl, phase0, hi, lo, carry, h_np, factor, "time")
     return phase2, new_carry, y

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from pebblesdr_tpu.ops import decimator as decim_mod
@@ -127,20 +128,23 @@ def sharded_overlap_save(state_local, x_local, mask, axis_name: str):
 
 
 def sharded_composed_front(x_local: jax.Array, phase0: jax.Array, f_hi, f_lo,
-                           carry: jax.Array, w_dense: jax.Array, factor: int,
+                           carry: jax.Array, h_np, factor: int,
                            axis_name: str):
     """Time-sharded NCO mix + WHOLE decimator cascade in one step, using the
     noble-identity composed response (ops.decimator.compose_response) — the
     sharded twin of the single-chip fused front end.
 
     Exchanges ONE halo of D = group-delay samples (post-mix) instead of one
-    per cascade stage: 1 ppermute + 1 all_gather per block total, and the
-    local work is a single banded matmul instead of k strided conv passes.
+    per cascade stage: 1 ppermute + 1 all_gather per block total.  The local
+    filtering runs fir.fir_apply_real_signal's SEGMENTED banded-matmul path:
+    a single dense [D+Nl, Nl/F] Toeplitz is >90% zeros at realistic Nl (its
+    MACs grow as Nl^2/F), while the per-segment banded form keeps the band
+    fraction fixed — the same fix as the fused kernel's band-tiled dot.
 
     x_local: [C, Nl] complex64 (Nl % factor == 0); carry: [C, D] complex64 —
     the previous global block's last D post-mix samples (same on all shards);
-    w_dense: [D + Nl, Nl//factor] float32 Toeplitz operator
-    (build_composed_w(h, factor, Nl, pad=0) with D = len(h)-1).
+    h_np: the composed response (numpy float64/32, len D+1) from
+    ops.decimator.compose_response.
 
     Returns (new_phase [C], new_carry [C, D], y_local [C, Nl//factor]).
     Bit-compatible with mixer.mix + decimator.apply on the unsharded stream
@@ -153,9 +157,11 @@ def sharded_composed_front(x_local: jax.Array, phase0: jax.Array, f_hi, f_lo,
 
     neighbor = left_halo(z_local, d, axis_name)
     lead = jnp.where(my_idx == 0, carry, neighbor)
-    ext = jnp.concatenate([lead, z_local], axis=-1)        # [C, D + Nl]
-    yr = jnp.matmul(ext.real, w_dense, precision="highest")
-    yi = jnp.matmul(ext.imag, w_dense, precision="highest")
+    h32 = np.asarray(h_np, np.float32)
+    yr, _ = fir.fir_apply_real_signal(z_local.real, None, lead.real,
+                                      decim=factor, taps_np=h32)
+    yi, _ = fir.fir_apply_real_signal(z_local.imag, None, lead.imag,
+                                      decim=factor, taps_np=h32)
     y = lax.complex(yr, yi).astype(jnp.complex64)
 
     new_carry = _last_shard_tail(z_local, d, axis_name)
