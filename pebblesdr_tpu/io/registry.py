@@ -14,6 +14,7 @@ from typing import Callable
 from pebblesdr_tpu.io import sources as _src
 from pebblesdr_tpu.io import rtl_tcp as _rtl
 from pebblesdr_tpu.io import sdr_ip as _sdrip
+from pebblesdr_tpu.io import hpsdr as _hpsdr
 
 _REGISTRY: dict[str, Callable] = {}
 
@@ -60,3 +61,4 @@ register("synthetic", _src.SyntheticSource)
 register("morsegen", _src.MorseGenSource)
 register("rtl_tcp", _rtl.RtlTcpSource)
 register("sdr_ip", _sdrip.SdrIpSource)
+register("hpsdr", _hpsdr.HpsdrSource)
