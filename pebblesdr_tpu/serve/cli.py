@@ -33,7 +33,7 @@ def make_source(args) -> sources.Source:
         kwargs = {}
         if args.source == "file":
             kwargs = {"path": args.wav or args.path, "pace": args.pace}
-        elif args.source == "rtl_tcp":
+        elif args.source in ("rtl_tcp", "sdr_ip", "hpsdr"):
             kwargs = {"host": args.host, "port": args.port,
                       "sample_rate": args.sample_rate}
         elif args.source in ("synthetic", "morsegen"):
@@ -93,6 +93,11 @@ def main(argv=None):
     p.add_argument("--pace", action="store_true", help="real-time pacing")
     p.add_argument("--noise-db", type=float, default=None)
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    p.add_argument("--display", choices=["waterfall", "spectrum"], default=None,
+                   help="live terminal spectrum display (SpectrumWidget analog)")
+    p.add_argument("--display-zoomed", action="store_true",
+                   help="display the demod-rate (HiRes) spectrum instead of "
+                        "the device-rate one")
     p.add_argument("--decode", choices=["cw", "rtty"], default=None,
                    help="run a digital modem on the channel and print text")
     p.add_argument("--rds", action="store_true",
@@ -134,6 +139,12 @@ def main(argv=None):
         modem = RttyModem(rx.demod_rate)
         decoder = RttyDecoder(frames_per_bit=modem.frames_per_bit)
     modem_buf = np.zeros((args.channels, 0), np.complex64)
+    display = None
+    if args.display:
+        from pebblesdr_tpu.serve.display import TerminalDisplay
+
+        display = TerminalDisplay(mode=args.display,
+                                  color=sys.stdout.isatty())
     rds_block = rds_groups = None
     if args.rds:
         from pebblesdr_tpu.demod import rds as rds_mod
@@ -195,6 +206,15 @@ def main(argv=None):
         audio_chunks.extend(audio_np)
         n_done += k_real
         last_out = (out, k_real)
+        if display is not None:
+            key = "zoomed" if args.display_zoomed else "spectrum"
+            if key in out:
+                spec = np.asarray(out[key])[k_real - 1, 0]  # latest block, ch 0
+                sm = {k: float(np.asarray(v)[k_real - 1, 0])
+                      for k, v in out["smeter"].items()}
+                span = rx.demod_rate if args.display_zoomed else fs
+                print(display.frame(spec, sm, center_hz=tune, span_hz=span),
+                      flush=True)
         if modem is not None:
             # re-frame the tap stream to whole modem frames (no sample drops)
             taps_k = np.asarray(out["taps"]["post_bp"])[:k_real]  # [K, C, n]
