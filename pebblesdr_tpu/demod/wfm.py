@@ -181,10 +181,15 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
             locked = level > 0.002                              # [C]
         # --- demux ------------------------------------------------------------
         lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
-        mono_a, tail_m = fir.fir_apply_real_signal(raw, taps, state.lp_tail_mono,
-                                                   decim=cfg.audio_decim)
-        lmr_a, tail_s = fir.fir_apply_real_signal(lmr, taps, state.lp_tail_lmr,
-                                                  decim=cfg.audio_decim)
+        # mono + L-R share the same LP: ONE stacked [2C, N] banded-matmul FIR
+        # (static taps_np enables the MXU fast path; 2C rows double MXU lane
+        # occupancy at small channel counts)
+        both, tails = fir.fir_apply_real_signal(
+            jnp.concatenate([raw, lmr], axis=0), taps,
+            jnp.concatenate([state.lp_tail_mono, state.lp_tail_lmr], axis=0),
+            decim=cfg.audio_decim, taps_np=cfg.audio_taps)
+        mono_a, lmr_a = both[:c], both[c:]
+        tail_m, tail_s = tails[:c], tails[c:]
         if n_block:
             m_all = lmr_a.shape[-1]
             lmr_a = jnp.where(
@@ -196,13 +201,21 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
         left = mono_a + lmr_a
         right = mono_a - lmr_a
         # --- polish: pilot notch + de-emphasis --------------------------------
-        notch_l, left = iir.biquad_apply(state.notch_l, left, cfg.pilot_notch)
-        notch_r, right = iir.biquad_apply(state.notch_r, right, cfg.pilot_notch)
-        dl, left = iir.first_order_apply(state.deemph_l, left, alpha, 1.0 - alpha)
-        dr, right = iir.first_order_apply(state.deemph_r, right, alpha, 1.0 - alpha)
+        # left/right share coefficients: one stacked [2C, M] pass each
+        lr = jnp.concatenate([left, right], axis=0)
+        notch_lr, lr = iir.biquad_apply(
+            jnp.concatenate([state.notch_l, state.notch_r], axis=0), lr,
+            cfg.pilot_notch)
+        d_lr, lr = iir.first_order_apply(
+            jnp.concatenate([state.deemph_l, state.deemph_r], axis=0), lr,
+            alpha, 1.0 - alpha)
+        left, right = lr[:c], lr[c:]
+        notch_l, notch_r = notch_lr[:c], notch_lr[c:]
+        dl, dr = d_lr[:c], d_lr[c:]
     else:
         mono_a, tail_m = fir.fir_apply_real_signal(raw, taps, state.lp_tail_mono,
-                                                   decim=cfg.audio_decim)
+                                                   decim=cfg.audio_decim,
+                                                   taps_np=cfg.audio_taps)
         dl, left = iir.first_order_apply(state.deemph_l, mono_a, alpha, 1.0 - alpha)
         right = left
         bq_state, pll_state = state.pilot_bq, state.pilot_pll
