@@ -145,13 +145,24 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
         y_ref[:, :] = jnp.dot(wt_ref[:, :], e2,
                               preferred_element_type=jnp.float32)
     else:
+        # The Toeplitz band is shift-invariant: every m_tile-row output tile
+        # multiplies the SAME [m_tile, span] band block against its own span
+        # of the extended input (wt[ti*m_tile + r, ti*m_tile*F + k] depends
+        # only on (r, k)).  So stack the tile spans along the lane dimension
+        # and run ONE wide MXU dot — at small channel counts this lifts lane
+        # occupancy from 2C to ntiles*2C (C=16 WFM: 32 -> 256 lanes) and the
+        # kernel only needs the compact band block in VMEM (83 kB vs the
+        # 4.3 MB full Toeplitz at the factor-4 plan).
         span = d_rows + m_tile * factor
-        for ti in range(m_sub // m_tile):
-            base = ti * m_tile * factor
-            y_ref[ti * m_tile:(ti + 1) * m_tile, :] = jnp.dot(
-                wt_ref[ti * m_tile:(ti + 1) * m_tile, base:base + span],
-                e2[base:base + span, :],
-                preferred_element_type=jnp.float32)
+        ntiles = m_sub // m_tile
+        spans = [e2[ti * m_tile * factor: ti * m_tile * factor + span, :]
+                 for ti in range(ntiles)]
+        estk = jnp.concatenate(spans, axis=1)  # [span, ntiles*2C]
+        ystk = jnp.dot(wt_ref[:, :], estk,
+                       preferred_element_type=jnp.float32)
+        for ti in range(ntiles):
+            y_ref[ti * m_tile:(ti + 1) * m_tile, :] = (
+                ystk[:, ti * 2 * c:(ti + 1) * 2 * c])
 
 
 def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
@@ -211,6 +222,14 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         while m_tile * factor < d_rows and m_tile < m_sub:
             m_tile *= 2
 
+    # tiled path ships only the shared band block (shift-invariant Toeplitz)
+    if m_tile < m_sub:
+        span = d_rows + m_tile * factor
+        wt = jax.lax.slice(wt, (0, 0), (m_tile, span))
+        wt_rows, wt_cols = m_tile, span
+    else:
+        wt_rows, wt_cols = m_sub, d_rows + sub_block
+
     kern = functools.partial(_front_kernel, sub_block, c, d_rows, a_c,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
                              interpret)
@@ -223,7 +242,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         pl.BlockSpec((128, c2), lambda s: (0, 0)),
         pl.BlockSpec((128, c2), lambda s: (0, 0)),
         pl.BlockSpec((128, c2), lambda s: (0, 0)),
-        pl.BlockSpec((m_sub, d_rows + sub_block), lambda s: (0, 0)),
+        pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
         pl.BlockSpec((1, c2), lambda s: (0, 0)),
         pl.BlockSpec((d_rows, c2), lambda s: (0, 0)),
     ]

@@ -62,6 +62,59 @@ class TestFusedFrontPlanes:
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 3e-5
 
+    @pytest.mark.parametrize("protect", [400_000, 200_000])
+    def test_tiled_band_dot_small_factors(self, protect):
+        """Small decimation factors take the lane-stacked shared-band dot
+        (m_sub > m_tile); must match the staged pipeline exactly."""
+        from pebblesdr_tpu.ops import iir
+
+        fs = 2_048_000
+        plan = decimator.build_plan(fs, protect)
+        f = plan.factor
+        assert f < 32  # tiled branch engaged (m_sub = 2048/f > 64)
+        h = decimator.compose_response(plan)
+        d = len(h) - 1
+        d_rows = ((d + 7) // 8) * 8
+        sub = 2048
+        wt = jnp.asarray(np.ascontiguousarray(
+            pk.build_composed_w(h, f, sub, d_rows - d).T))
+
+        c, n, blocks = 4, 4096, 2
+        rng = np.random.default_rng(7)
+        xs = [(rng.normal(size=(c, n)) + 1j * rng.normal(size=(c, n))
+               ).astype(np.complex64) for _ in range(blocks)]
+        splits = [mixer.split_freq(250_000.0, fs)] * c
+        hi = jnp.asarray(np.array([s[0] for s in splits]))
+        lo = jnp.asarray(np.array([s[1] for s in splits]))
+
+        dc = jnp.zeros((c,), jnp.complex64)
+        ms = mixer.mixer_init(c)
+        ds = decimator.state_init(plan, c)
+        refs = []
+        for b in xs:
+            dc, y = iir.dc_removal_chunked(dc, jnp.asarray(b), alpha=0.9999)
+            ms, y = mixer.mix(ms, y, hi, lo)
+            ds, y = decimator.apply(plan, ds, y)
+            refs.append(np.asarray(y))
+        ref = np.concatenate(refs, -1)
+
+        dc_pk = jnp.zeros((1, 2 * c), jnp.float32)
+        phase = jnp.zeros((c,), jnp.float32)
+        tail = jnp.zeros((d_rows, 2 * c), jnp.float32)
+        outs = []
+        for b in xs:
+            x_pk = jnp.asarray(
+                np.concatenate([b.real.T, b.imag.T], axis=-1).copy())
+            y_pk, dc_pk, tail, phase, _ = pk.fused_front_packed(
+                x_pk, dc_pk, phase, hi, lo, tail, wt, f, d_rows, 0.9999,
+                sub_block=sub, interpret=True)
+            y = np.asarray(y_pk)
+            outs.append(y[:, :c].T + 1j * y[:, c:].T)
+        got = np.concatenate(outs, -1)
+
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 3e-5
+
     def test_compose_response_equals_cascade(self):
         plan = decimator.build_plan(2_048_000, 30_000)
         h = decimator.compose_response(plan)
