@@ -1,1 +1,1 @@
-from pebblesdr_tpu.parallel import expert, mesh, time_shard  # noqa: F401
+from pebblesdr_tpu.parallel import expert, mesh, pipeline, time_shard  # noqa: F401
