@@ -1,1 +1,2 @@
-from pebblesdr_tpu.parallel import expert, mesh, pipeline, time_shard  # noqa: F401
+from pebblesdr_tpu.parallel import dist_fft, expert, mesh, pipeline, \
+    time_shard  # noqa: F401
