@@ -179,18 +179,28 @@ class ModeExpertChannelizer:
         raise KeyError(channel_id)
 
     def step(self, states, iq):
-        """iq: [C_total, N] complex64 (rows in ORIGINAL channel order) or a
-        single wideband row [1, N] shared by all channels.  Experts are
-        dispatched back-to-back (async), so device groups overlap."""
+        """iq: [C_total, N] complex64 (rows in ORIGINAL channel order), a
+        single wideband row [1, N] shared by all channels, or the lane-packed
+        [N, 2*C_total] float32 plane (re lanes then im lanes; [N, 2] = one
+        shared capture — the layout the axon transport requires, since
+        complex64 cannot cross host<->device).  Experts are dispatched
+        back-to-back (async), so device groups overlap."""
         outs = []
         new_states = []
-        shared = iq.shape[0] == 1
+        packed = jnp.issubdtype(iq.dtype, jnp.floating)
+        ctot = iq.shape[1] // 2 if packed else iq.shape[0]
+        shared = ctot == 1
         for e, (rx, g, sh) in enumerate(zip(self.receivers, self.groups,
                                             self.shardings)):
-            if shared:
-                x = jnp.broadcast_to(iq, (len(g.channel_ids), iq.shape[1]))
+            ce = len(g.channel_ids)
+            ids = (np.zeros(ce, np.int64) if shared
+                   else np.asarray(g.channel_ids))
+            if packed:
+                x = iq[:, np.concatenate([ids, ctot + ids])]
+            elif shared:
+                x = jnp.broadcast_to(iq, (ce, iq.shape[1]))
             else:
-                x = iq[np.asarray(g.channel_ids)]
+                x = iq[ids]
             if sh is not None:
                 x = jax.device_put(x, sh)
             st, out = rx.step(states[e], self.params[e], x,

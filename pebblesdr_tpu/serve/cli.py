@@ -58,6 +58,71 @@ def make_source(args) -> sources.Source:
     raise SystemExit(f"unknown synthetic source {kind!r}")
 
 
+def _run_assign(args, source) -> int:
+    """Mixed-mode monitoring (EP): one capture -> channels routed to
+    per-mode expert chains.  --assign 'AM@250000,FMN@-50000' demodulates an
+    AM station at +250 kHz and an NFM station at -50 kHz simultaneously —
+    something the single-mode reference chain cannot do."""
+    import jax.numpy as jnp
+
+    from pebblesdr_tpu.parallel import expert
+
+    fs = source.info.sample_rate
+    assignments = []
+    for spec in args.assign.split(","):
+        mode_s, _, hz_s = spec.partition("@")
+        assignments.append(expert.ChannelAssignment(
+            modes_mod.from_string(mode_s.strip().upper()),
+            float(hz_s or 0.0)))
+    ch = expert.ModeExpertChannelizer(fs, args.frames, assignments,
+                                      agc_mode=args.agc)
+    states = ch.init_states()
+    n_blocks = max(1, int(args.seconds * fs / args.frames))
+    audio = {i: [] for i in range(len(assignments))}
+    perform = Perform()
+    last = None
+    t_start = time.perf_counter()
+    for _ in range(n_blocks):
+        blk = source.read_block(args.frames)
+        if blk is None:
+            break
+        plane = np.stack([blk.real, blk.imag], axis=1).astype(np.float32)
+        with perform.measure("step"):
+            states, outs = ch.step(states, jnp.asarray(plane))
+            by_ch = ch.audio_by_channel(outs)
+        for i, a in by_ch.items():
+            audio[i].append(a)
+        last = outs
+    wall = time.perf_counter() - t_start
+    n_done = len(audio[0])
+    chans = []
+    for e, g in enumerate(ch.groups):
+        sm = np.asarray(last[e]["smeter"]["snr_db"])
+        for slot, cid in enumerate(g.channel_ids):
+            a = np.concatenate(audio[cid], axis=-1)
+            chans.append({
+                "channel": cid, "mode": g.mode.value,
+                "tune_hz": float(ch.groups[e].tunes[slot]),
+                "snr_db": round(float(sm[slot]), 1),
+                "audio_rms": round(float(np.sqrt(np.mean(a ** 2))), 4),
+            })
+            if args.audio_out:
+                stem, dot, ext = args.audio_out.rpartition(".")
+                path = f"{stem or ext}.ch{cid}.{ext if stem else 'wav'}"
+                wav.write_audio_wav(path, a, 48000)
+    metrics = {
+        "blocks": n_done,
+        "wall_s": round(wall, 3),
+        "msps": round(n_done * args.frames * len(assignments) / wall / 1e6, 2),
+        "realtime_factor": round(n_done * args.frames / fs / wall, 2),
+        "channels": sorted(chans, key=lambda c: c["channel"]),
+        "step_ms": perform.stats("step"),
+    }
+    print(json.dumps(metrics) if args.json else
+          "\n".join(f"{k:>16}: {v}" for k, v in metrics.items()))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -72,6 +137,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=1234, help="rtl_tcp port")
     p.add_argument("--sample-rate", type=int, default=2_048_000,
                    help="sample rate for synthetic sources")
+    p.add_argument("--assign", default=None,
+                   help="mixed-mode channels 'MODE@HZ,MODE@HZ,...' — routes "
+                        "each channel to its mode-expert chain (EP); "
+                        "overrides --mode/--tune/--channels")
     p.add_argument("--mode", default="AM",
                    help="demod mode (AM/SAM/FMN/FM-Mono/FM-Stereo/LSB/USB/CWL/CWU)")
     p.add_argument("--tune", type=float, default=0.0,
@@ -112,6 +181,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     source = make_source(args)
+    if args.assign:
+        return _run_assign(args, source)
     fs = source.info.sample_rate
     mode = modes_mod.from_string(args.mode or source.info.demod_mode or "AM")
 
