@@ -10,4 +10,5 @@ from pebblesdr_tpu.ops import (  # noqa: F401
     agc,
     pll,
     goertzel,
+    pfb,
 )

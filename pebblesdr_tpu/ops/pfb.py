@@ -1,0 +1,115 @@
+"""Critically-sampled polyphase filterbank (PFB) channelizer.
+
+SURVEY §7.6 names two ways to turn one wideband capture into N channels:
+per-channel NCO mixers (what `parallel/channelizer.py` and the fused front
+end do — right for arbitrary tune frequencies) and the polyphase filterbank —
+right for a UNIFORM channel grid, where it replaces M independent
+mix+decimate chains with ONE prototype FIR + one M-point FFT per output
+frame: O(T + log M) per channel-sample instead of O(M·T_composed).
+
+Math (standard identity, verified bit-close in tests/test_pfb.py): with
+sampling instants s_k = k·M + M − 1 (frame k ends after M fresh samples),
+
+    y_m[k] = sum_n h[n] · x[s_k − n] · e^{+2πi·m·n/M}
+           = e^{+2πi·m·(M−1)/M} · [ lowpass_h( x · e^{−2πi·m·t/M} ) ](s_k),
+
+i.e. the input band centered at +m·fs/M (wrapped into [−fs/2, fs/2)),
+downconverted to baseband and decimated by M, with a fixed per-channel
+phase — computed for ALL M channels at once as polyphase branches + one
+M-point DFT matrix dot per frame.
+
+TPU mapping: the branch filter is ONE einsum over a [K, T, M] strided window
+stack (an MXU-sized dot: T taps × M branches per output frame), and the
+M-point IFFT batches over frames.  Streaming state is the last T·M−M input
+samples — the same carry-tail convention as every other stream op here.
+
+The prototype is a Kaiser lowpass at cutoff fs/(2M) (one channel's Nyquist),
+designed host-side in float64 like ops.fir.
+
+Reference capability analog: none (the reference tunes one channel at a
+time); this is the TPU-first widening of `CDownConvert`
+(pebblelib/downconvert.cpp:257-325) to a full uniform grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as sps
+
+
+@dataclasses.dataclass(frozen=True)
+class PfbPlan:
+    n_chan: int          # M: channels == decimation factor
+    taps_per_branch: int  # T
+    h: np.ndarray        # [T*M] float32 prototype (linear phase)
+    fs_in: float
+    fs_out: float        # fs_in / M
+
+    @property
+    def state_len(self) -> int:
+        return self.n_chan * self.taps_per_branch - self.n_chan
+
+
+def plan(fs_in: float, n_chan: int, taps_per_branch: int = 12,
+         beta: float = 9.0) -> PfbPlan:
+    """Design a critically-sampled M-channel plan.  The Kaiser prototype cuts
+    at the channel Nyquist fs_in/(2M); taps_per_branch trades adjacent-channel
+    rejection (12 taps ≈ 80 dB at beta=9) against state length."""
+    m = int(n_chan)
+    t = int(taps_per_branch)
+    n = m * t
+    h = sps.firwin(n, 1.0 / m, window=("kaiser", beta), scale=True)
+    return PfbPlan(n_chan=m, taps_per_branch=t,
+                   h=np.asarray(h, np.float32), fs_in=float(fs_in),
+                   fs_out=float(fs_in) / m)
+
+
+def init_state(p: PfbPlan, channels_in: int = 1) -> jax.Array:
+    """Carry: the last T·M−M input samples per input row."""
+    return jnp.zeros((channels_in, p.state_len), jnp.complex64)
+
+
+def channel_freqs(p: PfbPlan) -> np.ndarray:
+    """Center frequency (Hz, in [−fs/2, fs/2)) of each output channel row."""
+    m = p.n_chan
+    k = np.arange(m)
+    f = k * p.fs_in / m             # y_m sits at +m·fs/M …
+    f[f >= p.fs_in / 2] -= p.fs_in  # … wrapping into the Nyquist interval
+    return f
+
+
+def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
+    """One block through the filterbank.
+
+    x: [R, N] complex64 input rows (N % M == 0).
+    Returns (state', y [R, M, N/M] complex64): row r's M uniform channels at
+    fs_out, centered at ``channel_freqs(p)``.
+    """
+    r, n = x.shape
+    m, t = p.n_chan, p.taps_per_branch
+    if n % m:
+        raise ValueError(f"block length {n} not divisible by n_chan {m}")
+    k_out = n // m
+    ext = jnp.concatenate([state, x], axis=1)         # [R, (T-1)M + N]
+    new_state = ext[:, -p.state_len:]
+
+    # Frame k consumes ext[kM : kM + TM); within the window, position
+    # w = t'M + p' carries prototype index n = TM − 1 − w (filter reversal),
+    # so the tap table is the fully-reversed prototype reshaped [T, M].
+    # Build the windows with ONE strided reshape (no per-sample gather):
+    # ext2[a, p'] = ext[aM + p'], frames[k, t'] = ext2[k + t'].
+    ext2 = ext.reshape(r, (k_out + t - 1), m)
+    idx_k = jnp.arange(k_out)[:, None] + jnp.arange(t)[None, :]  # [K, T]
+    frames = ext2[:, idx_k, :]                        # [R, K, T, M]
+    hb = p.h.reshape(t, m)[::-1, ::-1].copy()         # hb[t', p'] = h[n]
+    v = jnp.einsum("rktm,tm->rkm", frames, jnp.asarray(hb, jnp.float32))
+    # y_m[k] = sum_{p'} v_{p'}[k] e^{+2πi·m·(M−1−p')/M}: one [K, M] @ [M, M]
+    # DFT-matrix dot splits all channels per frame.
+    pp = np.arange(m)
+    dft = np.exp(2j * np.pi * np.outer(m - 1 - pp, pp) / m).astype(np.complex64)
+    y = jnp.einsum("rkm,mc->rck", v, jnp.asarray(dft))  # [R, M, K]
+    return new_state, y
