@@ -4,8 +4,11 @@ SURVEY §7.6 names two ways to turn one wideband capture into N channels:
 per-channel NCO mixers (what `parallel/channelizer.py` and the fused front
 end do — right for arbitrary tune frequencies) and the polyphase filterbank —
 right for a UNIFORM channel grid, where it replaces M independent
-mix+decimate chains with ONE prototype FIR + one M-point FFT per output
-frame: O(T + log M) per channel-sample instead of O(M·T_composed).
+mix+decimate chains with ONE prototype FIR + one M-point transform per
+output frame.  The transform is a dense M×M DFT matmul for small M (an
+MXU-sized dot) and a batched FFT + fixed phase for large M, i.e.
+O(T + log M) per channel-sample asymptotically, O(T + M) on the small-M
+MXU path.
 
 Math (standard identity, verified bit-close in tests/test_pfb.py): with
 sampling instants s_k = k·M + M − 1 (frame k ends after M fresh samples),
@@ -107,9 +110,20 @@ def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
     frames = ext2[:, idx_k, :]                        # [R, K, T, M]
     hb = p.h.reshape(t, m)[::-1, ::-1].copy()         # hb[t', p'] = h[n]
     v = jnp.einsum("rktm,tm->rkm", frames, jnp.asarray(hb, jnp.float32))
-    # y_m[k] = sum_{p'} v_{p'}[k] e^{+2πi·m·(M−1−p')/M}: one [K, M] @ [M, M]
-    # DFT-matrix dot splits all channels per frame.
-    pp = np.arange(m)
-    dft = np.exp(2j * np.pi * np.outer(m - 1 - pp, pp) / m).astype(np.complex64)
-    y = jnp.einsum("rkm,mc->rck", v, jnp.asarray(dft))  # [R, M, K]
+    # y_m[k] = sum_{p'} v_{p'}[k] e^{+2πi·m·(M−1−p')/M}
+    #        = e^{+2πi·m·(M−1)/M} · FFT_m(v[k]).
+    # Small M: one [K, M] @ [M, M] DFT-matrix dot rides the MXU (measured at
+    # parity-or-better vs jnp.fft at our display shapes).  Large M: the dense
+    # matrix is O(M²) per frame in time and memory, so switch to the batched
+    # FFT + fixed per-channel phase — O(M log M) per frame.
+    if m <= 128:
+        pp = np.arange(m)
+        dft = np.exp(2j * np.pi * np.outer(m - 1 - pp, pp) / m
+                     ).astype(np.complex64)
+        y = jnp.einsum("rkm,mc->rck", v, jnp.asarray(dft))  # [R, M, K]
+    else:
+        phase = np.exp(2j * np.pi * np.arange(m) * (m - 1) / m
+                       ).astype(np.complex64)
+        yf = jnp.fft.fft(v.astype(jnp.complex64), axis=-1)  # [R, K, M]
+        y = jnp.moveaxis(yf * jnp.asarray(phase)[None, None, :], 1, 2)
     return new_state, y

@@ -82,7 +82,15 @@ def partition_devices(devices, groups) -> list[list]:
     quota = [len(g.channel_ids) * n_dev / total for g in groups]
     counts = [max(1, min(len(g.channel_ids), int(q)))
               for q, g in zip(quota, groups)]
-    # distribute the remainder by largest fractional part
+    # the max(1, ...) lift can overshoot the device count (e.g. channels
+    # [10, 1, 1] on 4 devices -> [2, 1, 1] + remainder logic): reconcile by
+    # shrinking the largest groups first, never below 1 device
+    while sum(counts) > n_dev:
+        i = max(range(len(counts)), key=lambda j: (counts[j], quota[j]))
+        if counts[i] <= 1:  # unreachable given n_dev >= len(groups)
+            raise ValueError("cannot give every expert a device")
+        counts[i] -= 1
+    # distribute any remainder by largest fractional part
     rem = n_dev - sum(counts)
     frac = sorted(range(len(groups)), key=lambda i: quota[i] - int(quota[i]),
                   reverse=True)

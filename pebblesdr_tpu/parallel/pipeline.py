@@ -177,11 +177,22 @@ def am_chain_stages(rx, params) -> tuple[list[Stage], tuple]:
 
     Returns (stages, init_states).  Payload layout: complex [C, n] rides as
     packed [2C, n] float32 planes; the final stage emits real audio [C, blk].
+
+    The stage fns are the STAGED ops (dc_removal_chunked / mixer.mix /
+    decimator.apply), so rx must be built with ``use_pallas=False`` — the
+    fused Pallas front end carries its state in the lane-packed [1, 2C] /
+    [d_rows, 2C] layout, which these stage fns cannot consume.
     """
     from pebblesdr_tpu.demod import am as am_mod
-    from pebblesdr_tpu.ops import agc, decimator, fastfir, fir, iir, mixer, \
+    from pebblesdr_tpu.ops import agc, decimator, fastfir, iir, mixer, \
         resampler
 
+    if rx.use_pallas:
+        raise ValueError(
+            "am_chain_stages needs the staged front-end state layout; "
+            "construct the Receiver with use_pallas=False (the fused Pallas "
+            "front end keeps its dc/decim state lane-packed, which the "
+            "per-stage fns cannot consume)")
     c = rx.cfg.channels
     n = rx.cfg.frames_per_buffer
     blk = rx.blk
@@ -204,13 +215,14 @@ def am_chain_stages(rx, params) -> tuple[list[Stage], tuple]:
         return state, _pack(x)
 
     def s_demod(state, b):
+        # calls am_demod itself (not a re-spelled copy) so the pipelined
+        # demod stage is the SAME computation Receiver._narrowband_path runs
+        # — including the chunked DC blocker (chunk=256)
         agc_st, dm, rs = state
         agc_st, x = agc.agc_apply(rx.agc_cfg, agc_st, _unpack(b))
-        dc2, audio = iir.dc_removal_apply(dm.dc, jnp.abs(x), alpha=0.9999)
-        audio, lp_tail = fir.fir_apply_real_signal(
-            audio, None, dm.lp_tail, taps_np=rx.am_cfg.taps)
+        dm, audio = am_mod.am_demod(rx.am_cfg, dm, x)
         rs, audio = resampler.apply(rx.rs_plan, rs, audio)
-        return (agc_st, am_mod.AMState(dc=dc2, lp_tail=lp_tail), rs), audio
+        return (agc_st, dm, rs), audio
 
     stages = [
         Stage(s_front, (2 * c, n), (2 * c, n)),

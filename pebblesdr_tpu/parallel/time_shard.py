@@ -127,6 +127,67 @@ def sharded_overlap_save(state_local, x_local, mask, axis_name: str):
     return new_state, y
 
 
+def sharded_dc_chunks(x_local: jax.Array, dc0: jax.Array, alpha: float,
+                      axis_name: str, chunk: int = 512):
+    """Time-sharded chunked-EWMA DC estimate (ops.iir.dc_removal_chunked
+    semantics: per-chunk means, EWMA across chunks with coefficient
+    alpha^chunk, subtraction uses each chunk's post-update estimate).
+
+    The recurrence crosses shard boundaries; each shard's STARTING estimate
+    is seeded closed-form from an all_gather of the per-shard affine maps
+    (m_end = A·m_start + b with A = a^K_local and b the locally weighted
+    chunk-mean sum), so no shard waits on another's full pass.
+
+    x_local: [C, Nl] complex (Nl % chunk == 0); dc0: [C] complex — the
+    carried global estimate entering this block (same on all shards).
+
+    Returns (m_start [C], m_all [C, Kl] per-chunk estimates, new_dc [C] —
+    the global end-of-block estimate, identical on every shard).
+    """
+    c, nl = x_local.shape
+    if nl % chunk:
+        raise ValueError(f"local chunk {nl} not divisible by dc chunk {chunk}")
+    kl = nl // chunk
+    a = float(alpha) ** chunk
+    means = jnp.mean(x_local.reshape(c, kl, chunk), axis=-1)      # [C, Kl]
+    kk = np.arange(kl)
+    wv = ((1.0 - a) * a ** (kl - 1 - kk)).astype(np.float32)
+    b_loc = jnp.sum(means * jnp.asarray(wv)[None, :], axis=-1)    # [C]
+    big_a = np.float32(a ** kl)
+
+    i = lax.axis_index(axis_name)
+    tt = lax.axis_size(axis_name)
+    bs = lax.all_gather(b_loc, axis_name, axis=0)                 # [T, C]
+    j = jnp.arange(tt)
+    expnt = jnp.clip(i - 1 - j, 0, None).astype(jnp.float32)
+    coef = jnp.where(j < i, jnp.power(big_a, expnt), 0.0)
+    m_start = (jnp.power(big_a, i.astype(jnp.float32)) * dc0
+               + jnp.sum(coef[:, None] * bs, axis=0))
+    # per-chunk closed form: m_k = a^{k+1} m_start + Σ_{j<=k} (1-a) a^{k-j} μ_j
+    lm = np.where(kk[:, None] >= kk[None, :],
+                  (1.0 - a) * a ** (kk[:, None] - kk[None, :]), 0.0
+                  ).astype(np.float32)
+    m_all = (means @ jnp.asarray(lm.T)
+             + jnp.asarray((a ** (kk + 1)).astype(np.float32))[None, :]
+             * m_start[:, None])                                  # [C, Kl]
+    coef_t = jnp.power(big_a, (tt - 1 - j).astype(jnp.float32))
+    new_dc = (jnp.power(big_a, jnp.float32(tt)) * dc0
+              + jnp.sum(coef_t[:, None] * bs, axis=0))
+    return m_start, m_all, new_dc
+
+
+def sharded_dc_removal(x_local: jax.Array, dc0: jax.Array, alpha: float,
+                       axis_name: str, chunk: int = 512):
+    """DC-removed stream + carried estimate: the time-sharded twin of
+    ops.iir.dc_removal_chunked.  Returns (new_dc [C], z_local [C, Nl])."""
+    c, nl = x_local.shape
+    m_start, m_all, new_dc = sharded_dc_chunks(x_local, dc0, alpha,
+                                               axis_name, chunk)
+    z = (x_local.reshape(c, nl // chunk, chunk)
+         - m_all[:, :, None]).reshape(c, nl)
+    return new_dc, z
+
+
 def sharded_composed_front(x_local: jax.Array, phase0: jax.Array, f_hi, f_lo,
                            carry: jax.Array, h_np, factor: int,
                            axis_name: str):

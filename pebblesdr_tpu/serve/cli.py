@@ -63,6 +63,8 @@ def _run_assign(args, source) -> int:
     per-mode expert chains.  --assign 'AM@250000,FMN@-50000' demodulates an
     AM station at +250 kHz and an NFM station at -50 kHz simultaneously —
     something the single-mode reference chain cannot do."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from pebblesdr_tpu.parallel import expert
@@ -76,6 +78,21 @@ def _run_assign(args, source) -> int:
             float(hz_s or 0.0)))
     ch = expert.ModeExpertChannelizer(fs, args.frames, assignments,
                                       agc_mode=args.agc)
+    # --squelch/--gain apply to every expert; --bandpass overrides each
+    # expert's mode-preset cuts (same semantics as the single-mode path)
+    for e, rx in enumerate(ch.receivers):
+        p = ch.params[e]
+        if args.bandpass:
+            lo, hi = (float(v) for v in args.bandpass.split(","))
+            p = rx.set_bandpass(p, lo, hi)
+        repl = {}
+        if args.squelch is not None:
+            repl["squelch_db"] = jnp.asarray(args.squelch, jnp.float32)
+        if args.gain != 1.0:
+            repl["gain"] = jnp.asarray(args.gain, jnp.float32)
+        if repl:
+            p = dataclasses.replace(p, **repl)
+        ch.params[e] = p
     states = ch.init_states()
     n_blocks = max(1, int(args.seconds * fs / args.frames))
     audio = {i: [] for i in range(len(assignments))}
@@ -94,6 +111,9 @@ def _run_assign(args, source) -> int:
             audio[i].append(a)
         last = outs
     wall = time.perf_counter() - t_start
+    if last is None:
+        print("no IQ blocks read from the source", file=sys.stderr)
+        return 1
     n_done = len(audio[0])
     chans = []
     for e, g in enumerate(ch.groups):
@@ -109,7 +129,7 @@ def _run_assign(args, source) -> int:
             if args.audio_out:
                 stem, dot, ext = args.audio_out.rpartition(".")
                 path = f"{stem or ext}.ch{cid}.{ext if stem else 'wav'}"
-                wav.write_audio_wav(path, a, 48000)
+                wav.write_audio_wav(path, a, ch.receivers[e].cfg.audio_rate)
     metrics = {
         "blocks": n_done,
         "wall_s": round(wall, 3),

@@ -57,6 +57,32 @@ class TestRouting:
         assert all(len(p) >= 1 for p in parts)
         assert sum(len(p) for p in parts) == 4
 
+    def test_partition_devices_skewed_overshoot(self):
+        """channels [10, 1, 1] on 4 devices: the max(1,...) lift overshoots
+        the device count and must be reconciled (advisor round-1) — every
+        expert still gets >= 1 device and no device is double-assigned."""
+        groups = expert.route_channels(
+            [expert.ChannelAssignment(DemodMode.AM, 0.0)] * 10
+            + [expert.ChannelAssignment(DemodMode.FMN, 0.0)]
+            + [expert.ChannelAssignment(DemodMode.USB, 0.0)])
+        parts = expert.partition_devices(list(range(4)), groups)
+        assert [len(p) for p in parts] == [2, 1, 1]
+        assert sorted(sum(parts, [])) == list(range(4))
+
+    def test_partition_devices_many_skewed(self):
+        for n_dev in (3, 4, 5, 6, 7, 8):
+            for sizes in ((10, 1, 1), (1, 1, 1), (5, 4, 3), (100, 1, 2)):
+                a = []
+                modes = [DemodMode.AM, DemodMode.FMN, DemodMode.USB]
+                for m, s in zip(modes, sizes):
+                    a += [expert.ChannelAssignment(m, 0.0)] * s
+                groups = expert.route_channels(a)
+                parts = expert.partition_devices(list(range(n_dev)), groups)
+                assert all(len(p) >= 1 for p in parts), (n_dev, sizes)
+                assert sum(len(p) for p in parts) <= n_dev
+                flat = sum(parts, [])
+                assert len(set(flat)) == len(flat)
+
 
 class TestMixedModeStep:
     def test_matches_single_mode_receivers(self):

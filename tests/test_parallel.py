@@ -209,6 +209,81 @@ class TestShardedStepParity:
                                    np.concatenate(ref, -1), atol=2e-3)
 
 
+class TestShardedFusedFront:
+    def test_fused_matches_unsharded(self):
+        """The FUSED Pallas front end inside the sharded step (interpret mode
+        on the CPU mesh) must match the plain single-chip Receiver — the
+        VERDICT round-1 top item: multi-chip no longer forfeits the fused
+        kernel."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+        from pebblesdr_tpu.parallel import channelizer
+
+        m = mesh_mod.make_mesh(channel=2, time=4)
+        fs, n, c = 512_000, 8192, 4
+        cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=n, channels=c,
+                             mode=DemodMode.AM, agc_mode="off")
+        rx = Receiver(cfg)
+        nb = 3
+        t = np.arange(nb * n) / fs
+        tones = np.linspace(-150_000, 150_000, c)
+        capture = sum(0.2 * np.exp(2j * np.pi * (f + 400.0) * t) for f in tones)
+        capture = capture + 0.03  # deliberate DC offset: exercises the seeded
+        #                            cross-shard DC-blocker recurrence
+        iq = np.broadcast_to(capture.astype(np.complex64), (c, nb * n)).copy()
+        params = rx.default_params(tones)
+
+        state_ref = rx.init_state()
+        ref = []
+        for i in range(nb):
+            state_ref, out = rx.step(state_ref, params,
+                                     jnp.asarray(iq[:, i * n:(i + 1) * n]))
+            ref.append(np.asarray(out["audio"]))
+
+        step = channelizer.build_sharded_step(rx, m, fused=True)
+        state_sh = mesh_mod.shard_state(channelizer.init_state(rx), m)
+        got = []
+        for i in range(nb):
+            blk = jax.device_put(jnp.asarray(iq[:, i * n:(i + 1) * n]),
+                                 mesh_mod.block_sharding(m))
+            state_sh, audio = step(state_sh, params, blk)
+            got.append(np.asarray(audio))
+        np.testing.assert_allclose(np.concatenate(got, -1),
+                                   np.concatenate(ref, -1), atol=2e-3)
+
+    def test_fused_matches_staged_sharded(self):
+        """Fused and staged sharded fronts agree with each other on the same
+        mesh (tighter check than audio parity: same sharding, same carry
+        conventions)."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+        from pebblesdr_tpu.parallel import channelizer
+
+        m = mesh_mod.make_mesh(channel=2, time=2)
+        fs, n, c = 512_000, 8192, 2
+        cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=n, channels=c,
+                             mode=DemodMode.AM, agc_mode="off")
+        rx = Receiver(cfg)
+        rng = np.random.default_rng(7)
+        iq = (0.1 * (rng.normal(size=(c, 2 * n))
+                     + 1j * rng.normal(size=(c, 2 * n))) + 0.05
+              ).astype(np.complex64)
+        params = rx.default_params(np.array([50_000.0, -75_000.0]))
+
+        outs = []
+        for fused in (False, True):
+            step = channelizer.build_sharded_step(rx, m, fused=fused)
+            st = mesh_mod.shard_state(channelizer.init_state(rx), m)
+            chunks = []
+            for i in range(2):
+                blk = jax.device_put(jnp.asarray(iq[:, i * n:(i + 1) * n]),
+                                     mesh_mod.block_sharding(m))
+                st, audio = step(st, params, blk)
+                chunks.append(np.asarray(audio))
+            outs.append(np.concatenate(chunks, -1))
+        np.testing.assert_allclose(outs[1], outs[0], atol=1e-4)
+
+
 class TestShardedWfmStep:
     def test_wfm_sharded_matches_unsharded(self):
         """Sharded channelizer step for WFM-stereo (time-shard front end +

@@ -55,6 +55,22 @@ class TestPfbIdentity:
         np.testing.assert_allclose(got, np.asarray(ref)[0], atol=1e-6)
 
 
+class TestLargeM:
+    def test_fft_path_matches_direct(self):
+        """M > 128 switches to the batched-FFT transform; it must satisfy the
+        same PFB identity as the dense-DFT path."""
+        m_big = 256
+        p = pfb.plan(FS, m_big, taps_per_branch=6)
+        n = m_big * 24
+        x = _rand(n, seed=9)
+        _, y = pfb.apply(p, pfb.init_state(p), jnp.asarray(x[None, :]))
+        y = np.asarray(y)[0]
+        assert y.shape == (m_big, n // m_big)
+        for m in (0, 1, 100, m_big - 1):
+            ref = _direct_channel(x.astype(np.complex128), p, m)
+            np.testing.assert_allclose(y[m], ref, atol=3e-5)
+
+
 class TestChannelMapping:
     def test_tone_lands_in_its_channel(self):
         p = pfb.plan(FS, M, taps_per_branch=12)

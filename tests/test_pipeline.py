@@ -92,6 +92,37 @@ class TestRingPipeline:
             np.concatenate([np.asarray(ys1), np.asarray(ys2)]),
             rtol=0, atol=1e-6)
 
+    def test_matches_receiver_step(self):
+        """Pipelined audio must match the MONOLITHIC Receiver.step (not just
+        the stage-fn composition): catches any stage fn drifting from the
+        chain it claims to split (advisor round-1 high finding)."""
+        rx = _rx()
+        params = rx.default_params(100_000.0)
+        stages, init = pipeline.am_chain_stages(rx, params)
+        mesh = pipeline.stage_mesh(len(stages))
+        pipe = pipeline.RingPipeline(stages, mesh)
+
+        xs = _blocks(5)
+        new_states, ys = pipe.run(init, jnp.asarray(xs))
+
+        st = rx.init_state()
+        ref = []
+        for xb in xs:  # [2C, N] packed stage payload -> [C, N] complex64
+            iq = (xb[:C] + 1j * xb[C:]).astype(np.complex64)
+            st, out = rx.step(st, params, jnp.asarray(iq), spectra=False)
+            ref.append(np.asarray(out["audio"]))
+        np.testing.assert_allclose(np.asarray(ys), np.stack(ref),
+                                   rtol=0, atol=1e-5)
+
+    def test_pallas_receiver_rejected(self):
+        """A Receiver carrying lane-packed Pallas front-end state cannot feed
+        the staged stage fns — must fail loudly, not with a broadcast error."""
+        rx = _rx()
+        if not rx.use_pallas:  # force the packed state layout (CPU tests)
+            rx.use_pallas = True
+        with pytest.raises(ValueError, match="use_pallas=False"):
+            pipeline.am_chain_stages(rx, rx.default_params(0.0))
+
     def test_mesh_size_validation(self):
         rx = _rx()
         params = rx.default_params(0.0)
