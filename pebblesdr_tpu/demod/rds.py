@@ -132,20 +132,95 @@ def _expected_offset(name: str) -> int:
     return _OFFSETS[name]
 
 
+def _build_burst_table(max_burst: int = 5) -> dict:
+    """syndrome(error) -> 26-bit error mask, for every burst error of width
+    <= max_burst (errors confined to `max_burst` consecutive bit positions).
+
+    The RDS (26,16) shortened cyclic code guarantees such bursts map to
+    unique syndromes, so FEC is one dict lookup per errored block instead of
+    the reference's per-bit Meggitt register walk (demod_wfm.cpp:705-756,
+    USE_FEC at :64 — same correction power, blockwise formulation).
+    """
+    table: dict[int, int] = {}
+    for start in range(26):  # msb position of the burst (bit index from lsb)
+        for width in range(1, max_burst + 1):
+            if start - width + 1 < 0:
+                continue
+            # first and last bit of the burst are set; interior bits free
+            if width <= 2:
+                interiors = [0]
+            else:
+                interiors = range(1 << (width - 2))
+            for inner in interiors:
+                e = 1 << start
+                if width > 1:
+                    e |= 1 << (start - width + 1)
+                    e |= inner << (start - width + 2)
+                syn = _syndrome(e)
+                prev = table.get(syn)
+                if prev is None or bin(e).count("1") < bin(prev).count("1"):
+                    table[syn] = e
+    return table
+
+
+_BURST_TABLE = _build_burst_table()
+
+
+def check_block(block26: int, offset: int, use_fec: bool):
+    """Syndrome-check one 26-bit block against its offset word; with FEC,
+    correct any <=5-bit burst error (checkBlock capability,
+    demod_wfm.cpp:705-756).
+
+    Returns (ok, corrected_block26, n_corrected_bits).
+    """
+    syn = _syndrome(block26) ^ offset
+    if syn == 0:
+        return True, block26, 0
+    if use_fec:
+        e = _BURST_TABLE.get(syn)
+        if e is not None:
+            return True, block26 ^ e, bin(e).count("1")
+    return False, block26, 0
+
+
+# decoder states (processNewRdsBit capability, demod_wfm.cpp:73-78,588-679)
+_BITSYNC = 0      # sliding bit-by-bit, looking for a clean block A
+_BLOCKSYNC = 1    # need B, C, D clean in sequence before trusting position
+_GROUPDECODE = 2  # locked: decode groups, FEC enabled
+_GROUPRESYNC = 3  # skip to the next group boundary after a block error
+
+BLOCK_ERROR_LIMIT = 5  # bad blocks before falling back to bit-level sync
+
+
 @dataclasses.dataclass
 class RdsBlockDecoder:
-    """Bits -> synced 26-bit blocks -> 4-block groups (checkBlock/
-    processNewRdsBit capability).  Differential decode included."""
+    """Bits -> synced 26-bit blocks -> 4-block groups.
 
-    synced: bool = False
+    Mirrors the reference's 4-state machine (demod_wfm.cpp:588-679):
+    BITSYNC slides bit-by-bit until a block-A checkword passes WITHOUT FEC;
+    BLOCKSYNC then requires B, C, D clean in sequence (a 26-bit false sync in
+    noise dies here); GROUPDECODE runs with burst FEC (<=5 bits) and falls
+    back to BITSYNC after BLOCK_ERROR_LIMIT consecutive bad blocks;
+    GROUPRESYNC skips the remainder of a damaged group.  Differential decode
+    included.
+    """
+
+    _state: int = _BITSYNC
     _bits: int = 0
     _nbits: int = 0
     _last_raw: int = 0
     _block_idx: int = 0
+    _version_b: bool = False
     _group: list = dataclasses.field(default_factory=list)
     groups: list = dataclasses.field(default_factory=list)
-    block_errors: int = 0
+    block_errors: int = 0        # cumulative bad blocks (stat)
+    _consec_errors: int = 0      # consecutive bad blocks (resync trigger)
     blocks_ok: int = 0
+    bits_corrected: int = 0      # FEC-corrected bit count (stat)
+
+    @property
+    def synced(self) -> bool:
+        return self._state != _BITSYNC
 
     def feed_symbols(self, symbols: np.ndarray) -> None:
         """symbols: [n] biphase symbol signs (+-1 or bool).  RDS data is
@@ -156,42 +231,77 @@ class RdsBlockDecoder:
             self._last_raw = int(s)
             self._push_bit(bit)
 
+    def _offset_name(self) -> str:
+        name = _BLOCK_SEQ[self._block_idx]
+        if name == "C" and self._version_b:
+            name = "Cp"
+        return name
+
     def _push_bit(self, bit: int) -> None:
         self._bits = ((self._bits << 1) | bit) & ((1 << 26) - 1)
         self._nbits += 1
-        if not self.synced:
-            if self._nbits >= 26:
-                for i, name in enumerate(_BLOCK_SEQ):
-                    if _syndrome(self._bits) == _expected_offset(name):
-                        self.synced = True
-                        self._block_idx = i
-                        self._take_block(name)
-                        return
+        if self._state == _BITSYNC:
+            if self._nbits < 26:
+                return
+            ok, _, _ = check_block(self._bits, _OFFSETS["A"], use_fec=False)
+            if ok:  # candidate bit position; BLOCKSYNC must confirm it
+                self._group = [self._bits >> 10]
+                self._block_idx = 1
+                self._version_b = False
+                self._nbits = 0
+                self._state = _BLOCKSYNC
             return
-        if self._nbits >= 26:
-            self._nbits = 0
-            name = _BLOCK_SEQ[self._block_idx]
-            syn = _syndrome(self._bits)
-            if name == "C" and syn == _expected_offset("Cp"):
-                name = "Cp"
-            if syn == _expected_offset(name):
-                self._take_block(name)
-            else:
-                self.block_errors += 1
-                self._group = []
-                self._block_idx = (self._block_idx + 1) % 4
-                if self.block_errors % 16 == 0:
-                    self.synced = False  # resync after sustained errors
-
-    def _take_block(self, name: str) -> None:
-        info = self._bits >> 10
-        self.blocks_ok += 1
+        if self._nbits < 26:
+            return
         self._nbits = 0
+        if self._state == _BLOCKSYNC:
+            ok, _, _ = check_block(self._bits, _OFFSETS[self._offset_name()],
+                                   use_fec=False)
+            if not ok:  # false bit sync — start over at the bit level
+                self._state = _BITSYNC
+                self._nbits = 26  # keep sliding bit-by-bit immediately
+                self._group = []
+                return
+            self._take_block(self._bits)
+            if self._block_idx == 0:  # D landed: bit position confirmed
+                self._consec_errors = 0
+                self._state = _GROUPDECODE
+            return
+        if self._state == _GROUPRESYNC:
+            self._block_idx = (self._block_idx + 1) % 4
+            if self._block_idx == 0:
+                self._state = _GROUPDECODE
+            return
+        # GROUPDECODE
+        ok, corrected, nbits = check_block(
+            self._bits, _OFFSETS[self._offset_name()], use_fec=True)
+        if not ok:
+            self.block_errors += 1
+            self._consec_errors += 1
+            self._group = []
+            if self._consec_errors > BLOCK_ERROR_LIMIT:
+                self._state = _BITSYNC
+                self._nbits = 26
+                return
+            self._block_idx = (self._block_idx + 1) % 4
+            if self._block_idx != 0:  # skip the rest of this damaged group
+                self._state = _GROUPRESYNC
+            return
+        self._consec_errors = 0
+        self.bits_corrected += nbits
+        self._take_block(corrected)
+
+    def _take_block(self, block26: int) -> None:
+        info = block26 >> 10
+        self.blocks_ok += 1
+        name = _BLOCK_SEQ[self._block_idx]
         if name == "A":
             self._group = [info]
         else:
             self._group.append(info)
-        if len(self._group) == 4 and name in ("D",):
+        if name == "B":
+            self._version_b = bool((info >> 11) & 1)
+        if name == "D" and len(self._group) == 4:
             self.groups.append(tuple(self._group))
             self._group = []
         self._block_idx = (self._block_idx + 1) % 4
@@ -210,15 +320,29 @@ _PTY_NAMES_RBDS = [
 @dataclasses.dataclass
 class RdsGroupDecoder:
     """Groups -> station data (CRdsDecode capability: PI, PTY, PS name,
-    RadioText, callsign from PI for RBDS)."""
+    RadioText, callsign from PI for RBDS; rdsdecode.cpp:115-146 — plus
+    group 1A Extended Country Code / PIN decode, which the reference's
+    GRPTYPE_1A case recognizes but leaves empty at rdsdecode.cpp:133)."""
 
     pi: int = 0
     pty: int = 0
+    ecc: int = 0      # Extended Country Code (group 1A variant 0)
+    pin: int = 0      # Programme Item Number (group 1 block D)
     ps: list = dataclasses.field(default_factory=lambda: [" "] * 8)
     rt: list = dataclasses.field(default_factory=lambda: [" "] * 64)
 
+    def reset(self) -> None:
+        """Station changed (new PI): clear per-station text (the reference's
+        decodeReset-on-PI-change, rdsdecode.cpp:117-121)."""
+        self.ps = [" "] * 8
+        self.rt = [" "] * 64
+        self.ecc = 0
+        self.pin = 0
+
     def decode(self, group: tuple[int, int, int, int]) -> None:
         a, b, c, d = group
+        if a and a != self.pi and self.pi:
+            self.reset()
         self.pi = a
         gtype = (b >> 12) & 0xF
         version_b = (b >> 11) & 1
@@ -227,6 +351,12 @@ class RdsGroupDecoder:
             seg = b & 0x3
             self.ps[2 * seg] = chr((d >> 8) & 0xFF)
             self.ps[2 * seg + 1] = chr(d & 0xFF)
+        elif gtype == 1:  # slow labelling codes / programme item number
+            self.pin = d
+            if not version_b:
+                variant = (c >> 12) & 0x7
+                if variant == 0:
+                    self.ecc = c & 0xFF
         elif gtype == 2:  # RadioText
             seg = b & 0xF
             if version_b:
