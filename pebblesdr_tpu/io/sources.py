@@ -153,36 +153,98 @@ def morse_envelope(text: str, wpm: float, sample_rate: float) -> np.ndarray:
     return np.concatenate(env) if env else np.zeros(0, np.float32)
 
 
+# Preset scenarios (MorseGenDevice's 5 preset slots, morsegendevice.cpp:114-160;
+# the reference's defaults are the 5-generator 1-5 kHz ladder).  Each entry:
+# (generators, noise_db) with generator = (text, wpm, freq_hz, amplitude,
+# fade) — fade=True applies slow QSB to that generator.
+MORSE_SCENARIOS = {
+    # the reference's default generator ladder (morsegendevice.h:120-124:
+    # 1-5 kHz, 10-50 wpm, -40 dB each)
+    "ladder": ((("cq cq cq de gen1 gen1 k", 10.0, 1000.0, 0.01, False),
+                ("cq cq cq de gen2 gen2 k", 20.0, 2000.0, 0.01, False),
+                ("cq cq cq de gen3 gen3 k", 30.0, 3000.0, 0.01, False),
+                ("cq cq cq de gen4 gen4 k", 40.0, 4000.0, 0.01, False),
+                ("cq cq cq de gen5 gen5 k", 50.0, 5000.0, 0.01, False)),
+               -60.0),
+    # one strong steady station: clean-decode smoke test
+    "single": ((("cq cq cq de pebble tpu", 20.0, 1000.0, 0.5, False),),
+               -60.0),
+    # QSB: stations fading through the noise — exercises adaptive thresholds
+    "fading": ((("cq cq cq de qsb1 k", 15.0, 1000.0, 0.05, True),
+                ("cq cq cq de qsb2 k", 25.0, 2500.0, 0.05, True)),
+               -50.0),
+    # weak signals near the noise floor
+    "weak": ((("cq cq cq de weak k", 20.0, 1500.0, 0.003, False),),
+             -55.0),
+    # crowded band: close spacing stresses the compare-bin selectivity
+    "pileup": ((("cq dx de p1 k", 22.0, 1000.0, 0.02, False),
+                ("cq dx de p2 k", 28.0, 1150.0, 0.02, False),
+                ("cq dx de p3 k", 18.0, 1300.0, 0.02, False)),
+               -55.0),
+}
+
+
 class MorseGenSource(Source):
     """Synthetic CW test device (MorseGenDevice capability,
     morsegendevice.h:88-142): up to 5 parallel Morse generators at distinct
-    frequencies/WPM/amplitudes plus calibrated noise; loops its message."""
+    frequencies/WPM/amplitudes plus calibrated noise; loops its message.
+
+    Per-generator ``fade`` applies slow QSB: a raised-cosine amplitude swing
+    of fade_depth_db at fade_hz with a random phase per generator (a smooth
+    ionospheric-fade model; the reference's fade is per-sample random
+    attenuation over a dB range, morsegendevice.cpp:1016-1021 — same
+    capability, kinder statistics).  ``from_scenario`` loads a named preset
+    (the reference's 5 preset slots)."""
 
     def __init__(self, sample_rate: int,
                  generators=(("cq cq cq de pebble tpu", 20.0, 10_000.0, 0.5),),
-                 noise_db: float | None = -60.0, seed: int = 1):
-        # generators: (text, wpm, freq_hz, amplitude)
+                 noise_db: float | None = -60.0, seed: int = 1,
+                 fade_hz: float = 0.25, fade_depth_db: float = 30.0):
+        # generators: (text, wpm, freq_hz, amplitude[, fade])
         self.info = SourceInfo(sample_rate=sample_rate, name="morsegen",
                                demod_mode="CWU")
         self.envs = []
         self.freqs = []
         self.amps = []
-        for text, wpm, freq, amp in generators:
+        self.fades = []
+        rng = np.random.default_rng(seed)
+        for gen in generators:
+            text, wpm, freq, amp = gen[:4]
             self.envs.append(morse_envelope(text, wpm, sample_rate))
             self.freqs.append(freq)
             self.amps.append(amp)
+            self.fades.append(bool(gen[4]) if len(gen) > 4 else False)
+        self.fade_hz = fade_hz
+        self.fade_depth_db = fade_depth_db
+        self.fade_phases = rng.uniform(0, 2 * np.pi, size=len(self.envs))
         self.noise_db = noise_db
-        self.rng = np.random.default_rng(seed)
+        self.rng = rng
         self.n_sent = 0
+
+    @classmethod
+    def from_scenario(cls, name: str, sample_rate: int, seed: int = 1,
+                      **kwargs) -> "MorseGenSource":
+        if name not in MORSE_SCENARIOS:
+            raise KeyError(f"unknown scenario {name!r}; have "
+                           f"{sorted(MORSE_SCENARIOS)}")
+        gens, noise_db = MORSE_SCENARIOS[name]
+        kwargs.setdefault("noise_db", noise_db)
+        return cls(sample_rate, generators=gens, seed=seed, **kwargs)
 
     def read_block(self, n: int) -> np.ndarray:
         t = (self.n_sent + np.arange(n)) / self.info.sample_rate
         out = np.zeros(n, np.complex64)
-        for env, f, a in zip(self.envs, self.freqs, self.amps):
+        for g, (env, f, a) in enumerate(zip(self.envs, self.freqs, self.amps)):
             if len(env) == 0:
                 continue
             idx = (self.n_sent + np.arange(n)) % len(env)
-            out += (a * env[idx] * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+            amp = a * env[idx]
+            if self.fades[g]:
+                # raised-cosine dB swing: 0 dB at crest, -depth in the trough
+                swing = 0.5 * (1.0 - np.cos(2 * np.pi * self.fade_hz * t
+                                            + self.fade_phases[g]))
+                amp = amp * 10.0 ** (-self.fade_depth_db * swing / 20.0)
+            out += (amp * np.exp(2j * np.pi * f * t)).astype(np.complex64)
         if self.noise_db is not None:
             amp = 10.0 ** (self.noise_db / 20.0) / np.sqrt(2.0)
             out += amp * (self.rng.standard_normal(n)

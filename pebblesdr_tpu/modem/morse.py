@@ -26,20 +26,38 @@ from pebblesdr_tpu.ops import goertzel
 
 
 class MorseModem:
-    """Device side: complex demod-rate input [C, N] -> mark booleans [C, F]."""
+    """Device side: complex demod-rate input [C, N] -> mark booleans [C, F].
+
+    frame (the Goertzel integration length N) defaults to the reference's
+    estimation rules (goertzel.h:103-104): no longer than 1/4 of the dot at
+    the hinted WPM (timing), and — when bandwidth_hz is given — no shorter
+    than the bin width that bandwidth asks for (selectivity).
+
+    threshold_mode selects the OOK decision scheme (ops.goertzel.OOKConfig);
+    'peak' (the reference's default, its best-tested mode) rides fades via
+    adaptive peak/floor envelopes; 'compare' rejects nearby interference via
+    the off-tone bins (the pileup scenario); 'noise' is squelch-style.
+    """
 
     def __init__(self, sample_rate: float, tone_hz: float = 1000.0,
-                 frame: int | None = None, wpm_hint: float = 20.0):
-        # frame ~ 1/4 dot at the hinted WPM (dot = 1.2/wpm seconds)
+                 frame: int | None = None, wpm_hint: float = 20.0,
+                 bandwidth_hz: float | None = None,
+                 threshold_mode: str = "peak", **ook_kwargs):
         if frame is None:
-            frame = max(8, int(1.2 / wpm_hint * sample_rate / 4))
+            dot_ms = 1.2 / wpm_hint * 1e3
+            frame = max(8, goertzel.choose_n(
+                sample_rate, ms_shortest_bit=dot_ms / 4,
+                bandwidth_hz=bandwidth_hz))
         self.frame = int(frame)
         self.frame_rate = sample_rate / self.frame
         self.sample_rate = sample_rate
         self.tone_hz = tone_hz
-        bins = [tone_hz, tone_hz - 2 * self.frame_rate / 2,
-                tone_hz + 2 * self.frame_rate / 2]
-        self.basis = jnp.asarray(goertzel.dft_vectors(bins, sample_rate, self.frame))
+        lo, hi = goertzel.compare_bin_freqs(tone_hz, self.frame, sample_rate,
+                                            delta_frac=1.0)
+        self.basis = jnp.asarray(
+            goertzel.dft_vectors([tone_hz, lo, hi], sample_rate, self.frame))
+        self.ook_cfg = goertzel.OOKConfig.make(mode=threshold_mode,
+                                               **ook_kwargs)
         self._detect = jax.jit(self._detect_impl)
 
     def init_state(self, channels: int) -> goertzel.OOKState:
@@ -52,7 +70,8 @@ class MorseModem:
     def _detect_impl(self, state, x):
         frames = goertzel.frame_stream(x, self.frame)
         p = goertzel.goertzel_power(frames, self.basis)
-        return goertzel.ook_detect(state, p[:, :, 0], p[:, :, 1], p[:, :, 2])
+        return goertzel.ook_detect(self.ook_cfg, state,
+                                   p[:, :, 0], p[:, :, 1], p[:, :, 2])
 
 
 @dataclasses.dataclass

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pebblesdr_tpu.core.block import pytree_dataclass
+from pebblesdr_tpu.core.block import pytree_dataclass, static_field
 
 # DTMF: (low Hz, high Hz) per key (goertzel.h:194-230 capability)
 DTMF_FREQS = {
@@ -63,52 +63,190 @@ def frame_stream(x: jax.Array, frame: int) -> jax.Array:
     return x.reshape(c, n // frame, frame)
 
 
+# ------------------------------------------------------- N estimation
+# (goertzel.h:103-104, goertzel.cpp:438-455 capability)
+
+def est_n_for_shortest_bit(ms_shortest_bit: float, sample_rate: float) -> int:
+    """Largest usable integration length: N must be shorter than the
+    shortest keying element or bit transitions smear (e.g. 120 wpm morse:
+    10 ms dot at 8 ksps -> N <= 80)."""
+    return max(1, int(ms_shortest_bit * 1e-3 * sample_rate))
+
+
+def est_n_for_bin_bandwidth(bandwidth_hz: float, sample_rate: float) -> int:
+    """Smallest N whose bin is narrow enough: bin width = fs/N, so
+    N >= fs/bandwidth (e.g. 100 Hz bin at 8 ksps -> N >= 80)."""
+    return max(1, int(round(sample_rate / bandwidth_hz)))
+
+
+def choose_n(sample_rate: float, ms_shortest_bit: float | None = None,
+             bandwidth_hz: float | None = None) -> int:
+    """Integration length from timing + selectivity constraints: as narrow a
+    bin as the bandwidth asks for, capped so no keying element is smeared.
+    With only one constraint given, that one decides."""
+    n_max = (est_n_for_shortest_bit(ms_shortest_bit, sample_rate)
+             if ms_shortest_bit is not None else None)
+    n_min = (est_n_for_bin_bandwidth(bandwidth_hz, sample_rate)
+             if bandwidth_hz is not None else None)
+    if n_min is None and n_max is None:
+        raise ValueError("need ms_shortest_bit and/or bandwidth_hz")
+    if n_min is None:
+        return n_max
+    if n_max is None:
+        return n_min
+    return min(n_min, n_max)
+
+
+def compare_bin_freqs(tone_hz: float, n: int, sample_rate: float,
+                      delta_frac: float = 0.75):
+    """(low, high) compare-bin frequencies at tone ± delta_frac·binwidth
+    (the reference places them at ±0.75 bandwidth, goertzel.cpp:503-506)."""
+    bw = sample_rate / n
+    return tone_hz - delta_frac * bw, tone_hz + delta_frac * bw
+
+
+# --------------------------------------------------------- OOK detector
+
+THRESHOLD_MODES = ("compare", "peak", "average", "min_max", "manual", "noise")
+
+
+@pytree_dataclass
+class OOKConfig:
+    """Threshold scheme for the on/off decision (GoertzelOOK's
+    TH_COMPARE/AVERAGE/PEAK/MIN_MAX/MANUAL/NOISE family, goertzel.h:84;
+    the reference fully implements COMPARE and PEAK and stubs the rest —
+    all six are real here).
+
+      compare — KA7OEI differential: main power > compare_ratio x the mean
+                of the two off-tone bins (ref default ratio 4);
+      peak    — adaptive AGC-style: EWMA peak + floor envelopes, mark above
+                floor + 0.67 delta, space below floor + 0.33 delta,
+                hysteresis in between (the reference's best-tested mode);
+      average — main power > avg_ratio x running mean power;
+      min_max — single threshold at floor + 0.6 delta, gated on the
+                envelopes being far enough apart to indicate a signal;
+      manual  — fixed absolute power threshold;
+      noise   — squelch vs a noise estimate tracked during space frames:
+                mark when power > noise_snr x noise floor.
+
+    attack_frames/decay_frames: asymmetric debounce — consecutive frames
+    required to recognize tone-on vs tone-off (goertzel.cpp:531-556).
+    """
+    mode: str = static_field()
+    compare_ratio: float = static_field()
+    avg_ratio: float = static_field()
+    manual_threshold: float = static_field()
+    noise_snr: float = static_field()
+    attack_frames: int = static_field()
+    decay_frames: int = static_field()
+    attack_alpha: float = static_field()   # envelope EWMA, toward the signal
+    decay_alpha: float = static_field()    # envelope EWMA, away from it
+    avg_alpha: float = static_field()      # running-mean EWMA (average mode)
+    min_max_snr: float = static_field()    # min peak/floor ratio for min_max
+
+    @staticmethod
+    def make(mode: str = "peak", compare_ratio: float = 4.0,
+             avg_ratio: float = 1.5, manual_threshold: float = 1e-3,
+             noise_snr: float = 4.0, attack_frames: int = 2,
+             decay_frames: int = 2, attack_alpha: float = 0.4,
+             decay_alpha: float = 0.02, avg_alpha: float = 0.01,
+             min_max_snr: float = 4.0) -> "OOKConfig":
+        if mode not in THRESHOLD_MODES:
+            raise ValueError(f"mode {mode!r} not in {THRESHOLD_MODES}")
+        return OOKConfig(mode=mode, compare_ratio=compare_ratio,
+                         avg_ratio=avg_ratio,
+                         manual_threshold=manual_threshold,
+                         noise_snr=noise_snr, attack_frames=attack_frames,
+                         decay_frames=decay_frames,
+                         attack_alpha=attack_alpha, decay_alpha=decay_alpha,
+                         avg_alpha=avg_alpha, min_max_snr=min_max_snr)
+
+
 @pytree_dataclass
 class OOKState:
-    noise_floor: jax.Array  # [C] EWMA of off-power
-    signal_peak: jax.Array  # [C] EWMA of on-power
-    state: jax.Array        # [C] bool current mark/space decision
-    run: jax.Array          # [C] int32 samples in current state (debounce)
+    peak: jax.Array     # [C] EWMA peak power envelope
+    floor: jax.Array    # [C] EWMA floor/noise power envelope
+    avg: jax.Array      # [C] running mean power
+    state: jax.Array    # [C] bool current mark/space decision
+    attack: jax.Array   # [C] int32 consecutive on-frames while off
+    decay: jax.Array    # [C] int32 consecutive off-frames while on
 
 
 def ook_init(channels: int) -> OOKState:
     return OOKState(
-        noise_floor=jnp.full((channels,), 1e-6, jnp.float32),
-        signal_peak=jnp.full((channels,), 1e-3, jnp.float32),
+        peak=jnp.full((channels,), 1e-6, jnp.float32),
+        floor=jnp.full((channels,), 1e-6, jnp.float32),
+        avg=jnp.full((channels,), 1e-6, jnp.float32),
         state=jnp.zeros((channels,), bool),
-        run=jnp.zeros((channels,), jnp.int32),
+        attack=jnp.zeros((channels,), jnp.int32),
+        decay=jnp.zeros((channels,), jnp.int32),
     )
 
 
-def ook_detect(state: OOKState, power_main: jax.Array, power_low: jax.Array,
-               power_high: jax.Array, debounce: int = 2, avg_alpha: float = 0.05):
-    """OOK decision per frame (GoertzelOOK::processResult capability,
-    goertzel.cpp:664+): mark when the main bin dominates the compare bins and
-    exceeds the adaptive mid-threshold; debounced over `debounce` frames.
+def _raw_decision(cfg: OOKConfig, pm, pl, ph, peak, floor, avg, last):
+    """The per-frame threshold decision for one mode (pure, no debounce)."""
+    if cfg.mode == "compare":
+        return pm > cfg.compare_ratio * jnp.maximum((pl + ph) * 0.5, 1e-18)
+    if cfg.mode == "peak":
+        delta = peak - floor
+        up = floor + 0.67 * delta
+        down = floor + 0.33 * delta
+        return jnp.where(pm >= up, True, jnp.where(pm <= down, False, last))
+    if cfg.mode == "average":
+        return pm > cfg.avg_ratio * avg
+    if cfg.mode == "min_max":
+        valid = peak > cfg.min_max_snr * jnp.maximum(floor, 1e-18)
+        return valid & (pm > floor + 0.6 * (peak - floor))
+    if cfg.mode == "manual":
+        return pm > cfg.manual_threshold
+    # noise: squelch vs the noise estimate tracked during space
+    return pm > cfg.noise_snr * jnp.maximum(floor, 1e-18)
 
-    power_*: [C, F].  Returns (state', marks [C, F] bool).
+
+def ook_detect(cfg: OOKConfig, state: OOKState, power_main: jax.Array,
+               power_low: jax.Array, power_high: jax.Array):
+    """OOK decision per frame (GoertzelOOK::processResult capability,
+    goertzel.cpp:676-820) with the configured threshold mode and asymmetric
+    attack/decay debounce.
+
+    power_*: [C, F] main and low/high compare-bin powers.
+    Returns (state', marks [C, F] bool).
     """
 
     def step(carry, pows):
-        nf, sp, st, run = carry
+        peak, floor, avg, st, att, dec = carry
         pm, pl, ph = pows
-        compare = jnp.maximum(pl, ph)
-        thresh = jnp.sqrt(jnp.maximum(nf * sp, 1e-18))  # geometric mid
-        raw = (pm > 2.0 * compare) & (pm > thresh)
-        # track envelopes
-        nf2 = jnp.where(raw, nf, (1 - avg_alpha) * nf + avg_alpha * pm)
-        sp2 = jnp.where(raw, (1 - avg_alpha) * sp + avg_alpha * pm, sp)
-        # debounce: require `debounce` consecutive frames to flip
-        same = raw == st
-        run2 = jnp.where(same, jnp.zeros_like(run), run + 1)
-        flip = run2 >= debounce
-        st2 = jnp.where(flip, raw, st)
-        run2 = jnp.where(flip, jnp.zeros_like(run2), run2)
-        return (nf2, sp2, st2, run2), st2
+        # envelope tracking: fast toward the signal, slow away (the
+        # reference's MovingAvgFilter attack/decay weights)
+        peak2 = jnp.where(pm > peak,
+                          peak + cfg.attack_alpha * (pm - peak),
+                          peak + cfg.decay_alpha * (pm - peak))
+        # the floor drifts up 10x slower than the peak drifts down: a long
+        # mark must not swallow the noise floor (the reference's min-filter
+        # decay is likewise far slower than its attack, goertzel.cpp:727-730)
+        floor2 = jnp.where(pm < floor,
+                           floor + cfg.attack_alpha * (pm - floor),
+                           floor + 0.1 * cfg.decay_alpha * (pm - floor))
+        if cfg.mode == "noise":
+            # noise floor only learns while the tone is off
+            floor2 = jnp.where(st, floor, floor2)
+        avg2 = (1.0 - cfg.avg_alpha) * avg + cfg.avg_alpha * pm
+        raw = _raw_decision(cfg, pm, pl, ph, peak2, floor2, avg2, st)
+        # asymmetric debounce counters (goertzel.cpp:531-556)
+        att2 = jnp.where(raw & ~st, att + 1, jnp.zeros_like(att))
+        dec2 = jnp.where(~raw & st, dec + 1, jnp.zeros_like(dec))
+        turn_on = att2 >= cfg.attack_frames
+        turn_off = dec2 >= cfg.decay_frames
+        st2 = jnp.where(turn_on, True, jnp.where(turn_off, False, st))
+        att2 = jnp.where(turn_on, jnp.zeros_like(att2), att2)
+        dec2 = jnp.where(turn_off, jnp.zeros_like(dec2), dec2)
+        return (peak2, floor2, avg2, st2, att2, dec2), st2
 
-    carry0 = (state.noise_floor, state.signal_peak, state.state, state.run)
+    carry0 = (state.peak, state.floor, state.avg, state.state,
+              state.attack, state.decay)
     seq = (jnp.moveaxis(power_main, 1, 0), jnp.moveaxis(power_low, 1, 0),
            jnp.moveaxis(power_high, 1, 0))
-    (nf, sp, st, run), marks = jax.lax.scan(step, carry0, seq)
-    return (OOKState(noise_floor=nf, signal_peak=sp, state=st, run=run),
+    (peak, floor, avg, st, att, dec), marks = jax.lax.scan(step, carry0, seq)
+    return (OOKState(peak=peak, floor=floor, avg=avg, state=st,
+                     attack=att, decay=dec),
             jnp.moveaxis(marks, 0, 1))

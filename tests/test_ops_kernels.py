@@ -297,10 +297,13 @@ class TestGoertzel:
         x = (tone * gate).astype(np.complex64)[None]
         frames = goertzel.frame_stream(jnp.asarray(x), n)
         p = goertzel.goertzel_power(frames, basis)
-        st = goertzel.ook_init(1)
-        st, marks = goertzel.ook_detect(st, p[:, :, 0], p[:, :, 1], p[:, :, 2])
-        marks = np.asarray(marks)[0]
-        # interior of on-periods marked, interior of off-periods unmarked
-        assert marks[10:35].all()
-        assert not marks[50:75].any()
-        assert marks[90:115].all()
+        for mode in goertzel.THRESHOLD_MODES:
+            cfg = goertzel.OOKConfig.make(mode=mode, manual_threshold=0.25)
+            st = goertzel.ook_init(1)
+            st, marks = goertzel.ook_detect(cfg, st, p[:, :, 0], p[:, :, 1],
+                                            p[:, :, 2])
+            marks = np.asarray(marks)[0]
+            # interior of on-periods marked, interior of off-periods unmarked
+            assert marks[10:35].all(), mode
+            assert not marks[50:75].any(), mode
+            assert marks[90:115].all(), mode
