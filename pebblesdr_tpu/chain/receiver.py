@@ -68,7 +68,12 @@ class ReceiverConfig:
     #                                       with frames_per_buffer
     enable_noise_blanker: bool = False
     enable_anf: bool = False
-    enable_iq_balance: bool = False
+    enable_iq_balance: bool | str = False  # True: static params.iq_gain/
+    #                                        iq_phase correction; "auto": the
+    #                                        adaptive N4HY/dttsp image-reject
+    #                                        iteration runs IN the chain with
+    #                                        its weight carried in
+    #                                        ReceiverState (iqbalance.cpp:65-87)
     agc_mode: str | None = None           # None -> mode default
     agc_stride: int = 1
     stereo: bool = True                   # FMS only
@@ -126,6 +131,7 @@ class ReceiverState:
     spec_zoom: Any
     rds: Any = None
     squelch: Any = None  # [C] bool: previous squelch decision (hysteresis)
+    iqbal: Any = None    # adaptive IQ-balance weight (enable_iq_balance="auto")
 
 
 class Receiver:
@@ -274,6 +280,8 @@ class Receiver:
             spec_zoom=spectrum.state_init(c, self.zoom_bins),
             rds=rds_mod.rds_init(self.rds_cfg, c) if self.cfg.rds else None,
             squelch=jnp.zeros((c,), bool),
+            iqbal=(scanops.auto_iq_balance_init(c)
+                   if self.cfg.enable_iq_balance == "auto" else None),
         )
 
     # ----------------------------------------------------------------- params
@@ -593,7 +601,7 @@ class Receiver:
             nb=state.nb, anf=state.anf, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
             spec_zoom=spec_zoom_state, rds=state.rds,
-            squelch=squelch_open[-1])
+            squelch=squelch_open[-1], iqbal=state.iqbal)
         return new_state, out
 
     def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,
@@ -651,11 +659,15 @@ class Receiver:
             x = self._pk.unpack_to_complex(y_pk)
             mix_state = mixer.MixerState(phase=new_phase)
             nb_state = state.nb
+            iqbal_state = state.iqbal
         else:
+            iqbal_state = state.iqbal
             iq_cn = (jax.lax.complex(x_pk[:, :c].T, x_pk[:, c:].T)
                      if x_pk is not None else iq)
             dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
-            if cfg.enable_iq_balance:
+            if cfg.enable_iq_balance == "auto":
+                iqbal_state, x = scanops.auto_iq_balance(state.iqbal, x)
+            elif cfg.enable_iq_balance:
                 x = scanops.iq_balance(x, params.iq_gain, params.iq_phase)
             if cfg.enable_noise_blanker:
                 nb_state, x = scanops.noise_blanker(state.nb, x)
@@ -727,7 +739,8 @@ class Receiver:
             mixer=mix_state, decim=decim_state, fastfir=ff_state, dc=dc,
             nb=nb_state, anf=anf_state, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
-            spec_zoom=spec_zoom_state, rds=rds_state, squelch=squelch_open)
+            spec_zoom=spec_zoom_state, rds=rds_state, squelch=squelch_open,
+            iqbal=iqbal_state)
         return new_state, out
 
     # ---------------------------------------------------------- mode branches

@@ -103,7 +103,7 @@ def build_sharded_step(rx: Receiver, mesh, fused: bool | None = None):
             fastfir=ff_state, dc=new_dc, nb=state.nb, anf=anf_state,
             agc=agc_state, demod=demod_state, resamp=resamp_state,
             spec_full=state.spec_full, spec_zoom=state.spec_zoom,
-            rds=rds_state, squelch=state.squelch)
+            rds=rds_state, squelch=state.squelch, iqbal=state.iqbal)
         return new_state, audio
 
     return step

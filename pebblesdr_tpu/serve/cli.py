@@ -170,6 +170,9 @@ def main(argv=None):
     p.add_argument("--agc", default=None,
                    choices=["off", "fast", "med", "slow", "long"])
     p.add_argument("--squelch", type=float, default=None, help="squelch SNR dB")
+    p.add_argument("--iq-balance", default=None, metavar="AUTO|GAIN,PHASE",
+                   help="'auto' runs the adaptive image-reject loop in the "
+                        "chain; 'gain,phase' applies a static correction")
     p.add_argument("--gain", type=float, default=1.0)
     p.add_argument("--seconds", type=float, default=2.0, help="how long to run")
     p.add_argument("--frames", type=int, default=32768, help="block size")
@@ -206,10 +209,13 @@ def main(argv=None):
     fs = source.info.sample_rate
     mode = modes_mod.from_string(args.mode or source.info.demod_mode or "AM")
 
+    iqbal = False
+    if args.iq_balance:
+        iqbal = "auto" if args.iq_balance.lower() == "auto" else True
     cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=args.frames,
                          channels=args.channels, mode=mode,
                          agc_mode=args.agc, taps=args.decode is not None,
-                         rds=args.rds)
+                         rds=args.rds, enable_iq_balance=iqbal)
     rx = Receiver(cfg)
     state = jax.jit(lambda: rx.init_state())()
     if args.resume:
@@ -252,6 +258,13 @@ def main(argv=None):
 
         params = dataclasses.replace(
             params, squelch_db=jnp.asarray(args.squelch, jnp.float32))
+    if args.iq_balance and args.iq_balance.lower() != "auto":
+        import dataclasses
+
+        g, ph = (float(v) for v in args.iq_balance.split(","))
+        params = dataclasses.replace(
+            params, iq_gain=jnp.asarray(g, jnp.float32),
+            iq_phase=jnp.asarray(ph, jnp.float32))
 
     n_blocks = max(1, int(args.seconds * fs / args.frames))
     kdisp = max(1, min(args.blocks_per_dispatch, n_blocks))

@@ -201,6 +201,64 @@ class TestWFMChain:
         assert 20 * np.log10(r3k / max(l3k, 1e-9)) > 25, "right separation"
 
 
+class TestAutoIQBalance:
+    def test_image_rejection_improves(self):
+        """enable_iq_balance='auto': the adaptive image-reject weight runs
+        INSIDE the chain (iqbalance.cpp:65-87) with its state carried in
+        ReceiverState — on a deliberately imbalanced capture the image tone
+        must sink over blocks (VERDICT round-1 item 6)."""
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                             mode=DemodMode.AM, enable_iq_balance="auto",
+                             taps=True, agc_mode="off")
+        rx = Receiver(cfg)
+        assert not rx.use_pallas  # auto balance forces the staged front
+
+        nblocks = 12
+        f0 = 300_000.0
+        t = np.arange(nblocks * N) / FS
+        clean = 0.5 * np.exp(2j * np.pi * f0 * t)
+        # receiver-style imbalance: gain error on I, phase leakage into Q
+        i = clean.real * 1.06
+        q = clean.imag + 0.08 * clean.real
+        iq = (i + 1j * q).astype(np.complex64)[None]
+
+        params = rx.default_params(f0)
+        state = rx.init_state()
+        rej_db = []
+        for b in range(nblocks):
+            state, out = rx.step(state, params,
+                                 jnp.asarray(iq[:, b * N:(b + 1) * N]))
+            raw = np.asarray(out["taps"]["raw_iq"])[0]  # post-balance stream
+            spec = np.fft.fft(raw)
+            freqs = np.fft.fftfreq(len(raw), 1.0 / FS)
+            sig = np.abs(spec[np.argmin(np.abs(freqs - f0))])
+            img = np.abs(spec[np.argmin(np.abs(freqs + f0))])
+            rej_db.append(20 * np.log10(sig / max(img, 1e-12)))
+        # the raw imbalance gives ~25 dB image rejection; the adaptive loop
+        # must visibly deepen it and keep improving over blocks
+        assert rej_db[-1] > rej_db[0] + 20, rej_db
+        assert rej_db[-1] > 60, rej_db
+
+    def test_state_checkpoints(self):
+        """The adaptive weight lives in the state pytree: streaming across a
+        state save/restore is seamless."""
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                             mode=DemodMode.AM, enable_iq_balance="auto")
+        rx = Receiver(cfg)
+        t = np.arange(2 * N) / FS
+        clean = 0.5 * np.exp(2j * np.pi * 250e3 * t)
+        iq = ((clean.real * 1.05) + 1j * (clean.imag + 0.05 * clean.real)
+              ).astype(np.complex64)[None]
+        params = rx.default_params(250e3)
+        st = rx.init_state()
+        st, _ = rx.step(st, params, jnp.asarray(iq[:, :N]))
+        w1 = np.asarray(st.iqbal.w)
+        st, _ = rx.step(st, params, jnp.asarray(iq[:, N:]))
+        w2 = np.asarray(st.iqbal.w)
+        assert np.abs(w1).max() > 0  # weight is adapting
+        assert not np.allclose(w1, w2)  # and keeps moving
+
+
 class TestStateResume:
     def test_checkpoint_resume_bitexact(self):
         """Carry-state pytree checkpoint/resume (SURVEY.md §5): serialize the
