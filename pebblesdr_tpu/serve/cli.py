@@ -196,6 +196,10 @@ def main(argv=None):
                    help="decode RDS (FM-Stereo mode) and print PS/RadioText")
     p.add_argument("--checkpoint", default=None,
                    help="save chain state to this .npz at exit")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
+                   help="with --checkpoint: also snapshot every K blocks "
+                        "(the stream-recovery supervisor; a killed run "
+                        "resumes bit-exactly with --resume)")
     p.add_argument("--resume", default=None,
                    help="restore chain state from a .npz before starting")
     args = p.parse_args(argv)
@@ -268,6 +272,13 @@ def main(argv=None):
 
     n_blocks = max(1, int(args.seconds * fs / args.frames))
     kdisp = max(1, min(args.blocks_per_dispatch, n_blocks))
+    supervisor = None
+    if args.checkpoint and args.checkpoint_every:
+        from pebblesdr_tpu.utils.recovery import StreamSupervisor
+
+        supervisor = StreamSupervisor(rx, params,
+                                      checkpoint_path=args.checkpoint,
+                                      checkpoint_every=args.checkpoint_every)
     audio_chunks = []
     perform = Perform()
     rec = [] if args.iq_record else None
@@ -309,6 +320,9 @@ def main(argv=None):
             audio_np = np.asarray(out["audio"])[:k_real]  # [K, C, (2,) M]
         audio_chunks.extend(audio_np)
         n_done += k_real
+        if supervisor is not None:
+            for _ in range(k_real):
+                supervisor.block_done(state)
         last_out = (out, k_real)
         if display is not None:
             key = "zoomed" if args.display_zoomed else "spectrum"
@@ -363,6 +377,8 @@ def main(argv=None):
         "audio_rms": round(float(np.sqrt(np.mean(audio[0] ** 2))), 4),
         "step_ms": perform.stats("step"),
     }
+    if supervisor is not None:
+        metrics["health"] = supervisor.report()
     if modem is not None:
         print()  # newline after streamed decode text
         metrics["decoded_text"] = decoder.text
