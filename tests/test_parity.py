@@ -53,3 +53,55 @@ class TestWholeChainParity:
         snr = ph.snr_db(golden, got.astype(np.float64),
                         skip=rx.cfg.audio_rate // 4)
         assert snr > 60.0, f"USB parity SNR {snr:.1f} dB"
+
+    def test_nfm_chain_vs_scipy_golden(self):
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        fs = 2_048_000
+        t = np.arange(int(fs * 1.0)) / fs
+        # NFM voice tone: 1 kHz at 3 kHz deviation, carrier at +150 kHz
+        ph_mod = 2 * np.pi * np.cumsum(
+            3000.0 * np.sin(2 * np.pi * 1000.0 * t)) / fs
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 150_000.0 * t + ph_mod))
+              ).astype(np.complex64)
+        got, rx = ph.run_chain(iq, fs, DemodMode.FMN, 150_000.0, 32768)
+        golden = ph.scipy_golden_nfm(iq, fs, 150_000.0, rx)
+        snr = ph.snr_db(golden, got.astype(np.float64),
+                        skip=rx.cfg.audio_rate // 2)
+        assert snr > 60.0, f"NFM parity SNR {snr:.1f} dB"
+
+    def test_sam_chain_vs_scipy_golden(self):
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        fs = 2_048_000
+        t = np.arange(int(fs * 1.0)) / fs
+        # AM at +250.2 kHz, tuned to 250.0 kHz: the PLL must pull in 200 Hz
+        env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+        iq = (0.5 * env * np.exp(2j * np.pi * 250_200.0 * t)
+              ).astype(np.complex64)
+        got, rx = ph.run_chain(iq, fs, DemodMode.SAM, 250_000.0, 32768)
+        golden = ph.scipy_golden_sam(iq, fs, 250_000.0, rx)
+        snr = ph.snr_db(golden, got.astype(np.float64),
+                        skip=rx.cfg.audio_rate // 2)  # PLL pull-in + DC settle
+        assert snr > 55.0, f"SAM parity SNR {snr:.1f} dB"
+
+    def test_wfm_stereo_chain_vs_scipy_golden(self):
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        fs = 2_048_000
+        secs = 1.0
+        t = np.arange(int(fs * secs)) / fs
+        # stereo composite: L-only 1 kHz (mono + L-R both carry it) + pilot
+        comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+                + 0.45 * np.sin(2 * np.pi * 1000.0 * t)
+                * np.cos(2 * np.pi * 38000.0 * t))
+        phm = 2 * np.pi * np.cumsum(75000.0 * comp) / fs
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + phm))
+              ).astype(np.complex64)
+        got, rx = ph.run_chain(iq, fs, DemodMode.FMS, 300_000.0, 32768)
+        left = got[0] if got.ndim == 2 else got
+        golden = ph.scipy_golden_wfm(iq, fs, 300_000.0, rx, stereo=True)
+        snr = ph.snr_db(golden, left.astype(np.float64),
+                        skip=rx.cfg.audio_rate // 2)
+        assert snr > 45.0, f"WFM stereo parity SNR {snr:.1f} dB"

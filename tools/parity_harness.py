@@ -30,6 +30,7 @@ from pebblesdr_tpu.demod.modes import DemodMode, from_string  # noqa: E402
 from pebblesdr_tpu.io import wav  # noqa: E402
 from pebblesdr_tpu.ops import decimator as decim_mod  # noqa: E402
 from pebblesdr_tpu.ops import fir as fir_mod  # noqa: E402
+from pebblesdr_tpu.ops import iir as iir_mod  # noqa: E402
 
 
 def scipy_golden(iq: np.ndarray, fs: int, tune_hz: float, mode: "DemodMode",
@@ -75,6 +76,137 @@ def scipy_golden(iq: np.ndarray, fs: int, tune_hz: float, mode: "DemodMode",
     return audio
 
 
+def _front64(iq: np.ndarray, fs: int, tune_hz: float, protect_bw: float):
+    """Shared float64 front end: DC removal -> mix -> halfband cascade.
+    Returns (x, rate_out)."""
+    x = iq.astype(np.complex128)
+    n = np.arange(len(x))
+    alpha = 0.9999
+    mean = scipy.signal.lfilter([1 - alpha], [1, -alpha], x)
+    x = x - mean
+    x = x * np.exp(-2j * np.pi * tune_hz * n / fs)
+    plan = decim_mod.build_plan(fs, protect_bw)
+    for st in plan.stages:
+        x = scipy.signal.lfilter(st.taps, [1.0], x)[::2]
+    return x, plan.rate_out
+
+
+def _bandpass64(x: np.ndarray, rate: float, lo_cut: float, hi_cut: float,
+                blk: int) -> np.ndarray:
+    taps = fir_mod.design_bandpass_complex(lo_cut, hi_cut, rate, blk + 1)
+    return scipy.signal.lfilter(taps, [1.0], x)
+
+
+def _resample64(audio: np.ndarray, rate: float, audio_rate: int) -> np.ndarray:
+    from fractions import Fraction
+
+    fr = Fraction(int(audio_rate), int(round(rate)))
+    return scipy.signal.resample_poly(audio, fr.numerator, fr.denominator)
+
+
+def _pll64(cfg, x: np.ndarray) -> np.ndarray:
+    """Float64 per-sample PLL mirroring ops.pll.pll_run semantics (alpha/beta
+    gains, fdev clamp, amp EWMA, detector family) — an independent sequential
+    implementation of the same loop spec.  Returns the per-sample phase USED
+    to mix each sample."""
+    import math
+
+    dev_lo = cfg.freq_lo - cfg.freq_center
+    dev_hi = cfg.freq_hi - cfg.freq_center
+    phase = 0.0
+    fdev = 0.0
+    amp = 1.0
+    phases = np.empty(len(x), np.float64)
+    two_pi = 2.0 * math.pi
+    for i, xt in enumerate(x):
+        phases[i] = phase
+        amp += 1e-3 * (abs(xt) - amp)
+        if cfg.detector == "pilot":
+            a_half = max((math.pi / 4.0) * amp, 1e-6)
+            err = xt.real * math.cos(phase) / a_half
+        else:
+            z = xt * complex(math.cos(-phase), math.sin(-phase))
+            if cfg.detector == "atan2":
+                err = math.atan2(z.imag, z.real)
+            elif cfg.detector == "costas":
+                err = z.real * z.imag / max(amp * amp, 1e-12)
+            else:
+                err = z.imag * (1.0 if z.real >= 0 else -1.0)
+        fdev = min(max(fdev + cfg.beta * err, dev_lo), dev_hi)
+        phase = phase + (cfg.freq_center + fdev) + cfg.alpha * err
+        phase = math.fmod(phase + math.pi, two_pi)
+        if phase < 0:
+            phase += two_pi
+        phase -= math.pi
+    return phases
+
+
+def scipy_golden_nfm(iq: np.ndarray, fs: int, tune_hz: float, rx) -> np.ndarray:
+    """NFM conj-product discriminator golden (demod path of demod_nfm.cpp
+    FM2 :124-140): bandpass -> angle(x*conj(prev))*gain -> 0.999 DC tracker
+    -> voice LP -> resample."""
+    x, rate = _front64(iq, fs, tune_hz, rx.info.max_output_bw)
+    x = _bandpass64(x, rate, rx.info.lo_cut, rx.info.hi_cut, rx.blk)
+    cfg = rx.nfm_cfg
+    prev = np.concatenate([[0.0 + 0.0j], x[:-1]])
+    delta = x * np.conj(prev)
+    gain = rate / (2.0 * np.pi * cfg.max_deviation)
+    audio = np.arctan2(delta.imag, delta.real) * gain
+    a = 0.999
+    dc = scipy.signal.lfilter([1 - a], [1, -a], audio)
+    audio = audio - dc
+    audio = scipy.signal.lfilter(cfg.voice_taps.astype(np.float64), [1.0],
+                                 audio)
+    return _resample64(audio, rate, rx.cfg.audio_rate)
+
+
+def scipy_golden_sam(iq: np.ndarray, fs: int, tune_hz: float, rx) -> np.ndarray:
+    """SAM golden (demod_sam.cpp:5-112 capability): float64 per-sample PLL
+    carrier recovery -> coherent mix -> 0.999 DC removal -> resample (mono)."""
+    x, rate = _front64(iq, fs, tune_hz, rx.info.max_output_bw)
+    x = _bandpass64(x, rate, rx.info.lo_cut, rx.info.hi_cut, rx.blk)
+    phases = _pll64(rx.sam_cfg.pll, x)
+    base = x * np.exp(-1j * phases)
+    mono = base.real
+    a = 0.999
+    dc = scipy.signal.lfilter([1 - a], [1, -a], mono)
+    mono = mono - dc
+    return _resample64(mono, rate, rx.cfg.audio_rate)
+
+
+def scipy_golden_wfm(iq: np.ndarray, fs: int, tune_hz: float, rx,
+                     stereo: bool) -> np.ndarray:
+    """WFM golden (demod_wfm.cpp mono :207-232 / stereo :255-365): composite
+    discriminator; stereo adds pilot biquad BP + float64 pilot PLL +
+    sin(2*phase) demux + notch; both share the 15 kHz LP (decimating) and
+    de-emphasis.  Returns the LEFT channel at the audio rate."""
+    x, rate = _front64(iq, fs, tune_hz, rx.info.max_output_bw)
+    cfg = rx.wfm_cfg
+    prev = np.concatenate([[0.0 + 0.0j], x[:-1]])
+    delta = x * np.conj(prev)
+    gain = rate / (2.0 * np.pi * cfg.max_deviation)
+    raw = np.arctan2(delta.imag, delta.real) * gain
+    taps = cfg.audio_taps.astype(np.float64)
+    dec = cfg.audio_decim
+    mono = scipy.signal.lfilter(taps, [1.0], raw)[::dec]
+    if stereo:
+        bp = cfg.pilot_bp
+        pilot = scipy.signal.lfilter([bp.b0, bp.b1, bp.b2],
+                                     [1.0, bp.a1, bp.a2], raw)
+        phases = _pll64(cfg.pilot_pll, pilot.astype(np.complex128))
+        lmr = raw * 2.0 * np.sin(2.0 * phases)
+        lmr_a = scipy.signal.lfilter(taps, [1.0], lmr)[::dec]
+        left = mono + lmr_a
+        nc = cfg.pilot_notch
+        left = scipy.signal.lfilter([nc.b0, nc.b1, nc.b2],
+                                    [1.0, nc.a1, nc.a2], left)
+    else:
+        left = mono
+    a = iir_mod.deemphasis_alpha(cfg.deemphasis_us, cfg.audio_rate)
+    left = scipy.signal.lfilter([1 - a], [1, -a], left)
+    return _resample64(left, cfg.audio_rate, rx.cfg.audio_rate)
+
+
 def run_chain(iq: np.ndarray, fs: int, mode: DemodMode, tune_hz: float,
               frames: int):
     import jax
@@ -95,7 +227,7 @@ def run_chain(iq: np.ndarray, fs: int, mode: DemodMode, tune_hz: float,
         state, out = rx.step(state, params, jax.lax.complex(
             jnp.asarray(ri[:, 0]), jnp.asarray(ri[:, 1])))
         outs.append(np.asarray(out["audio"])[0])
-    return np.concatenate(outs), rx
+    return np.concatenate(outs, axis=-1), rx
 
 
 def snr_db(ref: np.ndarray, got: np.ndarray, skip: int, eq_taps: int = 33) -> float:
@@ -149,15 +281,28 @@ def main(argv=None) -> int:
     iq, info = wav.read_iq_wav(args.wav_path)
     mode = from_string(args.mode or info.demod_mode)
     tune = args.tune if args.tune is not None else info.center_freq_hz
-    if mode not in (DemodMode.AM, DemodMode.USB, DemodMode.LSB):
-        print("scipy golden implemented for AM/USB/LSB", file=sys.stderr)
+    supported = (DemodMode.AM, DemodMode.USB, DemodMode.LSB, DemodMode.FMN,
+                 DemodMode.SAM, DemodMode.FMM, DemodMode.FMS)
+    if mode not in supported:
+        print(f"scipy golden implemented for {[m.value for m in supported]}",
+              file=sys.stderr)
         return 2
 
     got, rx = run_chain(iq, info.sample_rate, mode, tune, args.frames)
-    golden = scipy_golden(iq, info.sample_rate, tune, mode,
-                          rx.info.lo_cut, rx.info.hi_cut,
-                          rx.info.max_output_bw,
-                          rx.cfg.audio_rate, rx.blk)
+    if mode == DemodMode.FMN:
+        golden = scipy_golden_nfm(iq, info.sample_rate, tune, rx)
+    elif mode == DemodMode.SAM:
+        golden = scipy_golden_sam(iq, info.sample_rate, tune, rx)
+    elif mode in (DemodMode.FMM, DemodMode.FMS):
+        golden = scipy_golden_wfm(iq, info.sample_rate, tune, rx,
+                                  stereo=(mode == DemodMode.FMS))
+        if got.ndim == 2:  # stereo [2, M]: compare the left channel
+            got = got[0]
+    else:
+        golden = scipy_golden(iq, info.sample_rate, tune, mode,
+                              rx.info.lo_cut, rx.info.hi_cut,
+                              rx.info.max_output_bw,
+                              rx.cfg.audio_rate, rx.blk)
     skip = rx.cfg.audio_rate // 2  # DC-blocker settling
     s = snr_db(golden, got.astype(np.float64), skip)
     print(f"chain vs scipy-golden SNR: {s:.1f} dB "
