@@ -1,17 +1,20 @@
 #!/usr/bin/env python
 """Headline benchmark: IQ Msamples/s/chip through the full filter+demod chain.
 
-Runs the flagship multi-channel receive chain (BASELINE.json headline metric)
-on the available accelerator: C concurrent AM channels at 2.048 Msps, each
-running the complete chain (DC removal -> mix -> 6-stage halfband cascade ->
-FastFIR bandpass -> spectra + S-meter -> AGC -> AM demod -> 48 kHz resample).
+Default run measures the MATRIX (VERDICT r1 item 8): AM 64ch (headline),
+WFM-stereo 64ch, SAM 64ch, AM 16ch (channel scaling), and the PFB dense-bank
+front end at 128 stations — all honest-synced, all in the one parsed JSON
+line (headline fields = the AM row; the rest under "matrix").
 
 Baseline: the reference's measured whole-chain time of 7.035 ms per
 2048-sample block (application/receiver.cpp:780-785) = 0.291 Msamples/s on a
 single channel; vs_baseline is the speedup of our per-chip aggregate
 throughput over that number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_MODE=matrix|am|wfm|sam|pfb, BENCH_CHANNELS, BENCH_BLOCKS,
+BENCH_STEPS, BENCH_FRAMES, BENCH_AGC_STRIDE, BENCH_SPECTRA_EVERY.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "matrix"}.
 """
 
 import json
@@ -30,52 +33,63 @@ STEPS = int(os.environ.get("BENCH_STEPS", "40"))
 # ~0.55 ms/dispatch floor of the network-attached chip across K blocks
 # (8 -> 8357 Msps, 32 -> 11333, 64 -> 11941; 32 balances compile time)
 BLOCKS = int(os.environ.get("BENCH_BLOCKS", "32"))
-MODE = os.environ.get("BENCH_MODE", "am")  # am | wfm
+MODE = os.environ.get("BENCH_MODE", "matrix")  # matrix | am | wfm | sam | pfb
 REFERENCE_MSPS = 2048.0 / 7.035e-3 / 1e6  # 0.291 Msps (receiver.cpp:780-785)
 
 
-def main():
-    import jax
+def _synth_iq(mode_name: str, frames: int) -> np.ndarray:
+    t = np.arange(frames) / FS
+    if mode_name == "wfm":
+        comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
+        phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+        return (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+                ).astype(np.complex64)
+    env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+    return (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
 
-    # persistent compile cache: repeat bench runs skip the ~100 s warmup
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__) or ".",
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+def _timed_windows(run_once, sync_out, steps: int):
+    """3 independent fully-synced windows; min rejects tunnel hiccups.
+
+    HONEST SYNC: over the axon tunnel, block_until_ready() can return at
+    enqueue time without waiting for the device; the only trustworthy barrier
+    is fetching a scalar through a pre-warmed jitted reduction.
+    """
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(steps):
+            out = run_once(i)
+        sync_out(out)
+        dts.append(time.perf_counter() - t0)
+    return min(dts), dts
+
+
+def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
+                   frames: int = FRAMES) -> dict:
+    """One Receiver config, honest-synced.  Returns the row dict."""
+    import jax
     import jax.numpy as jnp
 
     from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
     from pebblesdr_tpu.demod.modes import DemodMode
 
-    mode = DemodMode.FMS if MODE == "wfm" else DemodMode.AM
-    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=FRAMES,
-                         channels=CHANNELS, mode=mode,
+    mode = {"wfm": DemodMode.FMS, "sam": DemodMode.SAM}.get(
+        mode_name, DemodMode.AM)
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=frames,
+                         channels=channels, mode=mode,
                          agc_stride=int(os.environ.get("BENCH_AGC_STRIDE", "16")))
     rx = Receiver(cfg)
-
     # complex64 cannot cross the axon host<->device boundary: build state
-    # inside jit, ship IQ as float32 (re, im) planes
+    # inside jit, ship IQ as float32 lane-packed planes
     state = jax.jit(lambda: rx.init_state())()
     params = rx.default_params(250_000.0)
-
-    t = np.arange(FRAMES) / FS
-    if mode == DemodMode.FMS:
-        comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
-                + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
-        phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
-        iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
-              ).astype(np.complex64)
-    else:
-        env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
-        iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
-    # [K*N, 2C] float32 lane-packed planes (re lanes then im lanes): the
-    # zero-copy entry layout for both the scanned and batched step_many
-    # paths.  Ship ONE block (16 MB) and tile on device: the network tunnel
-    # moves host->device bytes at an erratic 1-20 MB/s, so shipping the full
-    # K-block buffer (512 MB at K=32) dominated "warmup" at 400-900 s
+    iq = _synth_iq(mode_name, frames)
     plane = np.concatenate([
-        np.broadcast_to(iq.real.astype(np.float32)[:, None], (FRAMES, CHANNELS)),
-        np.broadcast_to(iq.imag.astype(np.float32)[:, None], (FRAMES, CHANNELS)),
+        np.broadcast_to(iq.real.astype(np.float32)[:, None], (frames, channels)),
+        np.broadcast_to(iq.imag.astype(np.float32)[:, None], (frames, channels)),
     ], axis=1)
 
     import functools
@@ -84,56 +98,143 @@ def main():
     def step(state, params, iq_ri, spectra=True):
         return rx._step_many_impl(state, params, iq_ri, spectra=spectra)
 
-    # display spectra run at the reference's updatesPerSecond cadence
-    # (signalspectrum.cpp:63-86), not per block: every 6th 16 ms block ~ 10/s
     spectra_every = int(os.environ.get("BENCH_SPECTRA_EVERY", "1"))
-
-    # HONEST SYNC: over the axon tunnel, block_until_ready() can return at
-    # enqueue time without waiting for the device (a 0.35 ms/block compute
-    # "measures" as 0.02), and the backlog drains into whatever runs next.
-    # The only trustworthy barrier is fetching a scalar through a pre-warmed
-    # jitted reduction — it cannot complete until every queued dependency has
-    # executed.
     sync = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+    # ship ONE block (16 MB) and tile on device: the tunnel moves
+    # host->device bytes erratically at 1-20 MB/s
+    iq_dev = jax.jit(lambda b: jnp.tile(b, (blocks, 1)))(jnp.asarray(plane))
 
-    iq_dev = jax.jit(lambda b: jnp.tile(b, (BLOCKS, 1)))(jnp.asarray(plane))
     t_c = time.perf_counter()
-    for i in range(max(WARMUP, 2)):
-        state, out = step(state, params, iq_dev, spectra=(i % spectra_every == 0))
+    st = state
+    out = None
+    for i in range(WARMUP):
+        st, out = step(st, params, iq_dev, spectra=(i % spectra_every == 0))
     float(sync(out["audio"]))
-    print(f"# compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr)
+    compile_s = time.perf_counter() - t_c
+    print(f"# [{mode_name} {channels}ch] compile+warmup {compile_s:.1f}s",
+          file=sys.stderr)
 
-    # Time 3 independent fully-synced windows and report the best: the
-    # network tunnel to the chip stalls transiently (measured 1.5x swings
-    # between identical runs); each window is a complete honest measurement
-    # of the same device work, so max-of-windows rejects tunnel hiccups
-    # without inflating device throughput.
-    dts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, out = step(state, params, iq_dev,
+    box = {"st": st}
+
+    def run_once(i):
+        box["st"], out = step(box["st"], params, iq_dev,
                               spectra=(i % spectra_every == 0))
-        float(sync(out["audio"]))
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
-    print(f"# window times: {['%.2fs' % d for d in dts]}", file=sys.stderr)
+        return out
 
-    samples = CHANNELS * FRAMES * BLOCKS * STEPS
+    dt, dts = _timed_windows(run_once, lambda o: float(sync(o["audio"])),
+                             steps)
+    samples = channels * frames * blocks * steps
     msps = samples / dt / 1e6
-    result = {
-        "metric": "iq_msps_per_chip",
-        "value": round(msps, 2),
-        "unit": "Msamples/s/chip (full %s chain, %d ch @ 2.048 Msps)" % (
-            "WFM-stereo" if mode == DemodMode.FMS else "AM", CHANNELS),
+    per_chan = samples / channels / dt
+    print(f"# [{mode_name} {channels}ch] windows "
+          f"{['%.2fs' % d for d in dts]}; block "
+          f"{dt/(steps*blocks)*1e3:.3f} ms", file=sys.stderr)
+    return {
+        "config": f"{mode_name}_{channels}ch",
+        "msps_per_chip": round(msps, 1),
+        "realtime_per_channel": round(per_chan / FS, 1),
+        "block_ms": round(dt / (steps * blocks) * 1e3, 3),
+        "compile_warmup_s": round(compile_s, 1),
         "vs_baseline": round(msps / REFERENCE_MSPS, 1),
     }
+
+
+def bench_pfb(stations: int, blocks: int, steps: int,
+              frames: int = FRAMES) -> dict:
+    """PFB dense-bank front end: ONE wideband capture -> `stations` AM
+    channels through the shared filterbank (front cost sublinear in C)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pebblesdr_tpu.chain.pfb_bank import PfbBankReceiver
+    from pebblesdr_tpu.demod.modes import DemodMode
+    from pebblesdr_tpu.ops import pfb as pfb_mod
+
+    m = int(os.environ.get("BENCH_PFB_BANK", "128"))
+    plan = pfb_mod.plan(FS, m)
+    centers = pfb_mod.channel_freqs(plan)
+    # stations on distinct grid centers (skip channel 0 = DC)
+    idx = (1 + np.arange(stations)) % m
+    tunes = centers[idx]
+    bank = PfbBankReceiver(FS, frames, tunes, mode=DemodMode.AM, n_bank=m,
+                           agc_mode="off")
+    state = jax.jit(bank.init_state)()
+    iq = _synth_iq("am", frames)
+    plane = np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
+    big = jax.jit(lambda b: jnp.tile(b, (blocks, 1)))(jnp.asarray(plane))
+    sync = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+
+    t_c = time.perf_counter()
+    st = state
+    out = None
+    for _ in range(WARMUP):
+        st, out = bank.step_many(st, big, spectra=False)
+    float(sync(out["audio"]))
+    compile_s = time.perf_counter() - t_c
+    print(f"# [pfb {stations}st bank{m}] compile+warmup {compile_s:.1f}s",
+          file=sys.stderr)
+
+    box = {"st": st}
+
+    def run_once(i):
+        box["st"], out = bank.step_many(box["st"], big, spectra=False)
+        return out
+
+    dt, dts = _timed_windows(run_once, lambda o: float(sync(o["audio"])),
+                             steps)
+    # delivered work = every station demodulates the full-rate stream
+    samples = stations * frames * blocks * steps
+    msps = samples / dt / 1e6
+    print(f"# [pfb] windows {['%.2fs' % d for d in dts]}; block "
+          f"{dt/(steps*blocks)*1e3:.3f} ms", file=sys.stderr)
+    return {
+        "config": f"pfb_{stations}st_bank{m}",
+        "msps_per_chip": round(msps, 1),
+        "realtime_per_channel": round(samples / stations / dt / FS, 1),
+        "block_ms": round(dt / (steps * blocks) * 1e3, 3),
+        "compile_warmup_s": round(compile_s, 1),
+        "vs_baseline": round(msps / REFERENCE_MSPS, 1),
+    }
+
+
+def main():
+    import jax
+
+    # persistent compile cache: repeat bench runs skip the compile cost
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    t_all = time.perf_counter()
+    if MODE == "matrix":
+        rows = [bench_receiver("am", CHANNELS, BLOCKS, STEPS)]
+        rows.append(bench_receiver("wfm", CHANNELS,
+                                   max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        rows.append(bench_receiver("sam", CHANNELS,
+                                   max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        rows.append(bench_receiver("am", 16, BLOCKS, max(16, STEPS // 2)))
+        rows.append(bench_pfb(int(os.environ.get("BENCH_PFB_STATIONS", "127")),
+                              max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        head = rows[0]
+    elif MODE == "pfb":
+        head = bench_pfb(int(os.environ.get("BENCH_PFB_STATIONS", "127")),
+                         BLOCKS, STEPS)
+        rows = [head]
+    else:
+        head = bench_receiver(MODE, CHANNELS, BLOCKS, STEPS)
+        rows = [head]
+    total_s = time.perf_counter() - t_all
+
+    result = {
+        "metric": "iq_msps_per_chip",
+        "value": head["msps_per_chip"],
+        "unit": "Msamples/s/chip (full %s chain)" % head["config"],
+        "vs_baseline": head["vs_baseline"],
+        "matrix": rows,
+        "total_bench_s": round(total_s, 1),
+    }
     print(json.dumps(result))
-    # supplementary metrics on stderr (not part of the driver contract)
-    per_chan = samples / CHANNELS / dt
-    print(f"# per-channel {per_chan/1e6:.2f} Msps, realtime x{per_chan/FS:.2f}, "
-          f"block time {dt/(STEPS*BLOCKS)*1e3:.2f} ms for {CHANNELS} channels "
-          f"({BLOCKS} blocks/dispatch)", file=sys.stderr)
 
 
 if __name__ == "__main__":

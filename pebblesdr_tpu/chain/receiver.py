@@ -68,6 +68,12 @@ class ReceiverConfig:
     #                                       with frames_per_buffer
     enable_noise_blanker: bool = False
     enable_anf: bool = False
+    enable_dc_removal: bool = True        # front-end DC blocker.  Disable
+    #                                       when the input is ALREADY at
+    #                                       baseband with a legitimate DC
+    #                                       carrier (the PFB bank's channel
+    #                                       streams: a station on its channel
+    #                                       center IS the DC term)
     enable_iq_balance: bool | str = False  # True: static params.iq_gain/
     #                                        iq_phase correction; "auto": the
     #                                        adaptive N4HY/dttsp image-reject
@@ -212,6 +218,7 @@ class Receiver:
         # sub-blocks.
         self._pallas_interpret = jax.devices()[0].platform == "cpu"
         front_ok = (not cfg.enable_iq_balance and not cfg.enable_noise_blanker
+                    and cfg.enable_dc_removal
                     and not cfg.taps and len(self.plan.stages) > 0)
         # sub_block 2048: 4096 is ~9% faster at 32k frames but overflows the
         # 16 MB scoped-VMEM stack (Mosaic straight-line temporaries) once the
@@ -664,7 +671,10 @@ class Receiver:
             iqbal_state = state.iqbal
             iq_cn = (jax.lax.complex(x_pk[:, :c].T, x_pk[:, c:].T)
                      if x_pk is not None else iq)
-            dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
+            if cfg.enable_dc_removal:
+                dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
+            else:
+                dc, x = state.dc, iq_cn
             if cfg.enable_iq_balance == "auto":
                 iqbal_state, x = scanops.auto_iq_balance(state.iqbal, x)
             elif cfg.enable_iq_balance:

@@ -97,6 +97,28 @@ def decode_frame(frame: bytes) -> tuple[bytes, np.ndarray, np.ndarray]:
     return ctrl, iq, mic
 
 
+BANDSCOPE_SAMPLES_PER_FRAME = FRAME_BYTES // 2   # raw 16-bit ADC samples
+BANDSCOPE_SAMPLES_PER_DATAGRAM = 2 * BANDSCOPE_SAMPLES_PER_FRAME
+
+
+def encode_bandscope_frame(samples: np.ndarray) -> bytes:
+    """256 raw wideband ADC samples (float in [-1, 1]) -> one 512-byte EP4
+    frame of 16-bit big-endian values (protocol-1 bandscope payload: no
+    sync/C&C, the whole frame is samples)."""
+    if len(samples) != BANDSCOPE_SAMPLES_PER_FRAME:
+        raise ValueError("bandscope frame takes exactly 256 samples")
+    v = np.clip(np.round(np.asarray(samples) * 32767.0),
+                -32768, 32767).astype(">i2")
+    return v.tobytes()
+
+
+def decode_bandscope_frame(frame: bytes) -> np.ndarray:
+    """One 512-byte EP4 frame -> 256 float32 raw ADC samples."""
+    if len(frame) != FRAME_BYTES:
+        raise ValueError(f"bandscope frame must be 512 bytes, got {len(frame)}")
+    return (np.frombuffer(frame, ">i2").astype(np.float32) / 32767.0)
+
+
 def command_frame(c0: int, c1c4: bytes) -> bytes:
     """A PC->radio frame carrying only a C&C command (hpsdrnetwork.cpp:130-155
     zero-fills the data area)."""
@@ -180,7 +202,10 @@ class HpsdrServer:
                 self._sock.sendto(resp, addr)
             elif info == 0x04:      # start/stop (hpsdrnetwork.cpp:92-122)
                 self._client_addr = addr
-                if pkt[3] & 0x01:
+                # command bit0 = IQ stream, bit1 = wide bandscope
+                # (0x01 IQ only, 0x02 bandscope only, 0x03 both)
+                self._bandscope = bool(pkt[3] & 0x02)
+                if pkt[3] & 0x03:
                     if not self._running.is_set():
                         self._running.set()
                         self._data_thread = threading.Thread(
@@ -209,6 +234,7 @@ class HpsdrServer:
     def _stream_data(self) -> None:
         import time
         seq = 0
+        self._bs_seq = 0
         sent = 0
         t0 = time.monotonic()
         status = bytes([0x00, 0x00, 0x00, 0x00, self.fw_version])  # type-0 C&C
@@ -234,6 +260,23 @@ class HpsdrServer:
             except OSError:
                 return
             seq += 1
+            if getattr(self, "_bandscope", False):
+                # EP4 wideband samples (real ADC view of the same stream;
+                # the reference starts this with command bit1 and defines
+                # IN_ENDPOINT4 but never consumes it — hpsdrnetwork.cpp:193
+                # "not used yet"; we stream AND consume it)
+                bs = np.zeros(BANDSCOPE_SAMPLES_PER_DATAGRAM, np.float32)
+                take = min(len(blk), len(bs))
+                bs[:take] = blk.real[:take]
+                bpkt = data_packet(
+                    EP_BANDSCOPE, self._bs_seq,
+                    encode_bandscope_frame(bs[:BANDSCOPE_SAMPLES_PER_FRAME]),
+                    encode_bandscope_frame(bs[BANDSCOPE_SAMPLES_PER_FRAME:]))
+                try:
+                    self._sock.sendto(bpkt, self._client_addr)
+                except OSError:
+                    return
+                self._bs_seq += 1
 
 
 class HpsdrSource(Source):
@@ -257,6 +300,8 @@ class HpsdrSource(Source):
         self._seq_out = 0
         self._last_seq: int | None = None
         self._pending = np.zeros(0, np.complex64)
+        self._bs_buf: list[np.ndarray] = []
+        self._bs_max_frames = 512   # ~128 k wideband samples retained
         self.dropped_datagrams = 0
         # unicast discovery to the known radio address (the broadcast form is
         # the module-level discover()); hpsdrnetwork.cpp:46-69 supports both
@@ -300,9 +345,11 @@ class HpsdrSource(Source):
         self.info.sample_rate = SPEEDS[c1c4[0]]
         self.send_command(c0, c1c4)
 
-    def start(self) -> None:
-        """<0xEFFE><0x04><0x01>: IQ stream on (hpsdrnetwork.cpp:92-106)."""
-        self._sock.sendto(bytes([0xEF, 0xFE, 0x04, 0x01]) + b"\x00" * 60,
+    def start(self, bandscope: bool = False) -> None:
+        """<0xEFFE><0x04><cmd>: cmd 0x01 = IQ stream, 0x03 = IQ + wide
+        bandscope (hpsdrnetwork.cpp:92-106)."""
+        cmd = 0x03 if bandscope else 0x01
+        self._sock.sendto(bytes([0xEF, 0xFE, 0x04, cmd]) + b"\x00" * 60,
                           self._radio)
 
     def stop(self) -> None:
@@ -313,14 +360,23 @@ class HpsdrSource(Source):
 
     def read_block(self, n: int) -> np.ndarray:
         """Assemble n complex64 samples from EP6 datagrams; missed sequence
-        numbers are zero-filled and counted."""
+        numbers are zero-filled and counted.  EP4 bandscope datagrams seen on
+        the way are collected into the bandscope buffer (read_bandscope)."""
         out = [self._pending]
         have = len(self._pending)
         while have < n:
             pkt = self._sock.recv(2048)
             if (len(pkt) < 8 + 2 * FRAME_BYTES or pkt[0] != 0xEF
-                    or pkt[1] != 0xFE or pkt[2] != 0x01
-                    or pkt[3] != EP_IQ):
+                    or pkt[1] != 0xFE or pkt[2] != 0x01):
+                continue
+            if pkt[3] == EP_BANDSCOPE:
+                for off in (8, 8 + FRAME_BYTES):
+                    self._bs_buf.append(
+                        decode_bandscope_frame(pkt[off:off + FRAME_BYTES]))
+                if len(self._bs_buf) > self._bs_max_frames:
+                    del self._bs_buf[:len(self._bs_buf) - self._bs_max_frames]
+                continue
+            if pkt[3] != EP_IQ:
                 continue
             seq = struct.unpack(">I", pkt[4:8])[0]
             if self._last_seq is not None:
@@ -339,12 +395,43 @@ class HpsdrSource(Source):
         self._pending = buf[n:]
         return buf[:n]
 
+    def read_bandscope(self) -> np.ndarray:
+        """Drain the buffered EP4 wideband samples (raw real ADC view, [-1,
+        1] float32).  Fills as a side effect of read_block; feed the result
+        to bandscope_spectrum for the display path."""
+        if not self._bs_buf:
+            return np.zeros(0, np.float32)
+        buf = np.concatenate(self._bs_buf)
+        self._bs_buf.clear()
+        return buf
+
     def close(self) -> None:
         try:
             self.stop()
         except OSError:
             pass
         self._sock.close()
+
+
+def bandscope_spectrum(samples: np.ndarray, bins: int = 2048,
+                       db_offset: float = 0.0) -> np.ndarray:
+    """Raw EP4 samples -> dB power spectrum [bins] for the display path (the
+    Receiver::processBandscopeData analog, receiver.cpp:1010-1025: the
+    reference expects pre-computed dB bytes; we get raw ADC samples, so run
+    the windowed transform here).  Real input: returns the positive-frequency
+    half-spectrum spread over `bins` points, newest `2*bins` samples used."""
+    from pebblesdr_tpu.ops import spectrum as spec_mod
+
+    n = 2 * bins
+    if len(samples) < n:
+        samples = np.concatenate([np.zeros(n - len(samples), np.float32),
+                                  samples])
+    x = samples[-n:].astype(np.float64)
+    w, cg = spec_mod.make_window(n)
+    xs = np.fft.rfft(x * w)[:bins]
+    p = np.abs(xs / (n * cg)) ** 2
+    return (10.0 * np.log10(np.maximum(p, 1e-20)) + db_offset).astype(
+        np.float32)
 
 
 def discover(timeout: float = 2.0,

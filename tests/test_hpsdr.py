@@ -90,6 +90,39 @@ class TestEndToEnd:
         finally:
             server.stop()
 
+    def test_bandscope_stream(self):
+        """start(bandscope=True) = command 0x03: the server streams EP4
+        wideband frames alongside EP6 IQ; the client collects them and the
+        spectrum helper shows the tone (the reference defines the endpoint
+        but never consumes it — hpsdrnetwork.cpp:193 'not used yet')."""
+        fs = 192_000
+        src = SyntheticSource(fs, tones=((21_000.0, 0.5),))
+        server = hpsdr.HpsdrServer(src, pace=False)
+        server.start()
+        try:
+            client = hpsdr.HpsdrSource("127.0.0.1", server.port,
+                                       sample_rate=fs,
+                                       center_freq_hz=7_040_000.0)
+            client.start(bandscope=True)
+            client.read_block(16384)
+            bs = client.read_bandscope()
+            client.close()
+            assert len(bs) >= 4096
+            assert bs.dtype == np.float32
+            spec = hpsdr.bandscope_spectrum(bs, bins=1024)
+            assert spec.shape == (1024,)
+            # tone at 21 kHz of the 96 kHz half-span -> bin 21/96*1024
+            peak = int(np.argmax(spec))
+            assert abs(peak - round(21_000 / (fs / 2) * 1024)) <= 2
+        finally:
+            server.stop()
+
+    def test_bandscope_frame_roundtrip(self):
+        rng = np.random.default_rng(1)
+        s = rng.uniform(-0.9, 0.9, 256).astype(np.float32)
+        back = hpsdr.decode_bandscope_frame(hpsdr.encode_bandscope_frame(s))
+        np.testing.assert_allclose(back, s, atol=2 / 32767)
+
     def test_registry(self):
         from pebblesdr_tpu.io import registry
         assert "hpsdr" in registry.available()
