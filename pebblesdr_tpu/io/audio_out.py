@@ -96,12 +96,116 @@ class PipeOutput(AudioOutput):
             self.proc.wait(timeout=5)
 
 
-def factory(kind: str = "null", **kwargs) -> AudioOutput:
-    """Audio::Factory analog: 'null' | 'wav' | 'pipe'."""
+class PacedOutput(AudioOutput):
+    """Real-time pacing wrapper: a consumer thread drains a bounded buffer
+    into the inner sink at the audio clock rate — the reference's audio
+    output consumer thread (audioqt.cpp:21-27) made explicit, with the
+    accounting a soundcard driver would give you:
+
+      latency_s  — audio currently buffered ahead of the clock;
+      underruns  — consumer woke to an empty buffer (producer too slow);
+      overruns   — producer exceeded max_latency_s; oldest audio dropped
+                   (the ProducerConsumer drop-oldest semantics).
+
+    Underruns emit silence to keep the output clock steady, exactly like a
+    real device."""
+
+    def __init__(self, inner: AudioOutput, max_latency_s: float = 0.5,
+                 chunk_s: float = 0.05):
+        import threading
+
+        self.inner = inner
+        self.max_latency_s = max_latency_s
+        self.chunk_s = chunk_s
+        self.underruns = 0
+        self.overruns = 0
+        self._buf: list[np.ndarray] = []
+        self._buffered = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = None
+
+    @property
+    def latency_s(self) -> float:
+        return self._buffered / self.rate
+
+    def start(self, rate: int, channels: int = 1) -> None:
+        import threading
+
+        self.rate = rate
+        self.channels = channels
+        self.inner.start(rate, channels)
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._consume, daemon=True)
+        self._thread.start()
+
+    def send(self, audio, gain=1.0, mute=False) -> None:
+        a = np.asarray(audio, np.float32) * (0.0 if mute else gain)
+        with self._lock:
+            self._buf.append(a)
+            self._buffered += a.shape[-1]
+            max_samples = int(self.max_latency_s * self.rate)
+            while self._buffered > max_samples and self._buf:
+                old = self._buf.pop(0)
+                self._buffered -= old.shape[-1]
+                self.overruns += 1
+
+    def _consume(self) -> None:
+        import time
+
+        chunk = max(1, int(self.chunk_s * self.rate))
+        next_t = time.monotonic()
+        while not self._stop.is_set():
+            next_t += chunk / self.rate
+            with self._lock:
+                take = []
+                need = chunk
+                while need > 0 and self._buf:
+                    a = self._buf[0]
+                    if a.shape[-1] <= need:
+                        take.append(self._buf.pop(0))
+                        need -= a.shape[-1]
+                    else:
+                        take.append(a[..., :need])
+                        self._buf[0] = a[..., need:]
+                        need = 0
+                self._buffered -= chunk - need
+            if need > 0:
+                self.underruns += 1
+                shape = (need,) if self.channels == 1 else (self.channels,
+                                                           need)
+                take.append(np.zeros(shape, np.float32))
+            if take:
+                self.inner.send(np.concatenate(
+                    [np.atleast_1d(t) for t in take], axis=-1))
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            else:
+                next_t = time.monotonic()  # fell behind: reset the clock
+
+    def stop(self) -> None:
+        # drain what's buffered, then stop the clock
+        import time
+
+        deadline = time.monotonic() + self.max_latency_s + 1.0
+        while self._buffered > 0 and time.monotonic() < deadline:
+            time.sleep(self.chunk_s / 2)
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+        self.inner.stop()
+
+
+def factory(kind: str = "null", paced: bool = False, **kwargs) -> AudioOutput:
+    """Audio::Factory analog: 'null' | 'wav' | 'pipe' (+paced=True to wrap
+    in the real-time pacing consumer)."""
     if kind == "null":
-        return NullOutput()
-    if kind == "wav":
-        return WavOutput(**kwargs)
-    if kind == "pipe":
-        return PipeOutput(**kwargs)
-    raise ValueError(kind)
+        out = NullOutput()
+    elif kind == "wav":
+        out = WavOutput(**kwargs)
+    elif kind == "pipe":
+        out = PipeOutput(**kwargs)
+    else:
+        raise ValueError(kind)
+    return PacedOutput(out) if paced else out
