@@ -197,7 +197,8 @@ def bench_pfb(stations: int, blocks: int, steps: int,
     }
 
 
-def main():
+def run_one(mode: str) -> dict:
+    """One configuration in THIS process (BENCH_MODE=<row> path)."""
     import jax
 
     # persistent compile cache: repeat bench runs skip the compile cost
@@ -205,24 +206,68 @@ def main():
                       os.path.join(os.path.dirname(__file__) or ".",
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if mode == "pfb":
+        return bench_pfb(int(os.environ.get("BENCH_PFB_STATIONS", "127")),
+                         BLOCKS, STEPS)
+    return bench_receiver(mode, CHANNELS, BLOCKS, STEPS)
 
+
+def _row_subprocess(mode: str, channels=None, blocks=None, steps=None,
+                    timeout_s=None, retries=1):
+    """Run one matrix row as a SUBPROCESS with timeout + retry.
+
+    The axon tunnel occasionally wedges a process at first device contact
+    (observed: >20 min with zero progress, while the very next attempt
+    compiles in seconds).  One hung row must not sink the whole matrix — or
+    the driver's round-end measurement — so each row gets its own process,
+    a kill timer, and one retry after a settle pause.
+    """
+    import subprocess
+
+    timeout_s = timeout_s or int(os.environ.get("BENCH_ROW_TIMEOUT", "900"))
+    env = dict(os.environ, BENCH_MODE=mode)
+    if channels is not None:
+        env["BENCH_CHANNELS"] = str(channels)
+    if blocks is not None:
+        env["BENCH_BLOCKS"] = str(blocks)
+    if steps is not None:
+        env["BENCH_STEPS"] = str(steps)
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=timeout_s)
+            sys.stderr.write(proc.stderr)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    return d["matrix"][0] if "matrix" in d else d
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                 else e.stderr.decode())
+            print(f"# row {mode} attempt {attempt} timed out after "
+                  f"{timeout_s}s", file=sys.stderr)
+        time.sleep(20)  # let the tunnel settle before the retry
+    return {"config": mode, "error": f"timed out x{retries + 1}"}
+
+
+def main():
     t_all = time.perf_counter()
     if MODE == "matrix":
-        rows = [bench_receiver("am", CHANNELS, BLOCKS, STEPS)]
-        rows.append(bench_receiver("wfm", CHANNELS,
-                                   max(8, BLOCKS // 2), max(16, STEPS // 2)))
-        rows.append(bench_receiver("sam", CHANNELS,
-                                   max(8, BLOCKS // 2), max(16, STEPS // 2)))
-        rows.append(bench_receiver("am", 16, BLOCKS, max(16, STEPS // 2)))
-        rows.append(bench_pfb(int(os.environ.get("BENCH_PFB_STATIONS", "127")),
-                              max(8, BLOCKS // 2), max(16, STEPS // 2)))
-        head = rows[0]
-    elif MODE == "pfb":
-        head = bench_pfb(int(os.environ.get("BENCH_PFB_STATIONS", "127")),
-                         BLOCKS, STEPS)
-        rows = [head]
+        rows = [_row_subprocess("am", CHANNELS, BLOCKS, STEPS)]
+        rows.append(_row_subprocess("wfm", CHANNELS,
+                                    max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        rows.append(_row_subprocess("sam", CHANNELS,
+                                    max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        rows.append(_row_subprocess("am", 16, BLOCKS, max(16, STEPS // 2)))
+        rows.append(_row_subprocess("pfb", blocks=max(8, BLOCKS // 2),
+                                    steps=max(16, STEPS // 2)))
+        ok = [r for r in rows if "msps_per_chip" in r]
+        head = ok[0] if ok else {"config": "none", "msps_per_chip": 0.0,
+                                 "vs_baseline": 0.0}
     else:
-        head = bench_receiver(MODE, CHANNELS, BLOCKS, STEPS)
+        head = run_one(MODE)
         rows = [head]
     total_s = time.perf_counter() - t_all
 

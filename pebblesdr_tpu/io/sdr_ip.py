@@ -283,15 +283,37 @@ class SdrIpSource(Source):
 
     def __init__(self, host: str = "127.0.0.1", port: int = 50000,
                  sample_rate: int = 2_000_000, center_freq_hz: float = 10e6,
-                 timeout: float = 5.0):
+                 timeout: float = 5.0, native: bool | None = None):
+        """native=True routes the UDP data plane through the C++ pump
+        (runtime.NativeUdpPump: dedicated receiver thread, native decode +
+        seq tracking, drop-oldest ring) — required headroom at Msps rates
+        where per-datagram Python processing steals the chain feeder's time.
+        None = auto (native when the runtime library is available)."""
         self._tcp = _AscpStream(
             socket.create_connection((host, port), timeout=timeout))
         # device datagrams target the TCP port number at our address
         # (rfspacedevice.cpp:652-656)
-        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._udp.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._udp.bind(("", port))
-        self._udp.settimeout(timeout)
+        if native is None:
+            from pebblesdr_tpu import runtime as _rt
+
+            native = _rt.available()
+        self._pump = None
+        self._udp = None
+        if native:
+            from pebblesdr_tpu.runtime import NativeUdpPump
+
+            # swap_iq: the ASCP wire carries Q first (normalizeIQ(..., true),
+            # rfspacedevice.cpp:899-900) — same convention as decode_cpx16
+            self._pump = NativeUdpPump(
+                port=port, header_bytes=4, seq_le16_offset=2, fmt="i16",
+                swap_iq=True, block_samples=4 * SAMPLES_PER_DATAGRAM,
+                ring_buffers=64)
+            self._timeout_ms = int(timeout * 1000)
+        else:
+            self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._udp.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._udp.bind(("", port))
+            self._udp.settimeout(timeout)
         self.target_name = self._request_string(ITEM_TARGET_NAME)
         self.serial = self._request_string(ITEM_SERIAL)
         self.info = SourceInfo(sample_rate=sample_rate,
@@ -344,6 +366,19 @@ class SdrIpSource(Source):
         """Assemble n complex64 samples from 256-sample datagrams; missed
         sequence numbers are zero-filled and counted (the reference notes but
         ignores gaps, rfspacedevice.cpp:876-878 — we surface them)."""
+        if self._pump is not None:
+            out = [self._pending]
+            have = len(self._pending)
+            while have < n:
+                blk = self._pump.read_block(self._timeout_ms)
+                if blk is None:
+                    raise TimeoutError("sdr_ip: no UDP data from the radio")
+                out.append(blk)
+                have += len(blk)
+            self.dropped_datagrams = self._pump.counters["dropped_datagrams"]
+            buf = np.concatenate(out)
+            self._pending = buf[n:]
+            return buf[:n]
         out = [self._pending]
         have = len(self._pending)
         while have < n:
@@ -373,7 +408,10 @@ class SdrIpSource(Source):
         except (ConnectionError, OSError):
             pass
         self._tcp.sock.close()
-        self._udp.close()
+        if self._pump is not None:
+            self._pump.close()
+        if self._udp is not None:
+            self._udp.close()
 
 
 def discover(timeout: float = 2.0, bind_host: str = "",

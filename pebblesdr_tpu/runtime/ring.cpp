@@ -175,3 +175,208 @@ void encode_pcm16(const float* const* chans, size_t n_chan, size_t n,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------------------------- UDP pump
+// High-rate UDP IQ receiver: drains datagrams on a dedicated C++ thread,
+// strips a fixed header, tracks a little-endian 16-bit sequence number
+// (gap -> dropped-datagram count + zero fill), decodes the interleaved wire
+// format into deinterleaved float32 re/im planes, and commits whole blocks
+// into a Ring with drop-oldest overrun semantics.  This is the native data
+// plane for Msps-rate network sources (SDR-IP pushes ~8 k datagrams/s at
+// 2 Msps — a per-datagram Python loop cannot keep ahead of the chain); the
+// ProducerConsumer producer-thread role of the reference
+// (pebblelib/producerconsumer.h:18-96) filled with a socket pump.
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <thread>
+#include <unistd.h>
+
+namespace {
+
+enum WireFmt { FMT_I16 = 0, FMT_U8 = 1, FMT_I8 = 2, FMT_U16 = 3, FMT_F32 = 4 };
+
+struct UdpPump {
+    int fd = -1;
+    uint16_t port = 0;
+    int header_bytes = 0;
+    int seq_le16_offset = -1;   // -1: no sequence tracking
+    int fmt = FMT_I16;
+    int swap_iq = 0;
+    int drop_oldest = 0;        // 0: backpressure to the socket buffer
+    size_t block_samples = 0;
+    Ring* ring = nullptr;       // each slot: [re plane | im plane] float32
+    std::thread thread;
+    std::atomic<bool> stop{false};
+    std::atomic<uint64_t> datagrams{0};
+    std::atomic<uint64_t> dropped{0};
+    std::atomic<uint64_t> bytes{0};
+    // partial-block assembly (pump thread only)
+    std::vector<float> re, im;
+    size_t have = 0;
+    uint32_t last_seq = 0;
+    bool seq_valid = false;
+};
+
+size_t bytes_per_sample(int fmt) {
+    switch (fmt) {
+        case FMT_U8: case FMT_I8: return 2;
+        case FMT_F32: return 8;
+        default: return 4;  // i16/u16
+    }
+}
+
+void decode_payload(int fmt, const uint8_t* p, size_t n, float* re, float* im,
+                    int swap_iq) {
+    switch (fmt) {
+        case FMT_U8: decode_u8(p, n, re, im, swap_iq); break;
+        case FMT_I8: decode_i8((const int8_t*)p, n, re, im, swap_iq); break;
+        case FMT_U16: decode_u16((const uint16_t*)p, n, re, im, swap_iq); break;
+        case FMT_F32: decode_f32((const float*)p, n, re, im, swap_iq); break;
+        default: decode_i16((const int16_t*)p, n, re, im, swap_iq); break;
+    }
+}
+
+void pump_flush_blocks(UdpPump* p) {
+    while (p->have >= p->block_samples) {
+        // drop_oldest: real-time mode, freshness beats completeness (the
+        // ProducerConsumer POLL semantics).  Otherwise: WAIT for a slot —
+        // backpressure falls to the 8 MB socket buffer, and any kernel-level
+        // datagram loss surfaces as a tracked sequence gap instead of a
+        // silent splice.
+        void* slot = nullptr;
+        while (!slot && !p->stop.load(std::memory_order_relaxed)) {
+            slot = ring_acquire_write(p->ring, p->drop_oldest ? 0 : 200,
+                                      p->drop_oldest);
+            if (p->drop_oldest) break;
+        }
+        if (slot) {
+            float* out = (float*)slot;
+            std::memcpy(out, p->re.data(), p->block_samples * sizeof(float));
+            std::memcpy(out + p->block_samples, p->im.data(),
+                        p->block_samples * sizeof(float));
+            ring_commit_write(p->ring);
+        }
+        size_t rest = p->have - p->block_samples;
+        std::memmove(p->re.data(), p->re.data() + p->block_samples,
+                     rest * sizeof(float));
+        std::memmove(p->im.data(), p->im.data() + p->block_samples,
+                     rest * sizeof(float));
+        p->have = rest;
+    }
+}
+
+void pump_loop(UdpPump* p) {
+    std::vector<uint8_t> buf(65536);
+    const size_t bps = bytes_per_sample(p->fmt);
+    while (!p->stop.load(std::memory_order_relaxed)) {
+        ssize_t got = recv(p->fd, buf.data(), buf.size(), 0);
+        if (got < 0) continue;  // timeout / EINTR
+        if ((size_t)got <= (size_t)p->header_bytes) continue;
+        p->datagrams.fetch_add(1, std::memory_order_relaxed);
+        p->bytes.fetch_add((uint64_t)got, std::memory_order_relaxed);
+        size_t n = ((size_t)got - p->header_bytes) / bps;
+        if (p->seq_le16_offset >= 0 &&
+            (size_t)p->seq_le16_offset + 2 <= (size_t)p->header_bytes) {
+            uint32_t seq = (uint32_t)buf[p->seq_le16_offset] |
+                           ((uint32_t)buf[p->seq_le16_offset + 1] << 8);
+            if (p->seq_valid) {
+                uint32_t gap = (seq - p->last_seq - 1) & 0xFFFF;
+                if (gap > 0 && gap < 1024) {
+                    p->dropped.fetch_add(gap, std::memory_order_relaxed);
+                    size_t fill = gap * n;
+                    if (p->re.size() < p->have + fill + n)
+                        { p->re.resize(p->have + fill + n);
+                          p->im.resize(p->have + fill + n); }
+                    std::memset(p->re.data() + p->have, 0, fill * sizeof(float));
+                    std::memset(p->im.data() + p->have, 0, fill * sizeof(float));
+                    p->have += fill;
+                    pump_flush_blocks(p);
+                }
+            }
+            p->last_seq = seq;
+            p->seq_valid = true;
+        }
+        if (p->re.size() < p->have + n)
+            { p->re.resize(p->have + n); p->im.resize(p->have + n); }
+        decode_payload(p->fmt, buf.data() + p->header_bytes, n,
+                       p->re.data() + p->have, p->im.data() + p->have,
+                       p->swap_iq);
+        p->have += n;
+        pump_flush_blocks(p);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+UdpPump* udp_pump_create(const char* bind_host, int port, int header_bytes,
+                         int seq_le16_offset, int fmt, int swap_iq,
+                         size_t block_samples, size_t ring_buffers,
+                         int drop_oldest) {
+    UdpPump* p = new UdpPump();
+    p->header_bytes = header_bytes;
+    p->seq_le16_offset = seq_le16_offset;
+    p->fmt = fmt;
+    p->swap_iq = swap_iq;
+    p->drop_oldest = drop_oldest;
+    p->block_samples = block_samples;
+    p->re.resize(2 * block_samples);
+    p->im.resize(2 * block_samples);
+    p->fd = socket(AF_INET, SOCK_DGRAM, 0);
+    if (p->fd < 0) { delete p; return nullptr; }
+    int one = 1;
+    setsockopt(p->fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    int rcvbuf = 8 << 20;  // ride out consumer stalls (jit compiles)
+    setsockopt(p->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+    struct timeval tv = {0, 100000};  // 100 ms poll for the stop flag
+    setsockopt(p->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    addr.sin_addr.s_addr = bind_host && *bind_host ? inet_addr(bind_host)
+                                                   : INADDR_ANY;
+    if (bind(p->fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+        close(p->fd); delete p; return nullptr;
+    }
+    socklen_t alen = sizeof(addr);
+    getsockname(p->fd, (sockaddr*)&addr, &alen);
+    p->port = ntohs(addr.sin_port);
+    p->ring = ring_create(ring_buffers, 2 * block_samples * sizeof(float));
+    p->thread = std::thread(pump_loop, p);
+    return p;
+}
+
+int udp_pump_port(UdpPump* p) { return p->port; }
+
+// Read one [re plane | im plane] block (2*block_samples floats) into out.
+// Returns 1 on success, 0 on timeout.
+int udp_pump_read(UdpPump* p, float* out, int timeout_ms) {
+    void* slot = ring_acquire_read(p->ring, timeout_ms);
+    if (!slot) return 0;
+    std::memcpy(out, slot, 2 * p->block_samples * sizeof(float));
+    ring_release_read(p->ring);
+    return 1;
+}
+
+void udp_pump_counters(UdpPump* p, uint64_t* datagrams, uint64_t* dropped,
+                       uint64_t* overruns, uint64_t* bytes) {
+    if (datagrams) *datagrams = p->datagrams.load();
+    if (dropped) *dropped = p->dropped.load();
+    if (overruns) *overruns = ring_overruns(p->ring);
+    if (bytes) *bytes = p->bytes.load();
+}
+
+void udp_pump_destroy(UdpPump* p) {
+    if (!p) return;
+    p->stop.store(true);
+    if (p->thread.joinable()) p->thread.join();
+    if (p->fd >= 0) close(p->fd);
+    if (p->ring) ring_destroy(p->ring);
+    delete p;
+}
+
+}  // extern "C"

@@ -84,3 +84,108 @@ class TestNativeDecode:
         planes = runtime.decode_iq_planes(raw.tobytes(), "i16", swap_iq=True)
         np.testing.assert_allclose(planes[0] * 32768.0, [-200, -400])
         np.testing.assert_allclose(planes[1] * 32768.0, [100, 300])
+
+
+class TestNativeUdpPump:
+    def _send(self, port, seq, payload_i16):
+        import socket
+        import struct
+
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        pkt = (bytes([0x04, 0x84]) + struct.pack("<H", seq & 0xFFFF)
+               + payload_i16.astype("<i2").tobytes())
+        s.sendto(pkt, ("127.0.0.1", port))
+        s.close()
+
+    def test_blocks_and_decode(self):
+        import time
+
+        from pebblesdr_tpu import runtime
+
+        if not runtime.available():
+            import pytest
+            pytest.skip("native runtime unavailable")
+        pump = runtime.NativeUdpPump(port=0, header_bytes=4,
+                                     seq_le16_offset=2, fmt="i16",
+                                     block_samples=256, ring_buffers=8)
+        try:
+            # one datagram = 256 samples = exactly one block
+            vals = (np.arange(512) - 256).astype(np.int16)
+            self._send(pump.port, 0, vals)
+            planes = pump.read_planes(timeout_ms=3000)
+            assert planes is not None and planes.shape == (2, 256)
+            np.testing.assert_allclose(planes[0],
+                                       vals[0::2].astype(np.float32) / 32768.0,
+                                       atol=1e-7)
+            np.testing.assert_allclose(planes[1],
+                                       vals[1::2].astype(np.float32) / 32768.0,
+                                       atol=1e-7)
+            assert pump.counters["datagrams"] == 1
+        finally:
+            pump.close()
+
+    def test_sequence_gap_zero_fill(self):
+        from pebblesdr_tpu import runtime
+
+        if not runtime.available():
+            import pytest
+            pytest.skip("native runtime unavailable")
+        pump = runtime.NativeUdpPump(port=0, header_bytes=4,
+                                     seq_le16_offset=2, fmt="i16",
+                                     block_samples=256, ring_buffers=16)
+        try:
+            ones = np.full(512, 16384, np.int16)
+            self._send(pump.port, 0, ones)
+            self._send(pump.port, 3, ones)  # drops seq 1, 2
+            blocks = []
+            for _ in range(4):
+                b = pump.read_planes(timeout_ms=3000)
+                assert b is not None
+                blocks.append(b)
+            assert pump.counters["dropped_datagrams"] == 2
+            # block 0: real data; blocks 1-2: zero fill; block 3: real data
+            assert np.all(np.abs(blocks[0][0] - 0.5) < 1e-3)
+            assert np.all(blocks[1][0] == 0.0)
+            assert np.all(blocks[2][0] == 0.0)
+            assert np.all(np.abs(blocks[3][0] - 0.5) < 1e-3)
+        finally:
+            pump.close()
+
+    def test_throughput_headroom(self):
+        """The pump must drain datagrams far faster than SDR-IP's 2 Msps
+        (~8 k datagrams/s): push 2000 datagrams as fast as the loopback
+        allows, expect them all (no socket-buffer loss at an 8 MB rcvbuf)."""
+        import socket
+        import struct
+        import time
+
+        from pebblesdr_tpu import runtime
+
+        if not runtime.available():
+            import pytest
+            pytest.skip("native runtime unavailable")
+        pump = runtime.NativeUdpPump(port=0, header_bytes=4,
+                                     seq_le16_offset=2, fmt="i16",
+                                     block_samples=4096, ring_buffers=256)
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            payload = np.zeros(512, "<i2").tobytes()
+            n_dg = 2000
+            t0 = time.perf_counter()
+            for seq in range(n_dg):
+                s.sendto(bytes([0x04, 0x84]) + struct.pack("<H", seq & 0xFFFF)
+                         + payload, ("127.0.0.1", pump.port))
+            send_dt = time.perf_counter() - t0
+            s.close()
+            # drain: 2000 datagrams x 256 samples = 125 blocks of 4096
+            got = 0
+            while got < n_dg * 256 // 4096:
+                if pump.read_planes(timeout_ms=2000) is None:
+                    break
+                got += 1
+            c = pump.counters
+            assert c["datagrams"] + c["dropped_datagrams"] >= n_dg * 0.99, c
+            rate = n_dg / send_dt
+            assert rate > 8000, f"loopback only reached {rate:.0f} dg/s"
+        finally:
+            pump.close()
