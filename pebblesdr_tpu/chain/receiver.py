@@ -97,10 +97,16 @@ class ReceiverConfig:
     #                                       Applies to stateless-demod modes
     #                                       (AM/SSB/CW/DSB); SAM/FMN/WFM and
     #                                       ANF configs fall back to the scan
-    batched_wfm: bool = False             # opt-in: WFM through the batched
-    #                                       step_many graph (parity-tested;
-    #                                       currently ties the scan on v5e
-    #                                       but compiles ~9x slower)
+    batched_wfm: bool | None = None       # WFM through the batched step_many
+    #                                       graph.  None = auto: ON whenever
+    #                                       the pilot path is scan-free (the
+    #                                       default "open" pilot, or mono) and
+    #                                       there is no RDS bit-decode tap.
+    #                                       With the legacy "pll" pilot the
+    #                                       batched graph serializes the chunk
+    #                                       scan across the whole dispatch and
+    #                                       merely ties the scan path, so it
+    #                                       stays opt-in there.
     db_offset: float = 0.0                # display calibration offset applied
     #                                       to both spectra (settings.h dbOffset)
 
@@ -172,7 +178,15 @@ class Receiver:
             audio_blk = self.blk // self.wfm_cfg.audio_decim
             if cfg.rds:
                 self.rds_cfg = rds_mod.RdsConfig.make(self.demod_rate, self.blk)
+            # batched WFM auto-resolution (see ReceiverConfig.batched_wfm)
+            if cfg.batched_wfm is None:
+                self.batched_wfm = (not cfg.rds
+                                    and (self.wfm_cfg.pilot_alg == "open"
+                                         or not self.wfm_cfg.stereo))
+            else:
+                self.batched_wfm = bool(cfg.batched_wfm)
         else:
+            self.batched_wfm = False
             audio_src_rate = self.demod_rate
             audio_blk = self.blk
             if m in (DemodMode.AM,):
@@ -400,16 +414,16 @@ class Receiver:
         batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
                          DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
                          DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
-        # WFM can batch too (wfm_demod n_block mode; blockwise pilot PLL is
-        # streaming-equivalent to ~1e-3 rad) — except the RDS tap, whose
-        # bit/block decode stays per-block.  It is OPT-IN (batched_wfm):
-        # measured at parity with the scan on v5e (0.38 vs 0.36 ms/block,
-        # 16 ch) but ~9x slower to compile, so scan stays the WFM default.
+        # WFM batches by default with the scan-free "open" pilot (wfm_demod
+        # n_block mode) — except the RDS tap, whose bit/block decode stays
+        # per-block.  With the legacy "pll" pilot the batched graph merely
+        # ties the scan (the chunk scan serializes across the dispatch), so
+        # it is opt-in there (see ReceiverConfig.batched_wfm).
         # NFM batches for the elementwise discriminators; the PLL variant is
         # a per-sample scan.
         mode_ok = (self.cfg.mode in batched_modes
                    or (is_wfm(self.cfg.mode) and not self.cfg.rds
-                       and self.cfg.batched_wfm)
+                       and self.batched_wfm)
                    or (self.cfg.mode == DemodMode.FMN
                        and self.nfm_cfg.algorithm in ("conj", "derivative"))
                    or (self.cfg.mode == DemodMode.SAM

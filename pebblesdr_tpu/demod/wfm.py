@@ -43,6 +43,12 @@ class WFMConfig:
     pilot_notch: iir.BiquadCoef = static_field(default=None)
     pilot_pll: pll.PLLConfig = static_field(default=None)
     rds_tap: bool = static_field(default=False)
+    # pilot recovery algorithm: "open" (default) = scan-free windowed-DFT
+    # chunk phasors + closed-form type-2 smoothing (pll.pilot_open_run) —
+    # zero sequential ops, batches over whole dispatches; "pll" = the
+    # reference-shaped Q=500 biquad BP + chunked PLL scan
+    pilot_alg: str = static_field(default="open")
+    pilot_open: pll.PilotOpenConfig = static_field(default=None)
 
     @property
     def audio_rate(self) -> float:
@@ -50,7 +56,8 @@ class WFMConfig:
 
     @staticmethod
     def make(sample_rate: float, stereo: bool = True, deemphasis_us: float = 75.0,
-             audio_decim: int = 4, rds_tap: bool = False) -> "WFMConfig":
+             audio_decim: int = 4, rds_tap: bool = False,
+             pilot_alg: str = "open") -> "WFMConfig":
         audio_taps = fir.design_lowpass_kaiser(
             15000.0, sample_rate, atten_db=60.0,
             transition_hz=sample_rate / (2.0 * audio_decim) - 15000.0,
@@ -69,6 +76,8 @@ class WFMConfig:
                                           center_hz=PILOT_HZ, range_hz=100.0,
                                           detector="pilot"),
             rds_tap=rds_tap,
+            pilot_alg=pilot_alg,
+            pilot_open=pll.make_pilot_open_config(sample_rate),
         )
 
 
@@ -92,7 +101,8 @@ def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
     return WFMState(
         last=jnp.zeros((channels,), jnp.complex64),
         pilot_bq=iir.biquad_state_init(channels),
-        pilot_pll=pll.pll_init(cfg.pilot_pll, channels),
+        pilot_pll=(pll.pilot_open_init(channels) if cfg.pilot_alg == "open"
+                   else pll.pll_init(cfg.pilot_pll, channels)),
         pilot_level=jnp.zeros((channels,), jnp.float32),
         deemph_l=jnp.zeros((channels,), jnp.float32),
         deemph_r=jnp.zeros((channels,), jnp.float32),
@@ -151,34 +161,63 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
 
     if cfg.stereo:
         # --- pilot recovery ---------------------------------------------------
-        bq_state, pilot = iir.biquad_apply(state.pilot_bq, raw, cfg.pilot_bp)
-        # PLL expects a complex carrier; analytic-ify the narrowband pilot by
-        # pairing it with its (approximate) quadrature via the PLL itself:
-        # feed pilot as the real part; the 'cross' detector uses Im(z)*sign(Re).
-        pilot_c = pilot.astype(jnp.complex64)
-        if cfg.pilot_chunk:
-            pll_state, phases, _ = pll.pll_run_blockwise(
-                cfg.pilot_pll, state.pilot_pll, pilot_c, chunk=cfg.pilot_chunk)
+        if cfg.pilot_alg == "open":
+            # scan-free path: windowed chunk-DFT phasors + closed-form
+            # smoothing (pll.pilot_open_run).  The Hann chunk window IS the
+            # pilot bandpass, so the Q=500 biquad is not needed.  Chunk
+            # length adapts down to divide the (logical) block length so
+            # blockwise and batched calls see identical chunk grids.
+            nb_ = n_block or n
+            ell = cfg.pilot_open.chunk
+            while nb_ % ell:
+                ell //= 2
+            pll_state, phases, level_f = pll.pilot_open_run(
+                cfg.pilot_open, state.pilot_pll, raw, chunk=ell)
+            bq_state = state.pilot_bq
+            # lock level = smoothed coherent pilot amplitude (~A/2 locked);
+            # per logical block, read it at the block's final chunk — same
+            # threshold semantics as the PLL path's coherence EWMA
+            fch = nb_ // ell
+            if n_block:
+                lv = level_f.reshape(c, k_blocks, fch)[:, :, -1]  # [C, K]
+                level = lv[:, -1]
+                locked = lv > 0.002                               # [C, K]
+            else:
+                level = level_f[:, -1]
+                locked = level > 0.002                            # [C]
         else:
-            pll_state, phases, _ = pll.pll_run(cfg.pilot_pll, state.pilot_pll,
-                                               pilot_c)
-        # lock detect: coherent pilot amplitude.  The 'cross' PLL locks with
-        # pilot ~= A*sin(phase), so pilot*sin(phase) averages to A/2 when
-        # locked and ~0 when unlocked (verified empirically; the demux below
-        # uses sin(2*phase) accordingly, as the reference does in
-        # demod_wfm.cpp:275-284).
-        # (the sign() detector has two stable lock points, pilot = +-A*sin(phi);
-        # both yield the same sin(2*phi) demux, so lock on |coherence|)
-        coh_s = pilot * jnp.sin(phases)
-        if n_block:
-            coh = jnp.abs(jnp.mean(coh_s.reshape(c, k_blocks, n_block), -1))
-            level_k = _ewma_rows(state.pilot_level, coh, 0.9)   # [C, K]
-            level = level_k[:, -1]
-            locked = level_k > 0.002                            # [C, K]
-        else:
-            coh = jnp.abs(jnp.mean(coh_s, axis=-1))
-            level = 0.9 * state.pilot_level + 0.1 * coh
-            locked = level > 0.002                              # [C]
+            bq_state, pilot = iir.biquad_apply(state.pilot_bq, raw,
+                                               cfg.pilot_bp)
+            # PLL expects a complex carrier; analytic-ify the narrowband
+            # pilot by pairing it with its (approximate) quadrature via the
+            # PLL itself: feed pilot as the real part; the 'cross' detector
+            # uses Im(z)*sign(Re).
+            pilot_c = pilot.astype(jnp.complex64)
+            if cfg.pilot_chunk:
+                pll_state, phases, _ = pll.pll_run_blockwise(
+                    cfg.pilot_pll, state.pilot_pll, pilot_c,
+                    chunk=cfg.pilot_chunk)
+            else:
+                pll_state, phases, _ = pll.pll_run(cfg.pilot_pll,
+                                                   state.pilot_pll, pilot_c)
+            # lock detect: coherent pilot amplitude.  The 'cross' PLL locks
+            # with pilot ~= A*sin(phase), so pilot*sin(phase) averages to A/2
+            # when locked and ~0 when unlocked (the demux below uses
+            # sin(2*phase) accordingly, as the reference does in
+            # demod_wfm.cpp:275-284).  (the sign() detector has two stable
+            # lock points, pilot = +-A*sin(phi); both yield the same
+            # sin(2*phi) demux, so lock on |coherence|)
+            coh_s = pilot * jnp.sin(phases)
+            if n_block:
+                coh = jnp.abs(jnp.mean(coh_s.reshape(c, k_blocks, n_block),
+                                       -1))
+                level_k = _ewma_rows(state.pilot_level, coh, 0.9)  # [C, K]
+                level = level_k[:, -1]
+                locked = level_k > 0.002                           # [C, K]
+            else:
+                coh = jnp.abs(jnp.mean(coh_s, axis=-1))
+                level = 0.9 * state.pilot_level + 0.1 * coh
+                locked = level > 0.002                             # [C]
         # --- demux ------------------------------------------------------------
         lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
         # mono + L-R share the same LP: ONE stacked [2C, N] banded-matmul FIR

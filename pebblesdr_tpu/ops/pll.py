@@ -22,6 +22,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pebblesdr_tpu.core.block import pytree_dataclass, static_field
 
@@ -254,3 +255,147 @@ def pll_run_aimed(cfg: PLLConfig, state: PLLState, aim_phase: jax.Array,
     freqs = jnp.repeat(f_est, nb, axis=-1) + fr_res
     aim2 = jnp.mod(starts[:, -1] + steps[:, -1] + math.pi, TWO_PI) - math.pi
     return st2, aim2, phases, freqs
+
+
+# ------------------------------------------------------- open-loop pilot (WFM)
+
+@pytree_dataclass
+class PilotOpenConfig:
+    """Scan-free pilot recovery: windowed chunk-DFT phasors + closed-form
+    type-2 smoothing (freq EWMA + integrated-dev cumsum + residual-phasor
+    EWMA).  Replaces the Q=500 pilot biquad + chunked PLL of the reference
+    path (demod_wfm.cpp:154-196,370+) with the same capability — 19 kHz
+    carrier tracking at ~10 Hz loop bandwidth over a +-range_hz pull range —
+    but with ZERO sequential ops: every stage is a matmul, cumsum, or
+    elementwise op, so it batches over a whole multi-block dispatch."""
+    freq_center: float = static_field()   # rad/sample (the 19 kHz ramp)
+    dev_max: float = static_field()       # rad/sample clamp on the freq est
+    chunk: int = static_field(default=256)
+    alpha_f: float = static_field(default=0.969)  # freq EWMA (chunk rate)
+    alpha_p: float = static_field(default=0.969)  # residual-phasor EWMA
+
+
+def make_pilot_open_config(sample_rate: float, pilot_hz: float = 19000.0,
+                           range_hz: float = 100.0, bw_hz: float = 10.0,
+                           chunk: int = 256) -> PilotOpenConfig:
+    wc = TWO_PI * pilot_hz / sample_rate
+    chunk_rate = sample_rate / chunk
+    a = math.exp(-TWO_PI * bw_hz / chunk_rate)
+    return PilotOpenConfig(freq_center=wc,
+                           dev_max=TWO_PI * range_hz / sample_rate,
+                           chunk=chunk, alpha_f=a, alpha_p=a)
+
+
+@pytree_dataclass
+class PilotOpenState:
+    z_prev: jax.Array  # [C] complex64: previous chunk phasor (ramp-referenced)
+    dw: jax.Array      # [C] f32: freq deviation estimate, rad/sample
+    psi: jax.Array     # [C] f32: integrated deviation phase at next chunk
+    r: jax.Array       # [C] complex64: smoothed residual phasor
+    base: jax.Array    # [C] f32: wc ramp phase at next sample (mod 2pi)
+
+
+def pilot_open_init(channels: int) -> PilotOpenState:
+    # distinct buffers per leaf: the chain donates its state pytree, and
+    # donating one aliased buffer twice is an XLA error
+    return PilotOpenState(z_prev=jnp.zeros((channels,), jnp.complex64),
+                          dw=jnp.zeros((channels,), jnp.float32),
+                          psi=jnp.zeros((channels,), jnp.float32),
+                          r=jnp.zeros((channels,), jnp.complex64),
+                          base=jnp.zeros((channels,), jnp.float32))
+
+
+def _ewma_closed(prev: jax.Array, p: jax.Array, a: float) -> jax.Array:
+    """y_k = a*y_{k-1} + (1-a)*p_k over the trailing axis of p [C, K],
+    seeded by prev [C] — ONE [K, K] matmul instead of a K-step scan.
+    Real or complex."""
+    k = p.shape[-1]
+    kk = np.arange(k)
+    lmat = np.where(kk[:, None] <= kk[None, :],
+                    (1.0 - a) * a ** (kk[None, :] - kk[:, None]), 0.0)
+    seed = a ** (kk + 1)
+    with jax.ensure_compile_time_eval():
+        lmat_d = jnp.asarray(lmat.astype(np.float32))
+        seed_d = jnp.asarray(seed.astype(np.float32))
+    if jnp.iscomplexobj(p):
+        re = p.real @ lmat_d + prev.real[..., None] * seed_d
+        im = p.imag @ lmat_d + prev.imag[..., None] * seed_d
+        return jax.lax.complex(re, im)
+    return p @ lmat_d + prev[..., None] * seed_d
+
+
+def pilot_open_run(cfg: PilotOpenConfig, state: PilotOpenState,
+                   raw: jax.Array, chunk: int | None = None):
+    """Track the 19 kHz pilot in raw [C, N] float32 composite.
+
+    Per chunk of L samples: (1) Hann-windowed DFT bin at freq_center -> one
+    phasor z_f (matmul; the window IS the pilot bandpass — L-R sidebands and
+    program audio land >= 2 bins away where the Hann kernel nulls);
+    (2) chunk-to-chunk conj product -> frequency measurement, EWMA-smoothed
+    (closed-form matmul); (3) integrated deviation phase via cumsum;
+    (4) residual phasor z*e^{-j psi}, EWMA-smoothed -> phase + lock level.
+    Per-sample phase = wc ramp + integrated deviation + smoothed residual
+    angle, linear within each chunk.  Streaming-exact for any blocking of
+    the input (all smoothers are seeded closed forms).
+
+    Returns (state', phases [C, N], level [C, F]) — `phases` follows the
+    'pilot' PLL convention (pilot ~= A*sin(phase) when locked; demux uses
+    sin(2*phase)); `level` is the smoothed coherent pilot amplitude (~A/2
+    when locked) per chunk.
+    """
+    c, n = raw.shape
+    ell = int(chunk or cfg.chunk)
+    assert n % ell == 0, (n, ell)
+    f = n // ell
+    wc = cfg.freq_center
+    t_in = np.arange(ell, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * t_in / ell)   # periodic Hann
+    win = win / win.sum()
+    mat = win * np.exp(-1j * wc * t_in)
+    ramp_f = np.mod(wc * ell * np.arange(f, dtype=np.float64), 2 * np.pi)
+    with jax.ensure_compile_time_eval():
+        # complex compile-time constants cannot cross the axon host<->device
+        # boundary — keep all constants real (cos/sin planes)
+        mat_d = jnp.asarray(np.stack([mat.real, mat.imag], axis=1)
+                            .astype(np.float32))          # [L, 2]
+        rotf_c = jnp.asarray(np.cos(ramp_f).astype(np.float32))   # [F]
+        rotf_s = jnp.asarray(np.sin(ramp_f).astype(np.float32))
+        ramp_d = jnp.asarray(ramp_f.astype(np.float32))   # [F]
+        tin_d = jnp.asarray(t_in.astype(np.float32))      # [L]
+    zz = jnp.matmul(raw.reshape(c, f, ell), mat_d,
+                    precision="highest")                  # [C, F, 2]
+    z = jax.lax.complex(zz[..., 0], zz[..., 1])
+    rotf = jax.lax.complex(rotf_c, -rotf_s)               # e^{-j ramp_f}
+    z = z * rotf[None, :] * jnp.exp(-1j * state.base)[:, None]
+
+    # frequency: conj product between successive chunk phasors
+    zprev = jnp.concatenate([state.z_prev[:, None], z[:, :-1]], axis=1)
+    d = z * jnp.conj(zprev)
+    dwm = jnp.clip(jnp.arctan2(d.imag, d.real) / ell,
+                   -cfg.dev_max, cfg.dev_max)
+    dw = _ewma_closed(state.dw, dwm, cfg.alpha_f)         # [C, F]
+
+    # integrated deviation phase at chunk starts (exclusive cumsum, seeded)
+    cs = jnp.cumsum(dw, axis=-1)
+    psi = state.psi[:, None] + ell * (cs - dw)            # [C, F]
+    psi_next = state.psi + ell * cs[:, -1]
+
+    # residual phasor, smoothed; its angle is the remaining phase offset
+    rres = z * jnp.exp(-1j * psi)
+    r = _ewma_closed(state.r, rres, cfg.alpha_p)          # [C, F]
+    ang = jnp.arctan2(r.imag, r.real)
+    level = jnp.abs(r)
+
+    # per-sample phase; +pi/2 converts "phase of e^{j psi}" to the
+    # pilot ~= A*sin(phase) convention of the PLL detectors
+    phases = (state.base[:, None, None] + ramp_d[None, :, None]
+              + psi[:, :, None] + ang[:, :, None] + (np.pi / 2.0)
+              + (wc + dw)[:, :, None] * tin_d[None, None, :])
+    phases = phases.reshape(c, n)
+
+    new_state = PilotOpenState(
+        z_prev=z[:, -1], dw=dw[:, -1],
+        psi=jnp.mod(psi_next + np.pi, TWO_PI) - np.pi,
+        r=r[:, -1],
+        base=jnp.mod(state.base + float(np.mod(wc * n, 2 * np.pi)), TWO_PI))
+    return new_state, phases, level

@@ -132,3 +132,69 @@ class TestAGC:
         p1 = np.mean(np.abs(np.asarray(y1)) ** 2)
         p8 = np.mean(np.abs(np.asarray(y8)) ** 2)
         assert abs(10 * np.log10(p1 / p8)) < 1.5
+
+
+class TestPilotOpen:
+    """Open-loop scan-free pilot recovery (ops.pll.pilot_open_run)."""
+
+    def _composite(self, fs, n, off_hz=4.0, phi0=0.7):
+        t = np.arange(n) / fs
+        pilot = 0.1 * np.sin(2 * np.pi * (19000.0 + off_hz) * t + phi0)
+        prog = 0.45 * np.sin(2 * np.pi * 1000.0 * t)
+        return (pilot + prog).astype(np.float32), (
+            2 * np.pi * (19000.0 + off_hz) * t + phi0)
+
+    def test_tracks_offset_pilot(self):
+        from pebblesdr_tpu.ops import pll
+
+        fs = 512000.0
+        n = 8192 * 24
+        raw, true_phase = self._composite(fs, n)
+        cfg = pll.make_pilot_open_config(fs)
+        st = pll.pilot_open_init(1)
+        st, phases, level = pll.pilot_open_run(cfg, st, jnp.asarray(raw)[None])
+        ph = np.asarray(phases)[0]
+        # converged tail: phase error (mod pi, since sin(2*phase) is the
+        # consumer) must be small and the lock level ~ A/2
+        tail = slice(n // 2, n)
+        err = np.angle(np.exp(2j * (ph[tail] - true_phase[tail]))) / 2.0
+        assert np.abs(err).max() < 0.02, np.abs(err).max()
+        assert np.asarray(level)[0, -1] == pytest.approx(0.05, rel=0.15)
+
+    def test_streaming_split_equivalence(self):
+        from pebblesdr_tpu.ops import pll
+
+        fs = 512000.0
+        n = 8192 * 8
+        raw, _ = self._composite(fs, n, off_hz=-7.0)
+        cfg = pll.make_pilot_open_config(fs)
+        one = pll.pilot_open_init(1)
+        one, ph_all, lv_all = pll.pilot_open_run(cfg, one,
+                                                 jnp.asarray(raw)[None])
+        st = pll.pilot_open_init(1)
+        parts = []
+        blk = 8192
+        for k in range(n // blk):
+            st, ph, lv = pll.pilot_open_run(
+                cfg, st, jnp.asarray(raw[k * blk:(k + 1) * blk])[None])
+            parts.append(np.asarray(ph)[0])
+        seq = np.concatenate(parts)
+        # identical chunk grid -> same phases up to fp32 ramp noise, compared
+        # through the demux consumer sin(2*phase)
+        d = np.abs(np.sin(2 * np.asarray(ph_all)[0]) - np.sin(2 * seq))
+        assert d.max() < 2e-3, d.max()
+        for leaf_a, leaf_b in zip([one.dw, one.psi], [st.dw, st.psi]):
+            np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                                       atol=2e-4)
+
+    def test_no_pilot_stays_unlocked(self):
+        from pebblesdr_tpu.ops import pll
+
+        fs = 512000.0
+        n = 8192 * 8
+        t = np.arange(n) / fs
+        raw = (0.9 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+        cfg = pll.make_pilot_open_config(fs)
+        st = pll.pilot_open_init(1)
+        st, phases, level = pll.pilot_open_run(cfg, st, jnp.asarray(raw)[None])
+        assert np.asarray(level)[0, -1] < 0.002

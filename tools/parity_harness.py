@@ -174,6 +174,47 @@ def scipy_golden_sam(iq: np.ndarray, fs: int, tune_hz: float, rx) -> np.ndarray:
     return _resample64(mono, rate, rx.cfg.audio_rate)
 
 
+def _pilot_open64(cfg, raw: np.ndarray, blk: int) -> np.ndarray:
+    """Float64 sequential mirror of ops.pll.pilot_open_run (the scan-free
+    windowed-DFT pilot): per chunk — Hann-windowed DFT phasor at freq_center,
+    conj-product frequency measurement + EWMA, integrated-deviation phase,
+    residual-phasor EWMA.  Chunk length adapts down to divide blk exactly as
+    the device path does.  Returns the per-sample pilot phase."""
+    import math
+
+    ell = cfg.chunk
+    while blk % ell:
+        ell //= 2
+    n = len(raw)
+    f = n // ell
+    wc = cfg.freq_center
+    t_in = np.arange(ell, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * t_in / ell)
+    win = win / win.sum()
+    mat = win * np.exp(-1j * wc * t_in)
+    z_prev = 0.0 + 0.0j
+    dw = 0.0
+    psi = 0.0
+    r = 0.0 + 0.0j
+    phases = np.empty(n, np.float64)
+    for k in range(f):
+        seg = raw[k * ell:(k + 1) * ell].astype(np.float64)
+        z = np.sum(seg * mat) * np.exp(-1j * wc * ell * k)
+        d = z * np.conjugate(z_prev)
+        dwm = min(max(math.atan2(d.imag, d.real) / ell, -cfg.dev_max),
+                  cfg.dev_max)
+        dw = cfg.alpha_f * dw + (1.0 - cfg.alpha_f) * dwm
+        rres = z * np.exp(-1j * psi)
+        r = cfg.alpha_p * r + (1.0 - cfg.alpha_p) * rres
+        ang = math.atan2(r.imag, r.real)
+        phases[k * ell:(k + 1) * ell] = (wc * ell * k + psi + ang
+                                         + math.pi / 2.0
+                                         + (wc + dw) * t_in)
+        psi += ell * dw
+        z_prev = z
+    return phases
+
+
 def scipy_golden_wfm(iq: np.ndarray, fs: int, tune_hz: float, rx,
                      stereo: bool) -> np.ndarray:
     """WFM golden (demod_wfm.cpp mono :207-232 / stereo :255-365): composite
@@ -190,10 +231,13 @@ def scipy_golden_wfm(iq: np.ndarray, fs: int, tune_hz: float, rx,
     dec = cfg.audio_decim
     mono = scipy.signal.lfilter(taps, [1.0], raw)[::dec]
     if stereo:
-        bp = cfg.pilot_bp
-        pilot = scipy.signal.lfilter([bp.b0, bp.b1, bp.b2],
-                                     [1.0, bp.a1, bp.a2], raw)
-        phases = _pll64(cfg.pilot_pll, pilot.astype(np.complex128))
+        if cfg.pilot_alg == "open":
+            phases = _pilot_open64(cfg.pilot_open, raw, rx.blk)
+        else:
+            bp = cfg.pilot_bp
+            pilot = scipy.signal.lfilter([bp.b0, bp.b1, bp.b2],
+                                         [1.0, bp.a1, bp.a2], raw)
+            phases = _pll64(cfg.pilot_pll, pilot.astype(np.complex128))
         lmr = raw * 2.0 * np.sin(2.0 * phases)
         lmr_a = scipy.signal.lfilter(taps, [1.0], lmr)[::dec]
         left = mono + lmr_a
