@@ -109,6 +109,15 @@ class ReceiverConfig:
     #                                       stays opt-in there.
     db_offset: float = 0.0                # display calibration offset applied
     #                                       to both spectra (settings.h dbOffset)
+    wfm_hq: bool = False                  # WFM composite geometry: False
+    #                                       (default) demodulates at ~256 kHz
+    #                                       (exactly the +-128 kHz Carson band
+    #                                       of broadcast FM; ~35 dB stereo
+    #                                       separation, the common SDR
+    #                                       geometry); True protects the full
+    #                                       +-200 kHz like the reference
+    #                                       (~512k composite, 47.5 dB
+    #                                       separation, ~1.5x chain cost)
 
 
 @pytree_dataclass
@@ -157,6 +166,12 @@ class Receiver:
 
         # --- decimation plan (receiver.cpp:192-218 capability) ---------------
         protect = info.max_output_bw
+        if is_wfm(cfg.mode) and cfg.wfm_hq:
+            # high-quality WFM: protect the full +-200 kHz so the composite
+            # runs at ~512k (the reference geometry, receiver.cpp:211-218) —
+            # measured stereo separation 47.5 dB vs 35 dB at the default
+            # 256k composite, at ~1.5x the chain cost
+            protect = 2.0 * info.max_output_bw
         self.plan = decimator.build_plan(fs, protect)
         if cfg.frames_per_buffer % self.plan.factor:
             raise ValueError(
@@ -237,12 +252,21 @@ class Receiver:
         # sub_block 2048: 4096 is ~9% faster at 32k frames but overflows the
         # 16 MB scoped-VMEM stack (Mosaic straight-line temporaries) once the
         # whole-chain graph grows, e.g. at frames_per_buffer >= 64k
+        # (measured: scaling sub with 1/channels does NOT help at C=16 —
+        # narrow-lane vector ops cost the same per element regardless of
+        # tile height, and 8192 overflows the scoped-VMEM stack)
         sub = min(2048, cfg.frames_per_buffer)
         front_ok = front_ok and cfg.frames_per_buffer % sub == 0 and sub % 512 == 0
         if cfg.use_pallas is None:
             self.use_pallas = front_ok and not self._pallas_interpret
         else:
             self.use_pallas = bool(cfg.use_pallas) and front_ok
+        if (is_wfm(m) and self.use_pallas and self.wfm_cfg.stereo
+                and self.wfm_cfg.pilot_alg == "open"):
+            # fused Pallas stereo tail (demux + decimating audio LP kernel)
+            self.wfm_cfg = dataclasses.replace(
+                self.wfm_cfg, pallas_tail=True,
+                pallas_interpret=self._pallas_interpret)
         if self.use_pallas:
             from pebblesdr_tpu.ops import pallas_kernels as _pk
 

@@ -51,8 +51,8 @@ MODE_INFO: dict[DemodMode, ModeInfo] = {
     # (+-128 kHz for 75 kHz deviation) survive — the reference's WFM
     # downconverter likewise stops at 400 kHz (downconvert.cpp:220-240);
     # decimating to 256 kHz clips sidebands and biases the pilot PLL.
-    DemodMode.FMM: ModeInfo(DemodMode.FMM, (200000.0,), 200000.0, -100000.0, 100000.0, 400000.0, "off"),
-    DemodMode.FMS: ModeInfo(DemodMode.FMS, (200000.0,), 200000.0, -100000.0, 100000.0, 400000.0, "off"),
+    DemodMode.FMM: ModeInfo(DemodMode.FMM, (200000.0,), 200000.0, -100000.0, 100000.0, 200000.0, "off"),
+    DemodMode.FMS: ModeInfo(DemodMode.FMS, (200000.0,), 200000.0, -100000.0, 100000.0, 200000.0, "off"),
     DemodMode.DSB: ModeInfo(DemodMode.DSB, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),
     DemodMode.LSB: ModeInfo(DemodMode.LSB, _SSB_FILTERS, 2700.0, -3000.0, -300.0, 20000.0, "slow"),
     DemodMode.USB: ModeInfo(DemodMode.USB, _SSB_FILTERS, 2700.0, 300.0, 3000.0, 20000.0, "slow"),

@@ -49,6 +49,14 @@ class WFMConfig:
     # reference-shaped Q=500 biquad BP + chunked PLL scan
     pilot_alg: str = static_field(default="open")
     pilot_open: pll.PilotOpenConfig = static_field(default=None)
+    # fused Pallas stereo tail (demux + decimating audio LP in ONE kernel,
+    # pallas_kernels.wfm_tail_packed); requires pilot_alg="open" + stereo.
+    # Set by the Receiver when the front runs on a real TPU.
+    pallas_tail: bool = static_field(default=False)
+    pallas_interpret: bool = static_field(default=False)
+    # pilot notch: skipped when the audio LP already puts >= 55 dB on
+    # 19 kHz (computed at design time) — the notch would be a no-op
+    notch_needed: bool = static_field(default=True)
 
     @property
     def audio_rate(self) -> float:
@@ -58,10 +66,21 @@ class WFMConfig:
     def make(sample_rate: float, stereo: bool = True, deemphasis_us: float = 75.0,
              audio_decim: int = 4, rds_tap: bool = False,
              pilot_alg: str = "open") -> "WFMConfig":
+        # stereo: put the LP stopband at the 19 kHz pilot so the separate
+        # pilot notch becomes redundant (one fewer IIR pass; the Pallas tail
+        # kernel absorbs the longer kernel in the same Toeplitz dot).  Mono
+        # keeps the wide transition (reference mono has no notch either,
+        # demod_wfm.cpp:207-232).
+        transition = (PILOT_HZ - 15000.0 if stereo
+                      else sample_rate / (2.0 * audio_decim) - 15000.0)
         audio_taps = fir.design_lowpass_kaiser(
             15000.0, sample_rate, atten_db=60.0,
-            transition_hz=sample_rate / (2.0 * audio_decim) - 15000.0,
-            max_taps=255)
+            transition_hz=transition, max_taps=255)
+        # does the LP already kill the 19 kHz pilot residue?  (with the
+        # 15 kHz/60 dB design it does; the reference's separate pilot notch,
+        # demod_wfm.cpp:361-363, exists because its LP is gentler)
+        h19 = np.abs(np.sum(audio_taps * np.exp(
+            -2j * np.pi * PILOT_HZ / sample_rate * np.arange(len(audio_taps)))))
         return WFMConfig(
             sample_rate=sample_rate, stereo=stereo, deemphasis_us=deemphasis_us,
             audio_decim=audio_decim,
@@ -78,6 +97,7 @@ class WFMConfig:
             rds_tap=rds_tap,
             pilot_alg=pilot_alg,
             pilot_open=pll.make_pilot_open_config(sample_rate),
+            notch_needed=bool(h19 > 10.0 ** (-55.0 / 20.0)),
         )
 
 
@@ -96,8 +116,21 @@ class WFMState:
     rds_mixer: mixer.MixerState
 
 
+def _tail_d_rows(cfg: WFMConfig) -> int:
+    d = len(cfg.audio_taps) - 1
+    return ((d + 7) // 8) * 8
+
+
 def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
     t = len(cfg.audio_taps)
+    if cfg.pallas_tail and cfg.stereo:
+        # fused-kernel layout: ONE packed [d_rows, 2C] time-major history
+        # ([mono | lmr] lanes) in lp_tail_mono; lp_tail_lmr is empty
+        tail_m = jnp.zeros((_tail_d_rows(cfg), 2 * channels), jnp.float32)
+        tail_s = jnp.zeros((channels, 0), jnp.float32)
+    else:
+        tail_m = fir.fir_tail_init(channels, t, jnp.float32)
+        tail_s = fir.fir_tail_init(channels, t, jnp.float32)
     return WFMState(
         last=jnp.zeros((channels,), jnp.complex64),
         pilot_bq=iir.biquad_state_init(channels),
@@ -106,8 +139,8 @@ def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
         pilot_level=jnp.zeros((channels,), jnp.float32),
         deemph_l=jnp.zeros((channels,), jnp.float32),
         deemph_r=jnp.zeros((channels,), jnp.float32),
-        lp_tail_mono=fir.fir_tail_init(channels, t, jnp.float32),
-        lp_tail_lmr=fir.fir_tail_init(channels, t, jnp.float32),
+        lp_tail_mono=tail_m,
+        lp_tail_lmr=tail_s,
         notch_l=iir.biquad_state_init(channels),
         notch_r=iir.biquad_state_init(channels),
         rds_mixer=mixer.mixer_init(channels),
@@ -159,6 +192,7 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     c, n = x.shape
     k_blocks = (n // n_block) if n_block else 1
 
+    use_kernel = False
     if cfg.stereo:
         # --- pilot recovery ---------------------------------------------------
         if cfg.pilot_alg == "open":
@@ -171,8 +205,14 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
             ell = cfg.pilot_open.chunk
             while nb_ % ell:
                 ell //= 2
-            pll_state, phases, level_f = pll.pilot_open_run(
-                cfg.pilot_open, state.pilot_pll, raw, chunk=ell)
+            use_kernel = (cfg.pallas_tail and n % ell == 0
+                          and cfg.audio_decim > 1)
+            if use_kernel:
+                pll_state, (p0, wf, _tin), level_f = pll.pilot_open_core(
+                    cfg.pilot_open, state.pilot_pll, raw, chunk=ell)
+            else:
+                pll_state, phases, level_f = pll.pilot_open_run(
+                    cfg.pilot_open, state.pilot_pll, raw, chunk=ell)
             bq_state = state.pilot_bq
             # lock level = smoothed coherent pilot amplitude (~A/2 locked);
             # per logical block, read it at the block's final chunk — same
@@ -218,17 +258,42 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
                 coh = jnp.abs(jnp.mean(coh_s, axis=-1))
                 level = 0.9 * state.pilot_level + 0.1 * coh
                 locked = level > 0.002                             # [C]
-        # --- demux ------------------------------------------------------------
-        lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
-        # mono + L-R share the same LP: ONE stacked [2C, N] banded-matmul FIR
-        # (static taps_np enables the MXU fast path; 2C rows double MXU lane
-        # occupancy at small channel counts)
-        both, tails = fir.fir_apply_real_signal(
-            jnp.concatenate([raw, lmr], axis=0), taps,
-            jnp.concatenate([state.lp_tail_mono, state.lp_tail_lmr], axis=0),
-            decim=cfg.audio_decim, taps_np=cfg.audio_taps)
-        mono_a, lmr_a = both[:c], both[c:]
-        tail_m, tail_s = tails[:c], tails[c:]
+        # --- demux + decimating audio LP --------------------------------------
+        if cfg.pilot_alg == "open" and use_kernel:
+            # fused Pallas kernel: sin(2*phase) demux + shared-band Toeplitz
+            # LP dot in ONE pass over the composite (the XLA demux multiply +
+            # windowed banded matmul cost ~0.05 ms/block at 64ch, dominated
+            # by the window-copy relayout)
+            from pebblesdr_tpu.ops import pallas_kernels as _pk
+
+            d_rows = _tail_d_rows(cfg)
+            sub = min(2048, n)
+            while n % sub or sub % ell or sub % cfg.audio_decim:
+                sub //= 2
+            w_np = _pk.build_composed_w(
+                np.asarray(cfg.audio_taps, np.float64), cfg.audio_decim,
+                sub, d_rows - (len(cfg.audio_taps) - 1))
+            with jax.ensure_compile_time_eval():
+                wt_d = jnp.asarray(np.ascontiguousarray(w_np.T))
+            audio_pk, tail_pk = _pk.wfm_tail_packed(
+                raw.T, p0.T, wf.T, state.lp_tail_mono, wt_d,
+                cfg.audio_decim, d_rows, ell, sub_block=sub,
+                interpret=cfg.pallas_interpret)
+            mono_a = audio_pk[:, :c].T
+            lmr_a = audio_pk[:, c:].T
+            tail_m, tail_s = tail_pk, state.lp_tail_lmr
+        else:
+            lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
+            # mono + L-R share the same LP: ONE stacked [2C, N] banded-matmul
+            # FIR (static taps_np enables the MXU fast path; 2C rows double
+            # MXU lane occupancy at small channel counts)
+            both, tails = fir.fir_apply_real_signal(
+                jnp.concatenate([raw, lmr], axis=0), taps,
+                jnp.concatenate([state.lp_tail_mono, state.lp_tail_lmr],
+                                axis=0),
+                decim=cfg.audio_decim, taps_np=cfg.audio_taps)
+            mono_a, lmr_a = both[:c], both[c:]
+            tail_m, tail_s = tails[:c], tails[c:]
         if n_block:
             m_all = lmr_a.shape[-1]
             lmr_a = jnp.where(
@@ -240,11 +305,16 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
         left = mono_a + lmr_a
         right = mono_a - lmr_a
         # --- polish: pilot notch + de-emphasis --------------------------------
-        # left/right share coefficients: one stacked [2C, M] pass each
+        # left/right share coefficients: one stacked [2C, M] pass each.
+        # The notch is skipped when the audio LP already suppresses 19 kHz
+        # by >= 55 dB (notch_needed, computed at design time)
         lr = jnp.concatenate([left, right], axis=0)
-        notch_lr, lr = iir.biquad_apply(
-            jnp.concatenate([state.notch_l, state.notch_r], axis=0), lr,
-            cfg.pilot_notch)
+        if cfg.notch_needed:
+            notch_lr, lr = iir.biquad_apply(
+                jnp.concatenate([state.notch_l, state.notch_r], axis=0), lr,
+                cfg.pilot_notch)
+        else:
+            notch_lr = jnp.concatenate([state.notch_l, state.notch_r], axis=0)
         d_lr, lr = iir.first_order_apply(
             jnp.concatenate([state.deemph_l, state.deemph_r], axis=0), lr,
             alpha, 1.0 - alpha)

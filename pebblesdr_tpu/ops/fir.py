@@ -211,9 +211,18 @@ def banded_fir_matrix(taps_np: np.ndarray, n: int, decim: int = 1) -> np.ndarray
 
 
 def _banded_seg(n: int, t: int, decim: int) -> int:
-    """Largest segment length (<= 2048, divides n, respects the banded-matrix
-    size bound) for the windowed long-input FIR path; 0 if none fits."""
-    for seg in (2048, 1024, 512):
+    """Segment length for the windowed long-input FIR path; 0 if none fits.
+
+    Total MACs = (n/decim outputs) x (seg+T-1 read rows), so the SMALLEST
+    segment wins on FLOPs — but the matmul needs >= 64 output columns
+    (seg/decim) to keep MXU lanes busy.  Pick the smallest segment meeting
+    both; at decim >= 4 this cuts the dense-band waste ~7x vs always-2048."""
+    for seg in (256, 512, 1024, 2048):
+        if (n % seg == 0 and seg % decim == 0 and seg >= t
+                and seg // decim >= 64
+                and (seg + t - 1) * (seg // decim) <= _BANDED_MAX_ENTRIES):
+            return seg
+    for seg in (2048, 1024, 512):  # fallback: original preference
         if (n % seg == 0 and seg % decim == 0 and seg >= t
                 and (seg + t - 1) * (seg // decim) <= _BANDED_MAX_ENTRIES):
             return seg

@@ -277,3 +277,114 @@ def unpack_to_complex(y_pk: jax.Array) -> jax.Array:
     """[M, 2C] packed -> [C, M] complex64."""
     c = y_pk.shape[-1] // 2
     return jax.lax.complex(y_pk[:, :c].T, y_pk[:, c:].T)
+
+
+# ----------------------------------------------------- fused WFM stereo tail
+
+def _wfm_tail_kernel(sub_block, c, d_rows, l_chunk, m_tile, factor,
+                     disc_gain, interpret,
+                     raw_ref, p0_ref, wf_ref, wt_ref, tail_in_ref,
+                     y_ref, tail_out_ref):
+    """One grid step of the fused WFM stereo tail: demux + decimating LP.
+
+    raw_ref: [sub, C] f32 composite FM (discriminator output).
+    p0/wf: [sub/l_chunk, C] per-chunk pilot phase-ramp params
+    (phase = p0 + wf*t within the chunk, from pll.pilot_open_core).
+    tail refs: [d_rows, 2C] packed [mono | lmr] input history.
+    wt_ref: [m_tile, d_rows + m_tile*factor] shared Toeplitz band block.
+    y_ref: [sub/factor, 2C] packed [mono_a | lmr_a] decimated audio.
+    """
+    s = pl.program_id(0)
+    first = s == 0
+    raw = raw_ref[:, :]                           # [sub, C]
+
+    # ---- stereo demux: lmr = raw * 2*sin(2*phase), phase linear per chunk
+    nch = sub_block // l_chunk
+    t_in = jax.lax.broadcasted_iota(
+        jnp.int32, (nch, l_chunk, c), 1).astype(jnp.float32)
+    p0 = p0_ref[:, :]
+    wf = wf_ref[:, :]
+    ph2 = 2.0 * (p0[:, None, :] + wf[:, None, :] * t_in)
+    s2 = jnp.sin(ph2).reshape(sub_block, c)
+    lmr = raw * (2.0 * s2)
+    apl = jnp.concatenate([raw, lmr], axis=1)     # [sub, 2C] packed plane
+
+    # ---- decimating audio LP: shared-band Toeplitz dot (same structure as
+    # the front kernel's composed-FIR stage, incl. the lane-stacked tiling)
+    tl = jnp.where(first, tail_in_ref[:, :], tail_out_ref[:, :])
+    e2 = jnp.concatenate([tl, apl], axis=0)       # [d_rows + sub, 2C]
+    tail_out_ref[:, :] = e2[-d_rows:, :]
+    m_sub = sub_block // factor
+    if m_tile >= m_sub:
+        y_ref[:, :] = jnp.dot(wt_ref[:, :], e2,
+                              preferred_element_type=jnp.float32)
+    else:
+        span = d_rows + m_tile * factor
+        ntiles = m_sub // m_tile
+        spans = [e2[ti * m_tile * factor: ti * m_tile * factor + span, :]
+                 for ti in range(ntiles)]
+        estk = jnp.concatenate(spans, axis=1)     # [span, ntiles*2C]
+        ystk = jnp.dot(wt_ref[:, :], estk,
+                       preferred_element_type=jnp.float32)
+        for ti in range(ntiles):
+            y_ref[ti * m_tile:(ti + 1) * m_tile, :] = (
+                ystk[:, ti * 2 * c:(ti + 1) * 2 * c])
+
+
+def wfm_tail_packed(raw_t: jax.Array, p0_t: jax.Array, wf_t: jax.Array,
+                    tail: jax.Array, wt: jax.Array, factor: int,
+                    d_rows: int, l_chunk: int, sub_block: int = 2048,
+                    interpret: bool = False):
+    """Fused WFM stereo demux + decimating audio LP, time-major.
+
+    raw_t: [N, C] f32 composite FM stream (time-major).
+    p0_t/wf_t: [N/l_chunk, C] pilot chunk params (time-major).
+    tail: [d_rows, 2C] packed [mono | lmr] history; wt from
+    build_composed_w(audio_taps, factor, sub_block, pad).T.
+
+    Returns (audio_pk [N/factor, 2C] = [mono_a | lmr_a], tail').
+
+    Replaces the XLA demux-multiply + windowed banded-matmul LP (which cost
+    ~0.05 ms/block at 64ch: the window-copy relayout dominated); the kernel
+    reads the composite exactly once and keeps the band block in VMEM.
+    """
+    n, c = raw_t.shape
+    assert n % sub_block == 0 and sub_block % l_chunk == 0
+    nsub = n // sub_block
+    m_sub = sub_block // factor
+    nch = sub_block // l_chunk
+
+    m_tile = m_sub
+    if m_sub > 64 and m_sub % 64 == 0:
+        m_tile = 64
+        while m_tile * factor < d_rows and m_tile < m_sub:
+            m_tile *= 2
+    if m_tile < m_sub:
+        span = d_rows + m_tile * factor
+        wt = jax.lax.slice(wt, (0, 0), (m_tile, span))
+        wt_rows, wt_cols = m_tile, span
+    else:
+        wt_rows, wt_cols = m_sub, d_rows + sub_block
+
+    kern = functools.partial(_wfm_tail_kernel, sub_block, c, d_rows, l_chunk,
+                             m_tile, factor, 1.0, interpret)
+    in_specs = [
+        pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
+        pl.BlockSpec((nch, c), lambda s: (s, 0)),
+        pl.BlockSpec((nch, c), lambda s: (s, 0)),
+        pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
+        pl.BlockSpec((d_rows, 2 * c), lambda s: (0, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nsub * m_sub, 2 * c), jnp.float32),
+        jax.ShapeDtypeStruct((d_rows, 2 * c), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((m_sub, 2 * c), lambda s: (s, 0)),
+        pl.BlockSpec((d_rows, 2 * c), lambda s: (0, 0)),
+    ]
+    y, tail2 = pl.pallas_call(
+        kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shapes, interpret=interpret,
+    )(raw_t, p0_t, wf_t, wt, tail)
+    return y, tail2

@@ -324,8 +324,8 @@ def _ewma_closed(prev: jax.Array, p: jax.Array, a: float) -> jax.Array:
     return p @ lmat_d + prev[..., None] * seed_d
 
 
-def pilot_open_run(cfg: PilotOpenConfig, state: PilotOpenState,
-                   raw: jax.Array, chunk: int | None = None):
+def pilot_open_core(cfg: PilotOpenConfig, state: PilotOpenState,
+                    raw: jax.Array, chunk: int | None = None):
     """Track the 19 kHz pilot in raw [C, N] float32 composite.
 
     Per chunk of L samples: (1) Hann-windowed DFT bin at freq_center -> one
@@ -338,10 +338,11 @@ def pilot_open_run(cfg: PilotOpenConfig, state: PilotOpenState,
     angle, linear within each chunk.  Streaming-exact for any blocking of
     the input (all smoothers are seeded closed forms).
 
-    Returns (state', phases [C, N], level [C, F]) — `phases` follows the
-    'pilot' PLL convention (pilot ~= A*sin(phase) when locked; demux uses
-    sin(2*phase)); `level` is the smoothed coherent pilot amplitude (~A/2
-    when locked) per chunk.
+    Returns (state', (p0 [C, F], wf [C, F], t_in [L]), level [C, F]):
+    the per-sample pilot phase is p0[c, f] + wf[c, f]*t for sample fL + t,
+    following the 'pilot' PLL convention (pilot ~= A*sin(phase) when locked;
+    demux uses sin(2*phase)); `level` is the smoothed coherent pilot
+    amplitude (~A/2 when locked) per chunk.
     """
     c, n = raw.shape
     ell = int(chunk or cfg.chunk)
@@ -386,16 +387,29 @@ def pilot_open_run(cfg: PilotOpenConfig, state: PilotOpenState,
     ang = jnp.arctan2(r.imag, r.real)
     level = jnp.abs(r)
 
-    # per-sample phase; +pi/2 converts "phase of e^{j psi}" to the
-    # pilot ~= A*sin(phase) convention of the PLL detectors
-    phases = (state.base[:, None, None] + ramp_d[None, :, None]
-              + psi[:, :, None] + ang[:, :, None] + (np.pi / 2.0)
-              + (wc + dw)[:, :, None] * tin_d[None, None, :])
-    phases = phases.reshape(c, n)
-
     new_state = PilotOpenState(
         z_prev=z[:, -1], dw=dw[:, -1],
         psi=jnp.mod(psi_next + np.pi, TWO_PI) - np.pi,
         r=r[:, -1],
         base=jnp.mod(state.base + float(np.mod(wc * n, 2 * np.pi)), TWO_PI))
+    # per-chunk phase-ramp params: phase(fL + t) = p0[f] + wf[f]*t.
+    # +pi/2 converts "phase of e^{j psi}" to the pilot ~= A*sin(phase)
+    # convention of the PLL detectors
+    p0 = (state.base[:, None] + ramp_d[None, :] + psi + ang + (np.pi / 2.0))
+    wf = wc + dw
+    return new_state, (p0, wf, tin_d), level
+
+
+def pilot_open_run(cfg: PilotOpenConfig, state: PilotOpenState,
+                   raw: jax.Array, chunk: int | None = None):
+    """pilot_open_core + per-sample phase materialization.
+
+    Returns (state', phases [C, N], level [C, F]); see pilot_open_core for
+    the algorithm.  Fused consumers (the Pallas WFM tail kernel) use the
+    chunk params from pilot_open_core directly and never build [C, N]."""
+    c, n = raw.shape
+    new_state, (p0, wf, tin_d), level = pilot_open_core(cfg, state, raw,
+                                                        chunk)
+    phases = (p0[:, :, None] + wf[:, :, None] * tin_d[None, None, :]
+              ).reshape(c, n)
     return new_state, phases, level

@@ -391,3 +391,26 @@ class TestStepMany:
         # final carry states agree
         for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestWFMHighQuality:
+    def test_hq_composite_separation(self):
+        """wfm_hq=True restores the reference's ~512k composite geometry:
+        stereo separation must clear 40 dB (vs ~35 dB at the default 256k
+        Carson-band geometry)."""
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                             mode=DemodMode.FMS, wfm_hq=True)
+        rx = Receiver(cfg)
+        assert rx.demod_rate == 512000
+        nb = 24
+        iq = TestWFMChain._composite_iq(TestWFMChain(), nb)
+        audio, out, _ = run_chain(rx, iq, rx.default_params(300_000.0), nb)
+        assert bool(np.asarray(out["pilot_locked"])[0])
+        l = audio[0, 0, -6 * rx.audio_blk:]
+        r = audio[0, 1, -6 * rx.audio_blk:]
+        l1k, _ = tone_fit(l, 1000.0, 48000.0)
+        r1k, _ = tone_fit(r, 1000.0, 48000.0)
+        r3k, _ = tone_fit(r, 3000.0, 48000.0)
+        l3k, _ = tone_fit(l, 3000.0, 48000.0)
+        assert 20 * np.log10(l1k / max(r1k, 1e-9)) > 40
+        assert 20 * np.log10(r3k / max(l3k, 1e-9)) > 40

@@ -34,3 +34,39 @@ class TestPallasChainParity:
                 outs.append(np.asarray(out["audio"]))
             audios[use_pallas] = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(audios[True], audios[False], atol=2e-4)
+
+
+class TestWfmTailKernel:
+    def test_wfm_kernel_matches_xla_tail(self):
+        """The fused Pallas stereo tail (demux + decimating LP,
+        pallas_kernels.wfm_tail_packed) must match the XLA demux multiply +
+        banded-matmul LP on the same stream (interpret mode on CPU)."""
+        C = 2
+        t = np.arange(6 * N) / FS
+        left = np.sin(2 * np.pi * 700.0 * t)
+        right = np.sin(2 * np.pi * 2500.0 * t)
+        comp = (0.45 * (left + right) / 2
+                + 0.45 * (left - right) / 2
+                * np.sin(2 * 2 * np.pi * 19000.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
+        ph = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+        iq = np.broadcast_to(
+            (0.5 * np.exp(1j * (2 * np.pi * 200_000.0 * t + ph))
+             ).astype(np.complex64), (C, 6 * N)).copy()
+
+        audios = {}
+        for use_pallas in (False, True):
+            cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                                 channels=C, mode=DemodMode.FMS,
+                                 use_pallas=use_pallas)
+            rx = Receiver(cfg)
+            assert rx.wfm_cfg.pallas_tail == use_pallas
+            state = rx.init_state()
+            params = rx.default_params(200_000.0)
+            outs = []
+            for i in range(6):
+                state, out = rx.step(state, params,
+                                     jnp.asarray(iq[:, i * N:(i + 1) * N]))
+                outs.append(np.asarray(out["audio"]))
+            audios[use_pallas] = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(audios[True], audios[False], atol=5e-4)

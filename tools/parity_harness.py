@@ -241,9 +241,10 @@ def scipy_golden_wfm(iq: np.ndarray, fs: int, tune_hz: float, rx,
         lmr = raw * 2.0 * np.sin(2.0 * phases)
         lmr_a = scipy.signal.lfilter(taps, [1.0], lmr)[::dec]
         left = mono + lmr_a
-        nc = cfg.pilot_notch
-        left = scipy.signal.lfilter([nc.b0, nc.b1, nc.b2],
-                                    [1.0, nc.a1, nc.a2], left)
+        if cfg.notch_needed:  # skipped when the LP already covers 19 kHz
+            nc = cfg.pilot_notch
+            left = scipy.signal.lfilter([nc.b0, nc.b1, nc.b2],
+                                        [1.0, nc.a1, nc.a2], left)
     else:
         left = mono
     a = iir_mod.deemphasis_alpha(cfg.deemphasis_us, cfg.audio_rate)
