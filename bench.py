@@ -256,8 +256,10 @@ def main():
     t_all = time.perf_counter()
     if MODE == "matrix":
         rows = [_row_subprocess("am", CHANNELS, BLOCKS, STEPS)]
-        rows.append(_row_subprocess("wfm", CHANNELS,
-                                    max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        # WFM batches like AM now (scan-free open pilot + fused Pallas tail)
+        # — full blocks/dispatch is both fastest and the cached-compile config
+        rows.append(_row_subprocess("wfm", CHANNELS, BLOCKS,
+                                    max(16, STEPS // 2)))
         rows.append(_row_subprocess("sam", CHANNELS,
                                     max(8, BLOCKS // 2), max(16, STEPS // 2)))
         rows.append(_row_subprocess("am", 16, BLOCKS, max(16, STEPS // 2)))
