@@ -263,10 +263,15 @@ class Receiver:
             self.use_pallas = bool(cfg.use_pallas) and front_ok
         if (is_wfm(m) and self.use_pallas and self.wfm_cfg.stereo
                 and self.wfm_cfg.pilot_alg == "open"):
-            # fused Pallas stereo tail (demux + decimating audio LP kernel)
-            self.wfm_cfg = dataclasses.replace(
-                self.wfm_cfg, pallas_tail=True,
-                pallas_interpret=self._pallas_interpret)
+            # fused Pallas stereo tail (demux + decimating audio LP kernel).
+            # Eligibility — a valid kernel sub-block must exist for this
+            # block geometry — is decided HERE so wfm_init's state layout
+            # and the demod path always agree (tail_sub=0 -> XLA tail).
+            t_sub = wfm_mod.tail_kernel_sub(self.wfm_cfg, self.blk)
+            if t_sub:
+                self.wfm_cfg = dataclasses.replace(
+                    self.wfm_cfg, pallas_tail=True, tail_sub=t_sub,
+                    pallas_interpret=self._pallas_interpret)
         if self.use_pallas:
             from pebblesdr_tpu.ops import pallas_kernels as _pk
 

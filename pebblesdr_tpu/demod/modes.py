@@ -47,10 +47,14 @@ MODE_INFO: dict[DemodMode, ModeInfo] = {
     DemodMode.AM: ModeInfo(DemodMode.AM, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),
     DemodMode.SAM: ModeInfo(DemodMode.SAM, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),
     DemodMode.FMN: ModeInfo(DemodMode.FMN, (30000.0, 10000.0, 7000.0), 30000.0, -15000.0, 15000.0, 30000.0, "off"),
-    # WFM composite path must stay >=400 kHz so Carson-rule FM sidebands
-    # (+-128 kHz for 75 kHz deviation) survive — the reference's WFM
-    # downconverter likewise stops at 400 kHz (downconvert.cpp:220-240);
-    # decimating to 256 kHz clips sidebands and biases the pilot PLL.
+    # WFM default composite geometry: protect 200 kHz -> the decimator stops
+    # at ~256 kHz, exactly the +-128 kHz Carson band of broadcast FM (75 kHz
+    # deviation + 15 kHz audio) — the common SDR geometry, ~35 dB stereo
+    # separation.  ReceiverConfig.wfm_hq=True doubles the protect bandwidth
+    # so the composite runs >=400 kHz like the reference's WFM downconverter
+    # (downconvert.cpp:220-240), restoring ~47.5 dB separation at ~1.5x the
+    # chain cost.  The quality/cost trade-off is documented in
+    # docs/configuration.md and PARITY.md (deviation 5).
     DemodMode.FMM: ModeInfo(DemodMode.FMM, (200000.0,), 200000.0, -100000.0, 100000.0, 200000.0, "off"),
     DemodMode.FMS: ModeInfo(DemodMode.FMS, (200000.0,), 200000.0, -100000.0, 100000.0, 200000.0, "off"),
     DemodMode.DSB: ModeInfo(DemodMode.DSB, _NB_FILTERS, 12000.0, -6000.0, 6000.0, 30000.0, "med"),

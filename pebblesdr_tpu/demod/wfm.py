@@ -54,6 +54,11 @@ class WFMConfig:
     # Set by the Receiver when the front runs on a real TPU.
     pallas_tail: bool = static_field(default=False)
     pallas_interpret: bool = static_field(default=False)
+    # kernel sub-block (rows per grid step), decided at BUILD time by
+    # tail_kernel_sub() so the state layout chosen in wfm_init and the demod
+    # path always agree; 0 = no valid sub-block exists (e.g. audio_decim not
+    # a power of two) and the XLA tail runs instead
+    tail_sub: int = static_field(default=0)
     # pilot notch: skipped when the audio LP already puts >= 55 dB on
     # 19 kHz (computed at design time) — the notch would be a no-op
     notch_needed: bool = static_field(default=True)
@@ -119,6 +124,31 @@ class WFMState:
 def _tail_d_rows(cfg: WFMConfig) -> int:
     d = len(cfg.audio_taps) - 1
     return ((d + 7) // 8) * 8
+
+
+def pilot_chunk_for(cfg: WFMConfig, n_block: int) -> int:
+    """The open-pilot chunk length actually used at block length n_block
+    (adapts down by halving until it divides the block)."""
+    ell = cfg.pilot_open.chunk
+    while n_block % ell:
+        ell //= 2
+    return ell
+
+
+def tail_kernel_sub(cfg: WFMConfig, blk: int) -> int:
+    """Largest power-of-two kernel sub-block that divides blk and is a
+    multiple of both the pilot chunk and audio_decim; 0 if none exists
+    (then the fused Pallas tail is ineligible and the XLA tail runs).
+    Decided at build time so wfm_init's state layout and the demod path
+    always agree (an in-trace search could reach sub=0 and divide by zero
+    when audio_decim is not a power of two)."""
+    if not cfg.stereo or cfg.audio_decim <= 1:
+        return 0
+    ell = pilot_chunk_for(cfg, blk)
+    sub = min(2048, blk)
+    while sub and (blk % sub or sub % ell or sub % cfg.audio_decim):
+        sub //= 2
+    return sub
 
 
 def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
@@ -202,11 +232,11 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
             # length adapts down to divide the (logical) block length so
             # blockwise and batched calls see identical chunk grids.
             nb_ = n_block or n
-            ell = cfg.pilot_open.chunk
-            while nb_ % ell:
-                ell //= 2
-            use_kernel = (cfg.pallas_tail and n % ell == 0
-                          and cfg.audio_decim > 1)
+            ell = pilot_chunk_for(cfg, nb_)
+            # kernel eligibility was decided at build time (tail_kernel_sub);
+            # cfg.tail_sub divides blk, so it divides any whole-block n
+            use_kernel = (cfg.pallas_tail and cfg.tail_sub > 0
+                          and n % cfg.tail_sub == 0 and n % ell == 0)
             if use_kernel:
                 pll_state, (p0, wf, _tin), level_f = pll.pilot_open_core(
                     cfg.pilot_open, state.pilot_pll, raw, chunk=ell)
@@ -267,9 +297,7 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
             from pebblesdr_tpu.ops import pallas_kernels as _pk
 
             d_rows = _tail_d_rows(cfg)
-            sub = min(2048, n)
-            while n % sub or sub % ell or sub % cfg.audio_decim:
-                sub //= 2
+            sub = cfg.tail_sub
             w_np = _pk.build_composed_w(
                 np.asarray(cfg.audio_taps, np.float64), cfg.audio_decim,
                 sub, d_rows - (len(cfg.audio_taps) - 1))

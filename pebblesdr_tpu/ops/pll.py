@@ -271,19 +271,23 @@ class PilotOpenConfig:
     freq_center: float = static_field()   # rad/sample (the 19 kHz ramp)
     dev_max: float = static_field()       # rad/sample clamp on the freq est
     chunk: int = static_field(default=256)
-    alpha_f: float = static_field(default=0.969)  # freq EWMA (chunk rate)
-    alpha_p: float = static_field(default=0.969)  # residual-phasor EWMA
+    bw_hz: float = static_field(default=10.0)      # loop bandwidth
+    sample_rate: float = static_field(default=0.0)  # for alpha recompute
+    #   The EWMA alphas are recomputed from the ACTUAL chunk length inside
+    #   pilot_open_core (a = exp(-2*pi*bw*ell/fs)) so a runtime chunk
+    #   override — wfm_demod adapts ell down when the block length is not
+    #   divisible by 256 — keeps the configured loop bandwidth instead of
+    #   silently scaling it by chunk/ell.
 
 
 def make_pilot_open_config(sample_rate: float, pilot_hz: float = 19000.0,
                            range_hz: float = 100.0, bw_hz: float = 10.0,
                            chunk: int = 256) -> PilotOpenConfig:
     wc = TWO_PI * pilot_hz / sample_rate
-    chunk_rate = sample_rate / chunk
-    a = math.exp(-TWO_PI * bw_hz / chunk_rate)
     return PilotOpenConfig(freq_center=wc,
                            dev_max=TWO_PI * range_hz / sample_rate,
-                           chunk=chunk, alpha_f=a, alpha_p=a)
+                           chunk=chunk, bw_hz=bw_hz,
+                           sample_rate=float(sample_rate))
 
 
 @pytree_dataclass
@@ -349,6 +353,10 @@ def pilot_open_core(cfg: PilotOpenConfig, state: PilotOpenState,
     assert n % ell == 0, (n, ell)
     f = n // ell
     wc = cfg.freq_center
+    # loop-bandwidth-preserving EWMA coefficient at the ACTUAL chunk rate
+    # (see PilotOpenConfig: ell may differ from cfg.chunk at runtime)
+    fs = cfg.sample_rate or (TWO_PI * 19000.0 / wc)
+    alpha = math.exp(-TWO_PI * cfg.bw_hz * ell / fs)
     t_in = np.arange(ell, dtype=np.float64)
     win = 0.5 - 0.5 * np.cos(2.0 * np.pi * t_in / ell)   # periodic Hann
     win = win / win.sum()
@@ -374,7 +382,7 @@ def pilot_open_core(cfg: PilotOpenConfig, state: PilotOpenState,
     d = z * jnp.conj(zprev)
     dwm = jnp.clip(jnp.arctan2(d.imag, d.real) / ell,
                    -cfg.dev_max, cfg.dev_max)
-    dw = _ewma_closed(state.dw, dwm, cfg.alpha_f)         # [C, F]
+    dw = _ewma_closed(state.dw, dwm, alpha)               # [C, F]
 
     # integrated deviation phase at chunk starts (exclusive cumsum, seeded)
     cs = jnp.cumsum(dw, axis=-1)
@@ -383,7 +391,7 @@ def pilot_open_core(cfg: PilotOpenConfig, state: PilotOpenState,
 
     # residual phasor, smoothed; its angle is the remaining phase offset
     rres = z * jnp.exp(-1j * psi)
-    r = _ewma_closed(state.r, rres, cfg.alpha_p)          # [C, F]
+    r = _ewma_closed(state.r, rres, alpha)                # [C, F]
     ang = jnp.arctan2(r.imag, r.real)
     level = jnp.abs(r)
 

@@ -70,3 +70,19 @@ class TestWfmTailKernel:
                 outs.append(np.asarray(out["audio"]))
             audios[use_pallas] = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(audios[True], audios[False], atol=5e-4)
+
+    def test_non_pow2_audio_decim_falls_back(self):
+        """audio_decim=6 (1.536 Msps -> 384 kHz composite) admits no
+        power-of-two kernel sub-block; the build must fall back to the XLA
+        tail instead of dividing by zero at trace time (advisor r2 finding 1)."""
+        fs2, frames = 1_536_000, 24576
+        cfg = ReceiverConfig(sample_rate=fs2, frames_per_buffer=frames,
+                             channels=2, mode=DemodMode.FMS, use_pallas=True)
+        rx = Receiver(cfg)
+        assert rx.wfm_cfg.audio_decim == 6
+        assert rx.wfm_cfg.tail_sub == 0 and not rx.wfm_cfg.pallas_tail
+        state = rx.init_state()
+        params = rx.default_params(200_000.0)
+        iq = np.zeros((2, frames), np.complex64)
+        state, out = rx.step(state, params, jnp.asarray(iq))
+        assert out["audio"].shape[0] == 2

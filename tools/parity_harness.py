@@ -197,15 +197,17 @@ def _pilot_open64(cfg, raw: np.ndarray, blk: int) -> np.ndarray:
     psi = 0.0
     r = 0.0 + 0.0j
     phases = np.empty(n, np.float64)
+    # EWMA alpha at the ACTUAL chunk rate (mirrors pilot_open_core)
+    alpha = math.exp(-2.0 * math.pi * cfg.bw_hz * ell / cfg.sample_rate)
     for k in range(f):
         seg = raw[k * ell:(k + 1) * ell].astype(np.float64)
         z = np.sum(seg * mat) * np.exp(-1j * wc * ell * k)
         d = z * np.conjugate(z_prev)
         dwm = min(max(math.atan2(d.imag, d.real) / ell, -cfg.dev_max),
                   cfg.dev_max)
-        dw = cfg.alpha_f * dw + (1.0 - cfg.alpha_f) * dwm
+        dw = alpha * dw + (1.0 - alpha) * dwm
         rres = z * np.exp(-1j * psi)
-        r = cfg.alpha_p * r + (1.0 - cfg.alpha_p) * rres
+        r = alpha * r + (1.0 - alpha) * rres
         ang = math.atan2(r.imag, r.real)
         phases[k * ell:(k + 1) * ell] = (wc * ell * k + psi + ang
                                          + math.pi / 2.0
