@@ -39,7 +39,7 @@ REFERENCE_MSPS = 2048.0 / 7.035e-3 / 1e6  # 0.291 Msps (receiver.cpp:780-785)
 
 def _synth_iq(mode_name: str, frames: int) -> np.ndarray:
     t = np.arange(frames) / FS
-    if mode_name == "wfm":
+    if mode_name.startswith("wfm"):
         comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
                 + 0.1 * np.sin(2 * np.pi * 19000.0 * t))
         phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
@@ -51,13 +51,18 @@ def _synth_iq(mode_name: str, frames: int) -> np.ndarray:
 
 def _timed_windows(run_once, sync_out, steps: int):
     """3 independent fully-synced windows; min rejects tunnel hiccups.
+    When the windows spread >1.5x (tunnel weather), take up to 3 extra
+    windows so one calm window anchors the min (BENCH_r02's am row spread
+    2x across 3 windows and under-reported the headline by ~19%).
 
     HONEST SYNC: over the axon tunnel, block_until_ready() can return at
     enqueue time without waiting for the device; the only trustworthy barrier
     is fetching a scalar through a pre-warmed jitted reduction.
     """
     dts = []
-    for _ in range(3):
+    for w in range(6):
+        if w >= 3 and max(dts) / max(min(dts), 1e-9) <= 1.5:
+            break
         t0 = time.perf_counter()
         out = None
         for i in range(steps):
@@ -76,10 +81,13 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
     from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
     from pebblesdr_tpu.demod.modes import DemodMode
 
-    mode = {"wfm": DemodMode.FMS, "sam": DemodMode.SAM}.get(
+    mode = {"wfm": DemodMode.FMS, "wfm_rds": DemodMode.FMS,
+            "wfm_hq": DemodMode.FMS, "sam": DemodMode.SAM}.get(
         mode_name, DemodMode.AM)
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=frames,
                          channels=channels, mode=mode,
+                         rds=(mode_name == "wfm_rds"),
+                         wfm_hq=(mode_name == "wfm_hq"),
                          agc_stride=int(os.environ.get("BENCH_AGC_STRIDE", "16")))
     rx = Receiver(cfg)
     # complex64 cannot cross the axon host<->device boundary: build state
@@ -135,6 +143,8 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
         "realtime_per_channel": round(per_chan / FS, 1),
         "block_ms": round(dt / (steps * blocks) * 1e3, 3),
         "compile_warmup_s": round(compile_s, 1),
+        "windows_s": [round(d, 3) for d in dts],
+        "window_spread": round(max(dts) / max(min(dts), 1e-9), 2),
         "vs_baseline": round(msps / REFERENCE_MSPS, 1),
     }
 
@@ -193,8 +203,102 @@ def bench_pfb(stations: int, blocks: int, steps: int,
         "realtime_per_channel": round(samples / stations / dt / FS, 1),
         "block_ms": round(dt / (steps * blocks) * 1e3, 3),
         "compile_warmup_s": round(compile_s, 1),
+        "windows_s": [round(d, 3) for d in dts],
+        "window_spread": round(max(dts) / max(min(dts), 1e-9), 2),
         "vs_baseline": round(msps / REFERENCE_MSPS, 1),
     }
+
+
+def bench_quality() -> dict:
+    """Measured QUALITY alongside the speed rows (VERDICT r2 weak 6): stereo
+    separation at the default (256k Carson) and hq (>=400k reference)
+    geometries, plus RDS block-error rate + PS decode at 20 dB IQ SNR with a
+    4 Hz carrier offset.  Runs on CPU (correctness, not speed — keeps the
+    row independent of tunnel weather)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+    from pebblesdr_tpu.demod import rds as rds_mod
+    from pebblesdr_tpu.demod.modes import DemodMode
+
+    frames, kb = 32768, 20
+    t = np.arange(kb * frames) / FS
+
+    def tone_amp(audio, f_tone, rate):
+        n = len(audio)
+        tt = np.arange(n) / rate
+        a = np.stack([np.sin(2 * np.pi * f_tone * tt),
+                      np.cos(2 * np.pi * f_tone * tt), np.ones(n)], 1)
+        coef, *_ = np.linalg.lstsq(a, audio, rcond=None)
+        return float(np.hypot(coef[0], coef[1]))
+
+    row = {"config": "quality"}
+    # --- stereo separation: L-only 700 Hz program ---
+    lt = np.sin(2 * np.pi * 700.0 * t)
+    th = 2 * np.pi * 19000.0 * t
+    comp = 0.45 * lt + 0.1 * np.sin(th) + 0.45 * lt * np.sin(2 * th)
+    ph = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+    iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + ph))
+          ).astype(np.complex64)
+    for name, hq in (("stereo_sep_db", False), ("stereo_sep_hq_db", True)):
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=frames,
+                             channels=1, mode=DemodMode.FMS, wfm_hq=hq)
+        rx = Receiver(cfg)
+        st = rx.init_state()
+        params = rx.default_params(250_000.0)
+        outs = []
+        for i in range(kb):
+            st, out = rx.step(st, params,
+                              jnp.asarray(iq[None, i * frames:(i + 1) * frames]),
+                              spectra=False)
+            outs.append(np.asarray(out["audio"]))
+        aud = np.concatenate(outs, -1)[0]
+        half = aud.shape[-1] // 2
+        al = tone_amp(aud[0, half:], 700.0, cfg.audio_rate)
+        ar = tone_amp(aud[1, half:], 700.0, cfg.audio_rate)
+        row[name] = round(20 * np.log10(al / max(ar, 1e-12)), 1)
+    # --- RDS at 20 dB SNR + 4 Hz offset (the noisy-chain shape) ---
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__) or ".", "tests"))
+    from test_rds import differential_encode, make_ps_groups
+    bits = make_ps_groups(0x54A8, "PEBBLES ", repeats=24)
+    sym = np.asarray(differential_encode(bits), np.float64) * 2 - 1
+    nb2 = 40
+    t2 = np.arange(nb2 * frames) / FS
+    sym_idx = np.minimum((t2 * rds_mod.RDS_BAUD).astype(np.int64),
+                         len(sym) - 1)
+    frac = t2 * rds_mod.RDS_BAUD - sym_idx
+    biphase = sym[sym_idx] * np.where(frac < 0.5, 1.0, -1.0)
+    comp2 = (0.3 * np.sin(2 * np.pi * 1000.0 * t2)
+             + 0.1 * np.sin(2 * np.pi * 19000.0 * t2)
+             + 0.06 * biphase * np.cos(2 * np.pi * 57000.0 * t2))
+    ph2 = 2 * np.pi * np.cumsum(75000.0 * comp2) / FS
+    carrier = 0.5 * np.exp(1j * (2 * np.pi * 300_004.0 * t2 + ph2))
+    rng = np.random.default_rng(11)
+    sigma = np.sqrt(0.25 / 10 ** (20.0 / 10) / 2)
+    iq2 = (carrier + sigma * (rng.normal(size=len(t2))
+                              + 1j * rng.normal(size=len(t2)))
+           ).astype(np.complex64)
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=frames,
+                         channels=1, mode=DemodMode.FMS, rds=True)
+    rx = Receiver(cfg)
+    st = rx.init_state()
+    params = rx.default_params(300_000.0)
+    dec = rds_mod.RdsBlockDecoder()
+    for i in range(nb2):
+        st, out = rx.step(st, params,
+                          jnp.asarray(iq2[None, i * frames:(i + 1) * frames]),
+                          spectra=False)
+        dec.feed_symbols(np.asarray(out["rds_soft"])[0])
+    total = dec.blocks_ok + dec.block_errors
+    g = rds_mod.RdsGroupDecoder()
+    for grp in dec.groups:
+        g.decode(grp)
+    row["rds_bler_20db"] = round(dec.block_errors / max(1, total), 3)
+    row["rds_ps_decoded"] = (g.ps_name == "PEBBLES ")
+    row["rds_snr_db"] = 20.0
+    return row
 
 
 def run_one(mode: str) -> dict:
@@ -209,6 +313,8 @@ def run_one(mode: str) -> dict:
     if mode == "pfb":
         return bench_pfb(int(os.environ.get("BENCH_PFB_STATIONS", "127")),
                          BLOCKS, STEPS)
+    if mode == "quality":
+        return bench_quality()
     return bench_receiver(mode, CHANNELS, BLOCKS, STEPS)
 
 
@@ -226,6 +332,8 @@ def _row_subprocess(mode: str, channels=None, blocks=None, steps=None,
 
     timeout_s = timeout_s or int(os.environ.get("BENCH_ROW_TIMEOUT", "900"))
     env = dict(os.environ, BENCH_MODE=mode)
+    if mode == "quality":  # correctness row: CPU, off the tunnel
+        env["JAX_PLATFORMS"] = "cpu"
     if channels is not None:
         env["BENCH_CHANNELS"] = str(channels)
     if blocks is not None:
@@ -260,11 +368,22 @@ def main():
         # — full blocks/dispatch is both fastest and the cached-compile config
         rows.append(_row_subprocess("wfm", CHANNELS, BLOCKS,
                                     max(16, STEPS // 2)))
+        # the flagship BASELINE config #2 shape: stereo + RDS decode, on the
+        # batched fast path (scan-free squaring-loop RDS carrier)
+        rows.append(_row_subprocess("wfm_rds", CHANNELS, BLOCKS,
+                                    max(16, STEPS // 2)))
+        # reference-parity quality geometry (>=400k composite, ~47 dB sep)
+        rows.append(_row_subprocess("wfm_hq", CHANNELS, max(8, BLOCKS // 2),
+                                    max(16, STEPS // 2)))
         rows.append(_row_subprocess("sam", CHANNELS,
                                     max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        # small-channel-count scaling (virtual-channel time-fold)
         rows.append(_row_subprocess("am", 16, BLOCKS, max(16, STEPS // 2)))
+        rows.append(_row_subprocess("wfm", 16, BLOCKS, max(16, STEPS // 2)))
         rows.append(_row_subprocess("pfb", blocks=max(8, BLOCKS // 2),
                                     steps=max(16, STEPS // 2)))
+        # measured quality (stereo separation, RDS BLER) — CPU, weatherproof
+        rows.append(_row_subprocess("quality"))
         ok = [r for r in rows if "msps_per_chip" in r]
         head = ok[0] if ok else {"config": "none", "msps_per_chip": 0.0,
                                  "vs_baseline": 0.0}

@@ -84,6 +84,10 @@ class ReceiverConfig:
     agc_stride: int = 1
     stereo: bool = True                   # FMS only
     rds: bool = False                     # WFM RDS tap
+    rds_alg: str = "open"                 # RDS carrier recovery: "open" =
+    #                                       scan-free squaring loop (batches
+    #                                       over whole dispatches); "scan" =
+    #                                       per-sample Costas lax.scan
     taps: bool = False                    # TestBench-style intermediate taps
     audio_lpf: bool = True
     use_pallas: bool | None = None        # fused downconvert kernel for the
@@ -192,12 +196,18 @@ class Receiver:
             audio_src_rate = int(self.wfm_cfg.audio_rate)
             audio_blk = self.blk // self.wfm_cfg.audio_decim
             if cfg.rds:
-                self.rds_cfg = rds_mod.RdsConfig.make(self.demod_rate, self.blk)
-            # batched WFM auto-resolution (see ReceiverConfig.batched_wfm)
+                self.rds_cfg = rds_mod.RdsConfig.make(self.demod_rate,
+                                                      self.blk,
+                                                      alg=cfg.rds_alg)
+            # batched WFM auto-resolution (see ReceiverConfig.batched_wfm):
+            # ON when the pilot path is scan-free (open pilot, or mono) AND
+            # the RDS carrier (if tapped) is the scan-free squaring loop —
+            # i.e. the flagship WFM-stereo+RDS config batches by default
             if cfg.batched_wfm is None:
-                self.batched_wfm = (not cfg.rds
-                                    and (self.wfm_cfg.pilot_alg == "open"
-                                         or not self.wfm_cfg.stereo))
+                self.batched_wfm = ((self.wfm_cfg.pilot_alg == "open"
+                                     or not self.wfm_cfg.stereo)
+                                    and (not cfg.rds
+                                         or self.rds_cfg.alg == "open"))
             else:
                 self.batched_wfm = bool(cfg.batched_wfm)
         else:
@@ -444,15 +454,18 @@ class Receiver:
                          DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
                          DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
         # WFM batches by default with the scan-free "open" pilot (wfm_demod
-        # n_block mode) — except the RDS tap, whose bit/block decode stays
-        # per-block.  With the legacy "pll" pilot the batched graph merely
-        # ties the scan (the chunk scan serializes across the dispatch), so
-        # it is opt-in there (see ReceiverConfig.batched_wfm).
+        # n_block mode), INCLUDING the RDS tap when its carrier recovery is
+        # the scan-free squaring loop (rds_cfg.alg == "open"; bit/block
+        # decode is host-side either way).  With the legacy "pll" pilot or
+        # "scan" Costas the batched graph merely ties the scan (the chunk
+        # scan serializes across the dispatch), so it is opt-in there (see
+        # ReceiverConfig.batched_wfm).
         # NFM batches for the elementwise discriminators; the PLL variant is
         # a per-sample scan.
         mode_ok = (self.cfg.mode in batched_modes
-                   or (is_wfm(self.cfg.mode) and not self.cfg.rds
-                       and self.batched_wfm)
+                   or (is_wfm(self.cfg.mode) and self.batched_wfm
+                       and (not self.cfg.rds
+                            or self.rds_cfg.alg == "open"))
                    or (self.cfg.mode == DemodMode.FMN
                        and self.nfm_cfg.algorithm in ("conj", "derivative"))
                    or (self.cfg.mode == DemodMode.SAM
@@ -523,16 +536,25 @@ class Receiver:
         blk = self.blk
         out: dict[str, Any] = {}
 
-        # ---- front end: ONE pallas call over the concatenated stream -------
+        # ---- front end: ONE pallas call over the concatenated stream.
+        # Small channel counts fold time groups into the idle lanes
+        # (virtual-channel time-fold): at C=16 a [*, 32]-lane kernel wastes
+        # 3/4 of every DMA/VPU/MXU op and costs the same per dispatch as
+        # C=64; fold=4 packs 4 time groups -> all 128 lanes live.  Group
+        # seams are closed-form (pallas_kernels._fold_prologue), so the
+        # folded stream is streaming-exact vs fold=1.
+        fold = 1
+        while c2 * (fold * 2) <= 128 and k % (fold * 2) == 0:
+            fold *= 2
         y_pk, dc, decim_state, new_phase, raw_pk = \
             self._pk.fused_front_packed(
                 x_pk, state.dc, state.mixer.phase,
                 params.tune_hi, params.tune_lo, state.decim, self._front_wt,
                 self.plan.factor, self._front_d_rows, 0.9999,
                 sub_block=self._front_sub, n_block=n,
-                raw_rows=cfg.spectrum_bins if spectra else 0,
+                raw_rows=cfg.spectrum_bins if spectra else 0, fold=fold,
                 interpret=self._pallas_interpret)
-        x_cat = self._pk.unpack_to_complex(y_pk)               # [C, K*blk]
+        x_cat = self._pk.unpack_to_complex(y_pk, fold=fold)    # [C, K*blk]
         mix_state = mixer.MixerState(phase=new_phase)
 
         # ---- full-rate spectrum per block (batched) ------------------------
@@ -602,6 +624,18 @@ class Receiver:
                                                   x_cat, n_block=blk)
             out["pilot_locked"] = wout["pilot_locked"].T      # [K, C]
             ff_state, agc_state = state.fastfir, state.agc
+            if cfg.rds:
+                # the scan-free RDS subchain (decimate -> resample -> squared
+                # open-loop carrier -> matched filter) is streaming-exact on
+                # the concatenated composite, so it runs ONCE per dispatch
+                rds_state, soft, timing = rds_mod.rds_process(
+                    self.rds_cfg, state.rds, wout["rds_baseband"])
+                n_sym_b = soft.shape[-1] // k
+                out["rds_soft"] = jnp.moveaxis(
+                    soft.reshape(c, k, n_sym_b), 1, 0)         # [K, C, n_sym]
+                out["rds_timing"] = jnp.broadcast_to(timing[None], (k, c))
+            else:
+                rds_state = state.rds
             if self.wfm_cfg.stereo:
                 lr = jnp.concatenate([wout["left"], wout["right"]], axis=0)
                 resamp_state, lr = resampler.apply_many(self.rs_plan,
@@ -616,6 +650,7 @@ class Receiver:
                 audio_blk = mono.shape[-1] // k
                 audio = jnp.moveaxis(mono.reshape(c, k, audio_blk), 1, 0)
         else:
+            rds_state = state.rds
             mask = jax.lax.complex(params.bp_mask[0], params.bp_mask[1])
             ff_state, xt = fastfir.apply_many(state.fastfir, x_cat, mask, blk)
             agc_state, xt = agc.agc_apply(self.agc_cfg, state.agc, xt)
@@ -650,7 +685,7 @@ class Receiver:
             mixer=mix_state, decim=decim_state, fastfir=ff_state, dc=dc,
             nb=state.nb, anf=state.anf, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
-            spec_zoom=spec_zoom_state, rds=state.rds,
+            spec_zoom=spec_zoom_state, rds=rds_state,
             squelch=squelch_open[-1], iqbal=state.iqbal)
         return new_state, out
 

@@ -44,9 +44,20 @@ class RdsConfig:
     pll: pll.PLLConfig = static_field()
     mf_taps: np.ndarray = static_field()    # biphase matched filter @19k
     n_sym: int = static_field()             # symbols per block
+    # carrier recovery: "open" (default) = scan-free squaring loop
+    # (pll.costas_open_run) — zero sequential ops, so the RDS tap rides the
+    # batched multi-block fast path; "scan" = the per-sample Costas lax.scan
+    # (the reference-shaped RDS PLL, demod_wfm.cpp:301-317)
+    alg: str = static_field(default="open")
+    costas_open: pll.CostasOpenConfig = static_field(default=None)
+    chunk19: int = static_field(default=16)  # open-loop chunk at 19 kHz,
+    #                                          adapted to divide one block's
+    #                                          symbol stream so batched and
+    #                                          per-block calls share the grid
 
     @staticmethod
-    def make(composite_rate: float, block: int) -> "RdsConfig":
+    def make(composite_rate: float, block: int,
+             alg: str = "open") -> "RdsConfig":
         plan = decimator.build_plan(composite_rate, 4800.0, sample_rate_out=16000)
         assert plan.rate_out == 16000.0, plan.rate_out
         n16 = block // plan.factor
@@ -59,8 +70,16 @@ class RdsConfig:
         cfg_pll = pll.make_pll_config(19000.0, bw_hz=30.0, zeta=0.707,
                                       center_hz=0.0, range_hz=100.0,
                                       detector="costas")
+        # open-loop chunk: multiple of SPS (chunk sums then null the baud
+        # harmonics of the squared signal) that divides the per-block stream
+        ell = 64
+        while n19 % ell or ell % SPS:
+            ell //= 2
+        assert ell >= SPS and n19 % ell == 0
         return RdsConfig(composite_rate=composite_rate, plan=plan, rs_plan=rs,
-                         pll=cfg_pll, mf_taps=mf, n_sym=n19 // SPS)
+                         pll=cfg_pll, mf_taps=mf, n_sym=n19 // SPS, alg=alg,
+                         costas_open=pll.make_costas_open_config(19000.0),
+                         chunk19=ell)
 
 
 @pytree_dataclass
@@ -76,7 +95,8 @@ def rds_init(cfg: RdsConfig, channels: int) -> RdsState:
     return RdsState(
         decim=decimator.state_init(cfg.plan, channels),
         resamp=resampler.state_init(cfg.rs_plan, channels, jnp.complex64),
-        pll=pll.pll_init(cfg.pll, channels),
+        pll=(pll.costas_open_init(channels) if cfg.alg == "open"
+             else pll.pll_init(cfg.pll, channels)),
         mf_tail=fir.fir_tail_init(channels, len(cfg.mf_taps), jnp.float32),
         phase_acc=jnp.zeros((channels, SPS), jnp.float32),
     )
@@ -85,17 +105,29 @@ def rds_init(cfg: RdsConfig, channels: int) -> RdsState:
 def rds_process(cfg: RdsConfig, state: RdsState, rds_baseband: jax.Array):
     """rds_baseband: [C, N] complex64 (composite already mixed by -57 kHz).
 
-    Returns (state', soft [C, n_sym] float32 soft symbol values, timing_phase
-    [C] int32) — sign(soft) are the biphase symbols; host does the rest.
+    N may span K concatenated logical blocks (the batched step_many path):
+    every stage is streaming-exact on the concatenated stream (decimator
+    tails, block-periodic resampler, chunked open-loop carrier, matched
+    filter); only the symbol-timing EWMA updates once per CALL rather than
+    once per block (it tracks a slowly-moving sampling phase — the K-block
+    aggregate is the same statistic at a different smoothing rate).
+
+    Returns (state', soft [C, n_sym_total] float32 soft symbol values,
+    timing_phase [C] int32) — sign(soft) are the biphase symbols; host does
+    the rest (RdsBlockDecoder).
     """
     st_d, x = decimator.apply(cfg.plan, state.decim, rds_baseband)      # 16 k
-    st_r, x = resampler.apply(cfg.rs_plan, state.resamp, x)             # 19 k
-    st_p, phases, _ = pll.pll_run(cfg.pll, state.pll, x)                # carrier
+    st_r, x = resampler.apply_many(cfg.rs_plan, state.resamp, x)        # 19 k
+    if cfg.alg == "open":
+        st_p, phases, _ = pll.costas_open_run(cfg.costas_open, state.pll, x,
+                                              chunk=cfg.chunk19)
+    else:
+        st_p, phases, _ = pll.pll_run(cfg.pll, state.pll, x)            # scan
     coherent = (x * jnp.exp(-1j * phases.astype(jnp.complex64))).real   # BPSK
     taps = jnp.asarray(cfg.mf_taps, jnp.float32)
     mf, mf_tail = fir.fir_apply_real_signal(coherent, taps, state.mf_tail)
     c, n19 = mf.shape
-    sym = mf.reshape(c, cfg.n_sym, SPS)
+    sym = mf.reshape(c, n19 // SPS, SPS)
     # symbol-timing: EWMA the mean |mf| per intra-symbol phase, sample at max
     acc = 0.9 * state.phase_acc + 0.1 * jnp.mean(jnp.abs(sym), axis=1)
     best = jnp.argmax(acc, axis=-1)                                      # [C]

@@ -67,24 +67,38 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
     return w
 
 
-def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
-                  raw_rows, factor, m_tile, interpret,
-                  x_ref, phase_ref, fhi_ref, flo_ref,
-                  fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-                  wt_ref, dc_in_ref, tail_in_ref,
-                  y_ref, dc_out_ref, tail_out_ref, raw_ref):
+def _front_kernel(sub_block, c, fold, d_rows, dc_alpha_c, nchunk, nsub_blk,
+                  raw_rows, factor, m_tile, interpret, *refs):
     """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
-    x_ref: [sub, 2C] packed (re | im).  dc/tail refs: [1, 2C] / [d_rows, 2C].
-    phase/fhi/flo: [1, 2C] duplicated halves.  fr1/fi1/fi2/fr2: [128, 2C]
-    precomputed fine-phasor tables ([fr|fr], [fi|fi], [fi|-fi], [fr|-fr]).
+    c is the packed HALF-width (= fold * C_in channels).  The first `fold`
+    refs are the input planes — with fold > 1 (the virtual-channel time-fold
+    for small channel counts), each is the SAME [N, 2C_in] buffer viewed at a
+    different time-group row offset, and the kernel assembles the lane-packed
+    [sub, 2c] tile as [re(g0) | re(g1) | ... | im(g0) | im(g1) | ...] so all
+    128 lanes stay live at any C_in.  Group seams (per-group NCO phase, DC
+    seeds, post-mix tail halos) are closed-form inputs from _fold_prologue.
+
+    dc/tail refs: [1, 2c] / [d_rows, 2c].  phase/fhi/flo: [1, 2c] duplicated
+    halves.  fr1/fi1/fi2/fr2: [128, 2c] precomputed fine-phasor tables
+    ([fr|fr], [fi|fi], [fi|-fi], [fr|-fr]).
     wt_ref: [m_sub, d_rows + sub] composed-response Toeplitz transpose.
-    raw_ref: [n_blocks, raw_rows, 2C] — each *logical block*'s trailing raw
+    raw_ref: [n_blocks, raw_rows, 2c] — each *logical block*'s trailing raw
     input rows (display-spectrum tails), written on its last sub-block.
     """
+    x_refs = refs[:fold]
+    (phase_ref, fhi_ref, flo_ref, fr1_ref, fi1_ref, fi2_ref, fr2_ref,
+     wt_ref, dc_in_ref, tail_in_ref,
+     y_ref, dc_out_ref, tail_out_ref, raw_ref) = refs[fold:]
     s = pl.program_id(0)
     first = s == 0
-    xx = x_ref[:, :]
+    if fold == 1:
+        xx = x_refs[0][:, :]
+    else:
+        c_in = c // fold
+        xs = [xr[:, :] for xr in x_refs]
+        xx = jnp.concatenate([x[:, :c_in] for x in xs]
+                             + [x[:, c_in:] for x in xs], axis=1)
 
     @pl.when(s % nsub_blk == nsub_blk - 1)
     def _():
@@ -165,12 +179,89 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
                 ystk[:, ti * 2 * c:(ti + 1) * 2 * c])
 
 
+def _fold_prologue(x_pk, dc, phase0, f_hi, f_lo, tail, fold, seg,
+                   dc_alpha, d_rows):
+    """Closed-form group seams for the virtual-channel time-fold.
+
+    With the input split into `fold` contiguous time groups (group g = rows
+    [g*seg, (g+1)*seg)), each packed into its own lane slot, group g>0 needs
+    (a) the DC-blocker estimate entering its first chunk — the chunked-EWMA
+    closed form over ALL previous chunk means (the sharded_dc_chunks
+    formulation, parallel/time_shard.py) — and (b) the last d_rows post-mix
+    samples of group g-1 as its composed-FIR history, reconstructed here by
+    DC-removing (with the exact per-chunk estimates the unfolded kernel
+    would use) and NCO-mixing those boundary rows.  Group 0 consumes the
+    carried state unchanged, so folded == unfolded streaming-exactly (up to
+    f32 association).
+
+    Returns (dc_in [1, 2*fold*C], tail_in [d_rows, 2*fold*C]) in the
+    group-major-in-halves lane layout.
+    """
+    n, c2 = x_pk.shape
+    c = c2 // 2
+    ncht = n // DC_CHUNK
+    a_c = float(dc_alpha) ** DC_CHUNK
+    ncg = seg // DC_CHUNK
+    means = jnp.mean(x_pk.reshape(ncht, DC_CHUNK, c2), axis=1)  # [ncht, 2C]
+
+    # --- DC seed entering each group (closed-form EWMA over prior chunks)
+    w = np.zeros((fold, ncht), np.float64)
+    seedc = np.zeros((fold,), np.float64)
+    for g in range(fold):
+        j = g * ncg
+        seedc[g] = a_c ** j
+        if j:
+            w[g, :j] = (1.0 - a_c) * a_c ** (j - 1 - np.arange(j))
+    with jax.ensure_compile_time_eval():
+        w_d = jnp.asarray(w.astype(np.float32))
+        seedc_d = jnp.asarray(seedc.astype(np.float32))
+    seeds = w_d @ means + seedc_d[:, None] * dc[0][None, :]     # [G, 2C]
+    dc_in = jnp.concatenate([seeds[:, :c].reshape(1, fold * c),
+                             seeds[:, c:].reshape(1, fold * c)], axis=1)
+
+    # --- post-mix halo tails for groups 1..G-1
+    fhi_r = jnp.asarray(f_hi, jnp.float32)[None, :]
+    flo_r = jnp.asarray(f_lo, jnp.float32)[None, :]
+    tails = [tail]                       # group 0: the carried [d_rows, 2C]
+    for g in range(1, fold):
+        r0 = g * seg - d_rows
+        rows = jax.lax.slice(x_pk, (r0, 0), (g * seg, c2))
+        jlo = r0 // DC_CHUNK
+        jhi = (g * seg - 1) // DC_CHUNK
+        nj = jhi - jlo + 1
+        wj = np.zeros((nj, ncht), np.float64)
+        for idx, j in enumerate(range(jlo, jhi + 1)):
+            wj[idx, :j + 1] = (1.0 - a_c) * a_c ** (j - np.arange(j + 1))
+        with jax.ensure_compile_time_eval():
+            wj_d = jnp.asarray(wj.astype(np.float32))
+            sj_d = jnp.asarray(
+                (a_c ** (1.0 + np.arange(jlo, jhi + 1))).astype(np.float32))
+        m_j = wj_d @ means + sj_d[:, None] * dc[0][None, :]     # [nj, 2C]
+        sel = (np.arange(r0, g * seg) // DC_CHUNK) - jlo        # static
+        z = rows - m_j[jnp.asarray(sel)]
+        # NCO mix at the global sample index (same split-precision ramp
+        # arithmetic as the kernel's coarse/fine factorization)
+        k = jnp.asarray(np.arange(r0, g * seg, dtype=np.float32))[:, None]
+        ph = jnp.mod(phase0[None, :] + jnp.mod(k * fhi_r, 1.0)
+                     + k * flo_r, 1.0)
+        cosv = jnp.cos(TWO_PI * ph)
+        sinv = jnp.sin(TWO_PI * ph)
+        zr, zi = z[:, :c], z[:, c:]
+        yr = zr * cosv + zi * sinv
+        yi = zi * cosv - zr * sinv
+        tails.append(jnp.concatenate([yr, yi], axis=1))
+    tail_in = jnp.concatenate([t[:, :c] for t in tails]
+                              + [t[:, c:] for t in tails], axis=1)
+    return dc_in, tail_in
+
+
 def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
                        f_hi: jax.Array, f_lo: jax.Array,
                        tail: jax.Array, wt: jax.Array,
                        factor: int, d_rows: int, dc_alpha: float,
                        sub_block: int = 2048, n_block: int = 0,
-                       raw_rows: int = 0, interpret: bool = False):
+                       raw_rows: int = 0, fold: int = 1,
+                       interpret: bool = False):
     """Whole front end in one pallas_call, lane-packed layout.
 
     x_pk: [N, 2C] f32 packed plane (re lanes, then im lanes) — N may span
@@ -180,9 +271,19 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     that d_rows + sub_block stays 8-aligned.
     wt: [sub/factor, d_rows + sub_block] from build_composed_w().T.
 
-    Returns (y_pk [M, 2C], dc', tail', phase' [C], raw [K, raw_rows, 2C])
-    with M = N/factor, K = N/n_block; raw holds each logical block's trailing
-    raw input rows (display tails).
+    fold > 1 enables the virtual-channel TIME-FOLD for small channel counts:
+    the stream splits into `fold` contiguous time groups, each packed into
+    its own lane slot, so the kernel's tiles are [*, 2*fold*C] wide — at
+    C=16, fold=4 lifts lane occupancy from 32/128 to 128/128 and the kernel
+    stops costing the same per dispatch regardless of C.  Group seams are
+    closed-form (_fold_prologue); results match fold=1 streaming-exactly (up
+    to f32 association).  Requires N % fold == 0 and (N/fold) % n_block == 0
+    (whole logical blocks per group).
+
+    Returns (y_pk, dc', tail', phase' [C], raw [K, raw_rows, 2C]) with
+    K = N/n_block; dc'/tail'/raw are always in the UNFOLDED [*, 2C] layout.
+    y_pk is [N/factor, 2C] for fold=1, else [N/(fold*factor), 2*fold*C] in
+    the folded layout — decode with unpack_to_complex(y_pk, fold=fold).
     """
     n, c2 = x_pk.shape
     c = c2 // 2
@@ -190,26 +291,47 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     if not n_block:
         n_block = n
     assert n % n_block == 0 and n_block % sub_block == 0
-    k_blocks = n // n_block
+    assert n % fold == 0
+    seg = n // fold
+    assert seg % n_block == 0 and seg % sub_block == 0
+    ce = fold * c                      # packed half-width seen by the kernel
+    c2e = 2 * ce
+    k_blocks_g = seg // n_block        # logical blocks per group
     nsub_blk = n_block // sub_block
-    nsub = n // sub_block
+    nsub = seg // sub_block            # grid length (per-group sub-blocks)
     m_sub = sub_block // factor
     nchunk = sub_block // DC_CHUNK
     a_c = float(dc_alpha) ** DC_CHUNK
     raw_rows = min(raw_rows, sub_block) or 8
 
     # packed parameter vectors + grid-invariant fine-phasor tables (the
-    # oscillator's inner 128-sample period; XLA hoists these out of scans)
-    fhi2 = jnp.concatenate([f_hi, f_hi]).astype(jnp.float32)
-    flo2 = jnp.concatenate([f_lo, f_lo]).astype(jnp.float32)
-    ph2 = jnp.concatenate([phase0, phase0]).astype(jnp.float32)
+    # oscillator's inner 128-sample period; XLA hoists these out of scans).
+    # With fold > 1 each group's phase lane is offset by its global start
+    # sample (same split-precision ramp arithmetic as the kernel).
+    if fold > 1:
+        ph_half = jnp.concatenate([
+            jnp.mod(phase0 + jnp.mod(np.float32(g * seg) * f_hi, 1.0)
+                    + np.float32(g * seg) * f_lo, 1.0)
+            for g in range(fold)])
+        fhi_half = jnp.tile(jnp.asarray(f_hi, jnp.float32), fold)
+        flo_half = jnp.tile(jnp.asarray(f_lo, jnp.float32), fold)
+        dc_in, tail_in = _fold_prologue(x_pk, dc, phase0, f_hi, f_lo, tail,
+                                        fold, seg, dc_alpha, d_rows)
+    else:
+        ph_half = jnp.asarray(phase0, jnp.float32)
+        fhi_half = jnp.asarray(f_hi, jnp.float32)
+        flo_half = jnp.asarray(f_lo, jnp.float32)
+        dc_in, tail_in = dc, tail
+    fhi2 = jnp.concatenate([fhi_half, fhi_half]).astype(jnp.float32)
+    flo2 = jnp.concatenate([flo_half, flo_half]).astype(jnp.float32)
+    ph2 = jnp.concatenate([ph_half, ph_half]).astype(jnp.float32)
     r_idx = jnp.arange(128, dtype=jnp.float32)[:, None]
     fine = jnp.mod(jnp.mod(r_idx * fhi2[None, :], 1.0)
                    + r_idx * flo2[None, :], 1.0)
-    fr = jnp.cos(TWO_PI * fine)               # [128, 2C] = [fr | fr]
+    fr = jnp.cos(TWO_PI * fine)               # [128, 2ce] = [fr | fr]
     fi = jnp.sin(TWO_PI * fine)
-    sign = jnp.concatenate([jnp.ones((c,), jnp.float32),
-                            -jnp.ones((c,), jnp.float32)])[None, :]
+    sign = jnp.concatenate([jnp.ones((ce,), jnp.float32),
+                            -jnp.ones((ce,), jnp.float32)])[None, :]
     fi2_t = fi * sign                          # [fi | -fi]
     fr2_t = fr * sign                          # [fr | -fr]
 
@@ -230,40 +352,54 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     else:
         wt_rows, wt_cols = m_sub, d_rows + sub_block
 
-    kern = functools.partial(_front_kernel, sub_block, c, d_rows, a_c,
+    kern = functools.partial(_front_kernel, sub_block, ce, fold, d_rows, a_c,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
                              interpret)
-    in_specs = [
-        pl.BlockSpec((sub_block, c2), lambda s: (s, 0)),
-        pl.BlockSpec((1, c2), lambda s: (0, 0)),
-        pl.BlockSpec((1, c2), lambda s: (0, 0)),
-        pl.BlockSpec((1, c2), lambda s: (0, 0)),
-        pl.BlockSpec((128, c2), lambda s: (0, 0)),
-        pl.BlockSpec((128, c2), lambda s: (0, 0)),
-        pl.BlockSpec((128, c2), lambda s: (0, 0)),
-        pl.BlockSpec((128, c2), lambda s: (0, 0)),
-        pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
-        pl.BlockSpec((1, c2), lambda s: (0, 0)),
-        pl.BlockSpec((d_rows, c2), lambda s: (0, 0)),
-    ]
+    nsub_g = nsub
+    in_specs = (
+        [pl.BlockSpec((sub_block, c2), lambda s, _g0=g * nsub_g: (_g0 + s, 0))
+         for g in range(fold)]
+        + [
+            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
+            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+            pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
+        ])
     out_shapes = [
-        jax.ShapeDtypeStruct((nsub * m_sub, c2), jnp.float32),
-        jax.ShapeDtypeStruct((1, c2), jnp.float32),
-        jax.ShapeDtypeStruct((d_rows, c2), jnp.float32),
-        jax.ShapeDtypeStruct((k_blocks, raw_rows, c2), jnp.float32),
+        jax.ShapeDtypeStruct((nsub * m_sub, c2e), jnp.float32),
+        jax.ShapeDtypeStruct((1, c2e), jnp.float32),
+        jax.ShapeDtypeStruct((d_rows, c2e), jnp.float32),
+        jax.ShapeDtypeStruct((k_blocks_g, raw_rows, c2e), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((m_sub, c2), lambda s: (s, 0)),
-        pl.BlockSpec((1, c2), lambda s: (0, 0)),
-        pl.BlockSpec((d_rows, c2), lambda s: (0, 0)),
-        pl.BlockSpec((1, raw_rows, c2), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
+        pl.BlockSpec((m_sub, c2e), lambda s: (s, 0)),
+        pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((1, raw_rows, c2e), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
     ]
     y, dc2, tail2, raw = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
-    )(x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
-      fr, fi, fi2_t, fr2_t, wt, dc, tail)
+    )(*([x_pk] * fold), ph2[None, :], fhi2[None, :], flo2[None, :],
+      fr, fi, fi2_t, fr2_t, wt, dc_in, tail_in)
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
+    if fold > 1:
+        # carried dc/tail = the LAST group's lanes; raw unfolds to the
+        # global [K, raw_rows, 2C] block order
+        gl = (fold - 1) * c
+        dc2 = jnp.concatenate([dc2[:, gl:gl + c], dc2[:, ce + gl:ce + gl + c]],
+                              axis=1)
+        tail2 = jnp.concatenate([tail2[:, gl:gl + c],
+                                 tail2[:, ce + gl:ce + gl + c]], axis=1)
+        r5 = raw.reshape(k_blocks_g, raw_rows, 2, fold, c)
+        raw = jnp.transpose(r5, (3, 0, 1, 2, 4)).reshape(
+            fold * k_blocks_g, raw_rows, c2)
     return y, dc2, tail2, phase2, raw
 
 
@@ -273,10 +409,19 @@ def pack_planes(xr_t: jax.Array, xi_t: jax.Array) -> jax.Array:
     return jnp.concatenate([xr_t, xi_t], axis=-1)
 
 
-def unpack_to_complex(y_pk: jax.Array) -> jax.Array:
-    """[M, 2C] packed -> [C, M] complex64."""
-    c = y_pk.shape[-1] // 2
-    return jax.lax.complex(y_pk[:, :c].T, y_pk[:, c:].T)
+def unpack_to_complex(y_pk: jax.Array, fold: int = 1) -> jax.Array:
+    """[M, 2C] packed -> [C, M] complex64.  With fold > 1, y_pk is the
+    folded [M/fold, 2*fold*C] layout from fused_front_packed(fold=...):
+    lane group g holds time segment g, so the unfold transposes groups back
+    into one contiguous [C, M] stream."""
+    if fold == 1:
+        c = y_pk.shape[-1] // 2
+        return jax.lax.complex(y_pk[:, :c].T, y_pk[:, c:].T)
+    m, c2e = y_pk.shape
+    c = c2e // (2 * fold)
+    re = jnp.transpose(y_pk[:, :fold * c].reshape(m, fold, c), (2, 1, 0))
+    im = jnp.transpose(y_pk[:, fold * c:].reshape(m, fold, c), (2, 1, 0))
+    return jax.lax.complex(re.reshape(c, fold * m), im.reshape(c, fold * m))
 
 
 # ----------------------------------------------------- fused WFM stereo tail

@@ -421,3 +421,106 @@ def pilot_open_run(cfg: PilotOpenConfig, state: PilotOpenState,
     phases = (p0[:, :, None] + wf[:, :, None] * tin_d[None, None, :]
               ).reshape(c, n)
     return new_state, phases, level
+
+
+# --------------------------------------- open-loop BPSK carrier (RDS, squared)
+
+@pytree_dataclass
+class CostasOpenConfig:
+    """Scan-free BPSK carrier recovery by SQUARING (the classic squaring
+    loop, blockwise): s = x^2 removes the +-1 data modulation and leaves a
+    tone at twice the carrier offset; per chunk — within-chunk conj products
+    measure the squared-carrier frequency (EWMA-smoothed closed form),
+    integrated-deviation phase via cumsum, residual phasor EWMA — exactly
+    the pilot_open recipe, but in the squared domain on a complex input.
+    The carrier phase is HALF the tracked squared phase; the inherent pi
+    ambiguity maps to a BPSK sign flip, which RDS's differential encoding
+    absorbs (one flipped bit only where a rare cycle slip lands).
+
+    Replaces the per-sample Costas scan (pll_run detector='costas', the
+    reference's RDS PLL demod_wfm.cpp:301-317) with ZERO sequential ops, so
+    the RDS tap batches over whole multi-block dispatches."""
+    dev_max: float = static_field()        # rad/sample clamp (CARRIER freq)
+    chunk: int = static_field(default=64)
+    bw_hz: float = static_field(default=30.0)
+    sample_rate: float = static_field(default=19000.0)
+
+
+def make_costas_open_config(sample_rate: float, range_hz: float = 200.0,
+                            bw_hz: float = 30.0,
+                            chunk: int = 64) -> CostasOpenConfig:
+    return CostasOpenConfig(dev_max=TWO_PI * range_hz / sample_rate,
+                            chunk=chunk, bw_hz=bw_hz,
+                            sample_rate=float(sample_rate))
+
+
+@pytree_dataclass
+class CostasOpenState:
+    w2: jax.Array   # [C] f32: smoothed squared-carrier freq (rad/sample)
+    psi: jax.Array  # [C] f32: integrated squared-carrier phase at next sample
+    r: jax.Array    # [C] complex64: smoothed residual phasor (squared domain)
+    ang: jax.Array  # [C] f32: UNWRAPPED residual angle — halving an angle
+    #                 with a +-pi branch cut flips the BPSK sign every time
+    #                 noise crosses the cut, so the angle is tracked as a
+    #                 continuous cumsum of chunk-to-chunk angle increments
+
+
+def costas_open_init(channels: int) -> CostasOpenState:
+    return CostasOpenState(w2=jnp.zeros((channels,), jnp.float32),
+                           psi=jnp.zeros((channels,), jnp.float32),
+                           r=jnp.zeros((channels,), jnp.complex64),
+                           ang=jnp.zeros((channels,), jnp.float32))
+
+
+def costas_open_run(cfg: CostasOpenConfig, state: CostasOpenState,
+                    x: jax.Array, chunk: int | None = None):
+    """Track the BPSK carrier in x [C, N] complex64.
+
+    Returns (state', phases [C, N] carrier phase, level [C, F] lock level).
+    Streaming-exact for any whole-chunk blocking of the input (all smoothers
+    are seeded closed forms).  Coherent demod = (x * exp(-1j*phases)).real.
+    """
+    c, n = x.shape
+    ell = int(chunk or cfg.chunk)
+    assert n % ell == 0, (n, ell)
+    f = n // ell
+    alpha = math.exp(-TWO_PI * cfg.bw_hz * ell / cfg.sample_rate)
+
+    s = x * x                                             # squared domain
+    s3 = s.reshape(c, f, ell)
+    # within-chunk conj products only: the K-block batched call computes the
+    # exact same measurements as K sequential calls
+    dm = jnp.mean(s3[:, :, 1:] * jnp.conj(s3[:, :, :-1]), axis=-1)
+    w2m = jnp.clip(jnp.arctan2(dm.imag, dm.real),
+                   -2.0 * cfg.dev_max, 2.0 * cfg.dev_max)
+    w2 = _ewma_closed(state.w2, w2m, alpha)               # [C, F]
+
+    cs = jnp.cumsum(w2, axis=-1)
+    psi0 = state.psi[:, None] + ell * (cs - w2)           # [C, F] chunk starts
+    psi_next = state.psi + ell * cs[:, -1]
+
+    t_in = jnp.arange(ell, dtype=jnp.float32)
+    ph_in = psi0[:, :, None] + w2[:, :, None] * t_in[None, None, :]
+    zres = jnp.mean(s3 * jnp.exp(-1j * ph_in.astype(jnp.complex64)), axis=-1)
+    r = _ewma_closed(state.r, zres, alpha)                # [C, F]
+    level = jnp.abs(r)
+    # CONTINUOUS residual angle: cumsum of chunk-to-chunk conj-product
+    # increments, seeded by the carried unwrapped angle (r is smoothed, so
+    # increments are small); a raw arctan2 would flip the halved carrier
+    # phase by pi whenever noise crossed the +-pi cut
+    r_prev = jnp.concatenate([state.r[:, None], r[:, :-1]], axis=1)
+    dprod = r * jnp.conj(r_prev)
+    dang = jnp.where(jnp.abs(r_prev) > 0,
+                     jnp.arctan2(dprod.imag, dprod.real),
+                     jnp.arctan2(r.imag, r.real))  # first-ever chunk: seed
+    ang = state.ang[:, None] + jnp.cumsum(dang, axis=-1)  # [C, F]
+
+    phases = 0.5 * (ph_in + ang[:, :, None]).reshape(c, n)
+    # wrap psi/ang mod 4*pi: the HALVED carrier phase then wraps mod 2*pi,
+    # so a wrap never flips the BPSK sign across call boundaries
+    new_state = CostasOpenState(
+        w2=w2[:, -1],
+        psi=jnp.mod(psi_next + TWO_PI, 2.0 * TWO_PI) - TWO_PI,
+        r=r[:, -1],
+        ang=jnp.mod(ang[:, -1] + TWO_PI, 2.0 * TWO_PI) - TWO_PI)
+    return new_state, phases, level

@@ -121,20 +121,129 @@ def test_batched_fm_matches_sequential(mode):
         assert locked.shape == (K, C) and locked[-1].all()
 
 
+@pytest.mark.parametrize("mode", [DemodMode.AM, DemodMode.FMS])
+def test_batched_time_fold_matches_sequential(mode):
+    """K=4 blocks at C=2 engage the virtual-channel time-fold (fold=4) in
+    the batched front; audio must still match sequential step() calls."""
+    kf = 4
+    t = np.arange(kf * N) / FS
+    if mode == DemodMode.FMS:
+        a = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+        th = 2 * np.pi * 19000.0 * t
+        comp = 0.45 * a + 0.1 * np.sin(th) + 0.45 * a * np.sin(2 * th)
+        phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+              ).astype(np.complex64)
+    else:
+        env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+        iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)
+              ).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    iq = iq + 1e-4 * (rng.standard_normal(iq.shape)
+                      + 1j * rng.standard_normal(iq.shape)
+                      ).astype(np.complex64)  # floor >> DFT rounding noise
+    iq = iq[None, :] * np.ones((C, 1), np.float32)
+    xr2 = np.ascontiguousarray(iq.real.astype(np.float32).T)
+    xi2 = np.ascontiguousarray(iq.imag.astype(np.float32).T)
+    x_pk = np.concatenate([xr2, xi2], axis=1)                  # [K*N, 2C]
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=mode, use_pallas=True, batched_many=True,
+                         agc_mode="off")
+    rx = Receiver(cfg)
+    params = rx.default_params(250_000.0)
+
+    st = rx.init_state()
+    outs = []
+    step = jax.jit(functools.partial(rx._step_impl, spectra=True))
+    for k in range(kf):
+        st, o = step(st, params, jnp.asarray(x_pk[k * N:(k + 1) * N]))
+        outs.append(o)
+    audio_seq = np.concatenate([np.asarray(o["audio"]) for o in outs], -1)
+    spec_seq = np.stack([np.asarray(o["spectrum"]) for o in outs])
+
+    st2 = rx.init_state()
+    st2, ob = jax.jit(functools.partial(rx._step_many_impl, spectra=True))(
+        st2, params, jnp.asarray(x_pk))
+    a_b = np.asarray(ob["audio"])
+    audio_b = np.moveaxis(a_b, 0, -2).reshape(audio_seq.shape)
+
+    scale = max(np.abs(audio_seq).max(), 1e-6)
+    assert np.abs(audio_seq - audio_b).max() / scale < 2e-3
+    # FM's wideband composite leaves low floor bins where seq-vs-batched
+    # rounding alone wiggles ~0.4 dB; an ordering bug shows up as ~20 dB
+    spec_tol = 0.1 if mode == DemodMode.AM else 1.0
+    assert np.abs(spec_seq - np.asarray(ob["spectrum"])).max() < spec_tol
+    for name in ("dc", "decim", "mixer"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(st, name)),
+                        jax.tree_util.tree_leaves(getattr(st2, name))):
+            d = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+            assert d < 1e-4, (name, d)
+
+
 def test_batched_falls_back_for_scan_modes():
-    """Configs the batched graph cannot serve (here: WFM with the RDS
-    bit-decode tap) must take the scan path even when batched is
-    requested."""
+    """Configs the batched graph cannot serve (here: WFM with the legacy
+    per-sample Costas RDS carrier) must take the scan path even when batched
+    is requested."""
     iq = _wfm_signal()
     blocks_tm = np.stack(
         [iq.real.astype(np.float32).T.reshape(K, N, C),
          iq.imag.astype(np.float32).T.reshape(K, N, C)], axis=1)
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
-                         mode=DemodMode.FMS, rds=True, use_pallas=True,
-                         batched_many=True, batched_wfm=True)
+                         mode=DemodMode.FMS, rds=True, rds_alg="scan",
+                         use_pallas=True, batched_many=True, batched_wfm=True)
     rx = Receiver(cfg)
     params = rx.default_params(250_000.0)
     st = rx.init_state()
     st, out = jax.jit(functools.partial(rx._step_many_impl, spectra=False))(
         st, params, jnp.asarray(blocks_tm))
     assert out["audio"].shape[0] == K
+
+
+def test_batched_wfm_rds_decodes_ps():
+    """The flagship config — WFM stereo + RDS — on the BATCHED fast path
+    (scan-free open pilot + scan-free squaring-loop RDS carrier): step_many
+    dispatches of K blocks must decode the PS name end to end."""
+    from test_rds import differential_encode, make_ps_groups
+    from pebblesdr_tpu.demod import rds as rds_mod
+
+    n_disp, kb = 5, 8                       # 5 dispatches x 8 blocks
+    n_total = n_disp * kb * N
+    bits = make_ps_groups(0x54A8, "PEBBLES ", repeats=24)
+    sym = np.asarray(differential_encode(bits), np.float64) * 2 - 1
+    t = np.arange(n_total) / FS
+    sym_idx = np.minimum((t * rds_mod.RDS_BAUD).astype(np.int64),
+                         len(sym) - 1)
+    frac = t * rds_mod.RDS_BAUD - sym_idx
+    biphase = sym[sym_idx] * np.where(frac < 0.5, 1.0, -1.0)
+    comp = (0.3 * np.sin(2 * np.pi * 1000.0 * t)
+            + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+            + 0.06 * biphase * np.cos(2 * np.pi * 57000.0 * t))
+    phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+    iq = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + phase))
+          ).astype(np.complex64)
+    x_pk = np.stack([iq.real, iq.imag], axis=1).astype(np.float32)  # [T, 2]
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=1,
+                         mode=DemodMode.FMS, rds=True, use_pallas=True,
+                         batched_many=True)
+    rx = Receiver(cfg)
+    assert rx.batched_wfm and rx.rds_cfg.alg == "open"
+    params = rx.default_params(300_000.0)
+    st = rx.init_state()
+    dec = rds_mod.RdsBlockDecoder()
+    step = jax.jit(functools.partial(rx._step_many_impl, spectra=False))
+    for d in range(n_disp):
+        st, out = step(st, params,
+                       jnp.asarray(x_pk[d * kb * N:(d + 1) * kb * N]))
+        soft = np.asarray(out["rds_soft"])          # [K, C, n_sym]
+        assert soft.shape[0] == kb
+        dec.feed_symbols(soft[:, 0].reshape(-1))
+        locked = np.asarray(out["pilot_locked"])
+        assert locked.shape == (kb, 1)
+    assert dec.synced
+    assert len(dec.groups) >= 4, (dec.blocks_ok, dec.block_errors)
+    g = rds_mod.RdsGroupDecoder()
+    for grp in dec.groups:
+        g.decode(grp)
+    assert g.ps_name == "PEBBLES "

@@ -115,6 +115,46 @@ class TestFusedFrontPlanes:
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 3e-5
 
+    @pytest.mark.parametrize("fold", [2, 4])
+    def test_time_fold_matches_unfolded(self, fold):
+        """Virtual-channel time-fold (small-C lane occupancy fix): fold time
+        groups into lanes; closed-form seams (_fold_prologue) must make the
+        folded stream match fold=1 streaming-exactly."""
+        fs = 2_048_000
+        plan = decimator.build_plan(fs, 30_000)
+        f = plan.factor
+        h = decimator.compose_response(plan)
+        d = len(h) - 1
+        d_rows = ((d + 7) // 8) * 8
+        sub = 2048
+        wt = jnp.asarray(np.ascontiguousarray(
+            pk.build_composed_w(h, f, sub, d_rows - d).T))
+
+        c, nblk, k = 4, 8192, 8
+        rng = np.random.default_rng(3)
+        x = (rng.normal(size=(k * nblk, 2 * c)) + 0.3).astype(np.float32)
+        splits = [mixer.split_freq(250_000.0 + 1000 * i, fs)
+                  for i in range(c)]
+        hi = jnp.asarray(np.array([s[0] for s in splits]))
+        lo = jnp.asarray(np.array([s[1] for s in splits]))
+        dc0 = jnp.asarray(0.1 * np.ones((1, 2 * c), np.float32))
+        ph0 = jnp.asarray(0.25 * np.ones((c,), np.float32))
+        tl0 = jnp.asarray(rng.normal(size=(d_rows, 2 * c)).astype(np.float32))
+
+        outs = {}
+        for fd in (1, fold):
+            y, dc2, tl2, ph2, raw = pk.fused_front_packed(
+                jnp.asarray(x), dc0, ph0, hi, lo, tl0, wt, f, d_rows,
+                0.9999, sub_block=sub, n_block=nblk, raw_rows=1024,
+                fold=fd, interpret=True)
+            outs[fd] = (np.asarray(pk.unpack_to_complex(y, fold=fd)),
+                        np.asarray(dc2), np.asarray(tl2), np.asarray(ph2),
+                        np.asarray(raw))
+        for name, a, b in zip(("y", "dc", "tail", "phase", "raw"),
+                              outs[1], outs[fold]):
+            scale = max(np.abs(a).max(), 1e-9)
+            assert np.abs(a - b).max() / scale < 1e-5, name
+
     def test_compose_response_equals_cascade(self):
         plan = decimator.build_plan(2_048_000, 30_000)
         h = decimator.compose_response(plan)
