@@ -71,19 +71,24 @@ class PfbBankReceiver:
     def __init__(self, sample_rate: int, frames_per_buffer: int, tunes,
                  mode: DemodMode = DemodMode.AM, n_bank: int | None = None,
                  taps_per_branch: int = 12, spectrum_bins: int | None = None,
-                 **rx_kwargs):
+                 oversample: int = 1, **rx_kwargs):
         fs = float(sample_rate)
         m = int(n_bank) if n_bank else pick_bank_size(fs)
         if frames_per_buffer % m:
             raise ValueError(f"frames_per_buffer={frames_per_buffer} not "
                              f"divisible by bank size {m}")
-        self.pfb_plan = pfb.plan(fs, m, taps_per_branch=taps_per_branch)
-        ch_rate = fs / m
+        # oversample=2: channels run at 2·fs/M and the prototype passes a
+        # full channel width, so stations near channel EDGES keep their
+        # sidebands (the critical bank's inherent loss, see module
+        # docstring); costs a longer prototype + 2x channel-rate tail
+        self.pfb_plan = pfb.plan(fs, m, taps_per_branch=taps_per_branch,
+                                 os=oversample)
+        ch_rate = fs / self.pfb_plan.hop
         if ch_rate != int(ch_rate):
             raise ValueError(f"channel rate {ch_rate} not integral")
         self.n_bank = m
         self.ch_rate = int(ch_rate)
-        n_ch_block = frames_per_buffer // m
+        n_ch_block = frames_per_buffer // self.pfb_plan.hop
 
         tunes = np.atleast_1d(np.asarray(tunes, np.float64))
         centers = pfb.channel_freqs(self.pfb_plan)             # [M] Hz

@@ -437,6 +437,26 @@ class Receiver:
         """
         return self._step_many(state, params, iq, spectra=spectra)
 
+    @property
+    def batched_capable(self) -> bool:
+        """True when step_many runs the straight-line batched graph (and may
+        therefore consume TIME-FOLDED input planes)."""
+        batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
+                         DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
+                         DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
+        mode_ok = (self.cfg.mode in batched_modes
+                   or (is_wfm(self.cfg.mode) and self.batched_wfm
+                       and (not self.cfg.rds
+                            or self.rds_cfg.alg == "open"))
+                   or (self.cfg.mode == DemodMode.FMN
+                       and self.nfm_cfg.algorithm in ("conj", "derivative"))
+                   or (self.cfg.mode == DemodMode.SAM
+                       and self.sam_cfg.algorithm == "aimed"
+                       and self.blk % 128 == 0))
+        return bool(self.cfg.batched_many and self.use_pallas and mode_ok
+                    and not self.cfg.enable_anf
+                    and self.cfg.spectrum_bins <= self._front_sub)
+
     def _step_many_impl(self, state, params, iq, spectra=True):
         # Batched fast path: with the fused Pallas front end and time-major
         # plane input, the whole K-block dispatch runs as ONE straight-line
@@ -450,9 +470,6 @@ class Receiver:
         # (SAM/FMN stay on the scan path: their chunked-PLL demods are only
         # approximately block-length invariant, and the batched form changes
         # the chunk geometry.)
-        batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
-                         DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
-                         DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
         # WFM batches by default with the scan-free "open" pilot (wfm_demod
         # n_block mode), INCLUDING the RDS tap when its carrier recovery is
         # the scan-free squaring loop (rds_cfg.alg == "open"; bit/block
@@ -461,16 +478,7 @@ class Receiver:
         # scan serializes across the dispatch), so it is opt-in there (see
         # ReceiverConfig.batched_wfm).
         # NFM batches for the elementwise discriminators; the PLL variant is
-        # a per-sample scan.
-        mode_ok = (self.cfg.mode in batched_modes
-                   or (is_wfm(self.cfg.mode) and self.batched_wfm
-                       and (not self.cfg.rds
-                            or self.rds_cfg.alg == "open"))
-                   or (self.cfg.mode == DemodMode.FMN
-                       and self.nfm_cfg.algorithm in ("conj", "derivative"))
-                   or (self.cfg.mode == DemodMode.SAM
-                       and self.sam_cfg.algorithm == "aimed"
-                       and self.blk % 128 == 0))
+        # a per-sample scan.  (Eligibility logic lives in batched_capable.)
         n = self.cfg.frames_per_buffer
         # Normalize to the packed layout.  Preferred entry buffer: [K*N, 2C]
         # float32 — it matches the backend's default 2D layout exactly (zero
@@ -490,11 +498,24 @@ class Receiver:
             x_pk = jnp.concatenate(
                 [jnp.moveaxis(iq.real, 1, 2), jnp.moveaxis(iq.imag, 1, 2)],
                 axis=-1)
-        if (self.cfg.batched_many and self.use_pallas and mode_ok
-                and not self.cfg.enable_anf
-                and self.cfg.spectrum_bins <= self._front_sub):
+        # pre-FOLDED entry plane: [K*N/G, 2*G*C] (pallas_kernels.fold_plane
+        # layout — what feeders ship at small C so the device array is
+        # physically dense on the (8, 128) tiling).  Detected by lane width.
+        fold_in = 1
+        c2 = 2 * self.cfg.channels
+        if (x_pk.ndim == 2 and jnp.issubdtype(x_pk.dtype, jnp.floating)
+                and x_pk.shape[-1] != c2):
+            if x_pk.shape[-1] % c2:
+                raise ValueError(f"lane width {x_pk.shape[-1]} is neither "
+                                 f"2C={c2} nor a folded multiple of it")
+            fold_in = x_pk.shape[-1] // c2
+        if self.batched_capable:
             return self._step_many_batched(state, params, x_pk,
-                                           spectra=spectra)
+                                           spectra=spectra, fold_in=fold_in)
+        if fold_in > 1:
+            raise ValueError(
+                "time-folded input planes require the batched fast path "
+                "(use_pallas + batched_many + a batchable mode)")
         if x_pk.ndim == 2:  # [K*N, 2C] -> [K, N, 2C]
             x_pk = x_pk.reshape(-1, n, x_pk.shape[-1])
 
@@ -521,31 +542,41 @@ class Receiver:
         return avg, avg[-1]
 
     def _step_many_batched(self, state: ReceiverState, params: RxParams,
-                           x_pk: jax.Array, spectra: bool = True):
+                           x_pk: jax.Array, spectra: bool = True,
+                           fold_in: int = 1):
         """One straight-line graph for K blocks (see _step_many_impl).
 
         x_pk: [K*N, 2C] (preferred — matches the backend's default 2D layout
-        exactly, zero input copies) or [K, N, 2C] float32 packed planes."""
+        exactly, zero input copies), [K, N, 2C] float32 packed planes, or —
+        with fold_in > 1 — the pre-FOLDED [K*N/G, 2*G*C] plane."""
         cfg = self.cfg
         n = cfg.frames_per_buffer
         if x_pk.ndim == 3:
             x_pk = x_pk.reshape(-1, x_pk.shape[-1])
-        total, c2 = x_pk.shape
-        c = c2 // 2
-        k = total // n
+        c = cfg.channels
+        c2 = 2 * c
         blk = self.blk
         out: dict[str, Any] = {}
 
         # ---- front end: ONE pallas call over the concatenated stream.
-        # Small channel counts fold time groups into the idle lanes
-        # (virtual-channel time-fold): at C=16 a [*, 32]-lane kernel wastes
-        # 3/4 of every DMA/VPU/MXU op and costs the same per dispatch as
-        # C=64; fold=4 packs 4 time groups -> all 128 lanes live.  Group
-        # seams are closed-form (pallas_kernels._fold_prologue), so the
-        # folded stream is streaming-exact vs fold=1.
-        fold = 1
-        while c2 * (fold * 2) <= 128 and k % (fold * 2) == 0:
-            fold *= 2
+        # Small channel counts run TIME-FOLDED: a [*, 2C] plane at C<=32 is
+        # physically padded to 128 lanes by the TPU's (8, 128) tiling, so
+        # every pass over it (the front DMA above all) moves 128/2C times
+        # the logical bytes.  Feeders ship the folded [K*N/G, 2GC] plane
+        # directly (fold_in, zero-cost host-side); unfolded entries are
+        # relayouted here once.  Group seams are closed-form
+        # (pallas_kernels._fold_prologue) — streaming-exact vs unfolded.
+        if fold_in > 1:
+            fold = fold_in
+            k = fold * x_pk.shape[0] // n
+        else:
+            total = x_pk.shape[0]
+            k = total // n
+            fold = 1
+            while c2 * (fold * 2) <= 128 and k % (fold * 2) == 0:
+                fold *= 2
+            if fold > 1:
+                x_pk = self._pk.fold_plane(x_pk, fold)
         y_pk, dc, decim_state, new_phase, raw_pk = \
             self._pk.fused_front_packed(
                 x_pk, state.dc, state.mixer.phase,
@@ -621,7 +652,8 @@ class Receiver:
             # WFM skips FastFIR/AGC (like _wfm_path); wfm_demod runs the
             # whole K-block composite stream with per-block pilot-lock
             demod_state, wout = wfm_mod.wfm_demod(self.wfm_cfg, state.demod,
-                                                  x_cat, n_block=blk)
+                                                  x_cat, n_block=blk,
+                                                  fold=fold)
             out["pilot_locked"] = wout["pilot_locked"].T      # [K, C]
             ff_state, agc_state = state.fastfir, state.agc
             if cfg.rds:

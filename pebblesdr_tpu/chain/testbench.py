@@ -112,3 +112,84 @@ class TestBench:
             else:
                 arrays[name] = arr
         np.savez(path, **arrays)
+
+
+class TriggeredCapture:
+    """Oscilloscope-style triggered time capture over a tap stream.
+
+    The reference TestBench's time-domain display has trigger modes
+    (application/testbench.h:79-233: FREE_RUN / NORMAL / SINGLE with
+    positive/negative edge trigger on the displayed signal); this is the
+    scriptable equivalent: feed blocks (`feed`), and armed captures fire
+    when the signal crosses `level` with the configured slope, recording
+    `n_pre` samples before and `n_post` after the trigger point.
+
+    modes: "free" (every feed yields a capture window), "normal"
+    (re-arms after each trigger), "single" (fires once until rearm()).
+    Complex taps trigger on the real part (the reference plots I likewise).
+    """
+
+    def __init__(self, mode: str = "normal", level: float = 0.0,
+                 slope: str = "rising", n_pre: int = 256,
+                 n_post: int = 1024):
+        if mode not in ("free", "normal", "single"):
+            raise ValueError(f"trigger mode {mode!r}")
+        if slope not in ("rising", "falling"):
+            raise ValueError(f"trigger slope {slope!r}")
+        self.mode, self.level, self.slope = mode, float(level), slope
+        self.n_pre, self.n_post = int(n_pre), int(n_post)
+        self.captures: list[np.ndarray] = []
+        self._armed = True
+        self._hist = np.zeros(0, np.complex64)
+        self._pending: list[int] = []  # trigger offsets relative to buf END
+
+    def rearm(self) -> None:
+        self._armed = True
+
+    def _crossings(self, sig: np.ndarray, start: int) -> np.ndarray:
+        above = sig >= self.level
+        if self.slope == "rising":
+            hits = (~above[:-1]) & above[1:]
+        else:
+            hits = above[:-1] & (~above[1:])
+        t = np.nonzero(hits)[0] + 1
+        return t[t >= start]  # NEW samples only (history was scanned before)
+
+    def feed(self, block: np.ndarray) -> int:
+        """Feed one tap block ([n] or [C, n] — channel 0 is used).  Returns
+        the number of captures fired by this block."""
+        x = np.asarray(block)
+        if x.ndim == 2:
+            x = x[0]
+        buf = np.concatenate([self._hist, x])
+        new_start = len(self._hist)
+        fired = 0
+        if self.mode == "free":
+            if len(x) >= self.n_pre + self.n_post:
+                self.captures.append(x[:self.n_pre + self.n_post].copy())
+                fired = 1
+        else:
+            sig = buf.real if np.iscomplexobj(buf) else buf
+            # crossings carried over from the last feed (their post-window
+            # had not arrived yet): offsets are relative to the PREVIOUS
+            # buffer's end == this buffer's history end (new_start)
+            todo = [new_start + t for t in self._pending]
+            self._pending = []
+            if self._armed:
+                todo += list(self._crossings(sig, max(new_start, 1)))
+            for t in todo:
+                if t < self.n_pre:
+                    continue  # not enough pre-history at stream start
+                if t + self.n_post > len(buf):
+                    self._pending.append(t - len(buf))  # wait for more
+                    continue
+                if not self._armed and self.mode == "single":
+                    continue
+                self.captures.append(buf[t - self.n_pre:
+                                         t + self.n_post].copy())
+                fired += 1
+                if self.mode == "single":
+                    self._armed = False
+        keep = max(self.n_pre + self.n_post, 1)
+        self._hist = buf[-keep:]
+        return fired

@@ -67,38 +67,33 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
     return w
 
 
-def _front_kernel(sub_block, c, fold, d_rows, dc_alpha_c, nchunk, nsub_blk,
-                  raw_rows, factor, m_tile, interpret, *refs):
+def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
+                  raw_rows, factor, m_tile, interpret,
+                  x_ref, phase_ref, fhi_ref, flo_ref,
+                  fr1_ref, fi1_ref, fi2_ref, fr2_ref,
+                  wt_ref, dc_in_ref, tail_in_ref,
+                  y_ref, dc_out_ref, tail_out_ref, raw_ref):
     """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
-    c is the packed HALF-width (= fold * C_in channels).  The first `fold`
-    refs are the input planes — with fold > 1 (the virtual-channel time-fold
-    for small channel counts), each is the SAME [N, 2C_in] buffer viewed at a
-    different time-group row offset, and the kernel assembles the lane-packed
-    [sub, 2c] tile as [re(g0) | re(g1) | ... | im(g0) | im(g1) | ...] so all
-    128 lanes stay live at any C_in.  Group seams (per-group NCO phase, DC
-    seeds, post-mix tail halos) are closed-form inputs from _fold_prologue.
+    c is the packed HALF-width.  For the plain layout that is the channel
+    count; for the TIME-FOLDED layout (small channel counts) c = fold*C and
+    the lanes are [re(g0) re(g1) ... | im(g0) im(g1) ...] with lane group g
+    holding time segment g — physically DENSE on the TPU's (8, 128) tiling,
+    where a narrow [N, 2C] plane at C<=32 pads its minor dim to 128 lanes
+    and wastes the corresponding HBM bandwidth.  The kernel is layout-
+    oblivious: per-group seams arrive as per-lane phases / DC seeds / tail
+    halos (see fused_front_packed fold>1).
 
-    dc/tail refs: [1, 2c] / [d_rows, 2c].  phase/fhi/flo: [1, 2c] duplicated
-    halves.  fr1/fi1/fi2/fr2: [128, 2c] precomputed fine-phasor tables
-    ([fr|fr], [fi|fi], [fi|-fi], [fr|-fr]).
+    x_ref: [sub, 2c] packed.  dc/tail refs: [1, 2c] / [d_rows, 2c].
+    phase/fhi/flo: [1, 2c] duplicated halves.  fr1/fi1/fi2/fr2: [128, 2c]
+    precomputed fine-phasor tables ([fr|fr], [fi|fi], [fi|-fi], [fr|-fr]).
     wt_ref: [m_sub, d_rows + sub] composed-response Toeplitz transpose.
     raw_ref: [n_blocks, raw_rows, 2c] — each *logical block*'s trailing raw
     input rows (display-spectrum tails), written on its last sub-block.
     """
-    x_refs = refs[:fold]
-    (phase_ref, fhi_ref, flo_ref, fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-     wt_ref, dc_in_ref, tail_in_ref,
-     y_ref, dc_out_ref, tail_out_ref, raw_ref) = refs[fold:]
     s = pl.program_id(0)
     first = s == 0
-    if fold == 1:
-        xx = x_refs[0][:, :]
-    else:
-        c_in = c // fold
-        xs = [xr[:, :] for xr in x_refs]
-        xx = jnp.concatenate([x[:, :c_in] for x in xs]
-                             + [x[:, c_in:] for x in xs], axis=1)
+    xx = x_ref[:, :]
 
     @pl.when(s % nsub_blk == nsub_blk - 1)
     def _():
@@ -179,79 +174,113 @@ def _front_kernel(sub_block, c, fold, d_rows, dc_alpha_c, nchunk, nsub_blk,
                 ystk[:, ti * 2 * c:(ti + 1) * 2 * c])
 
 
-def _fold_prologue(x_pk, dc, phase0, f_hi, f_lo, tail, fold, seg,
-                   dc_alpha, d_rows):
-    """Closed-form group seams for the virtual-channel time-fold.
+def fold_plane(x_pk: jax.Array, fold: int) -> jax.Array:
+    """[N, 2C] plane -> [N/fold, 2*fold*C] time-folded plane (device-side).
 
-    With the input split into `fold` contiguous time groups (group g = rows
-    [g*seg, (g+1)*seg)), each packed into its own lane slot, group g>0 needs
-    (a) the DC-blocker estimate entering its first chunk — the chunked-EWMA
-    closed form over ALL previous chunk means (the sharded_dc_chunks
-    formulation, parallel/time_shard.py) — and (b) the last d_rows post-mix
-    samples of group g-1 as its composed-FIR history, reconstructed here by
-    DC-removing (with the exact per-chunk estimates the unfolded kernel
-    would use) and NCO-mixing those boundary rows.  Group 0 consumes the
-    carried state unchanged, so folded == unfolded streaming-exactly (up to
-    f32 association).
-
-    Returns (dc_in [1, 2*fold*C], tail_in [d_rows, 2*fold*C]) in the
-    group-major-in-halves lane layout.
-    """
+    Lane layout: [re(g0) re(g1) ... | im(g0) im(g1) ...]; lane group g holds
+    contiguous time segment g.  On TPU a [N, 2C] f32 plane at C<=32 is
+    physically tiled to 128 lanes — reading it costs the bandwidth of the
+    padded width — so folding is the difference between touching 4-8x the
+    logical bytes and touching them once.  Feeders should BUILD the folded
+    layout host-side (fold_plane_np) and skip this relayout."""
     n, c2 = x_pk.shape
     c = c2 // 2
-    ncht = n // DC_CHUNK
-    a_c = float(dc_alpha) ** DC_CHUNK
-    ncg = seg // DC_CHUNK
-    means = jnp.mean(x_pk.reshape(ncht, DC_CHUNK, c2), axis=1)  # [ncht, 2C]
+    xg = x_pk.reshape(fold, n // fold, c2)
+    return jnp.concatenate([xg[g, :, :c] for g in range(fold)]
+                           + [xg[g, :, c:] for g in range(fold)], axis=1)
 
-    # --- DC seed entering each group (closed-form EWMA over prior chunks)
-    w = np.zeros((fold, ncht), np.float64)
+
+def fold_plane_np(plane: np.ndarray, fold: int) -> np.ndarray:
+    """Host-side twin of fold_plane (numpy; what feeders/benches ship)."""
+    n, c2 = plane.shape
+    c = c2 // 2
+    xg = plane.reshape(fold, n // fold, c2)
+    return np.concatenate([xg[g, :, :c] for g in range(fold)]
+                          + [xg[g, :, c:] for g in range(fold)], axis=1)
+
+
+def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
+                   dc_alpha, d_rows):
+    """Closed-form group seams for the time-folded input layout.
+
+    x_f: [seg, 2*fold*C] folded plane (lane group g = time segment g).
+    Group g>0 needs (a) the DC-blocker estimate entering its first chunk —
+    the chunked-EWMA closed form over ALL previous groups' chunk means (the
+    sharded_dc_chunks formulation, parallel/time_shard.py) — and (b) the
+    last d_rows post-mix samples of group g-1 as its composed-FIR history,
+    reconstructed by DC-removing (with the exact per-chunk estimates the
+    unfolded kernel would use) and NCO-mixing those boundary rows.  Group 0
+    consumes the carried state unchanged, so folded == unfolded
+    streaming-exactly (up to f32 association).
+
+    Returns (dc_in [1, 2*fold*C], tail_in [d_rows, 2*fold*C]).
+    """
+    seg, c2e = x_f.shape
+    gc = c2e // 2
+    c = gc // fold
+    ncg = seg // DC_CHUNK
+    a_c = float(dc_alpha) ** DC_CHUNK
+    means = jnp.mean(x_f.reshape(ncg, DC_CHUNK, c2e), axis=1)   # [ncg, 2GC]
+    m_re = means[:, :gc].reshape(ncg, fold, c)                  # [j, g', c]
+    m_im = means[:, gc:].reshape(ncg, fold, c)
+
+    # --- DC seed entering each group: weighted sum over ALL prior chunks
+    w = np.zeros((fold, fold, ncg), np.float64)                 # [g, g', j]
     seedc = np.zeros((fold,), np.float64)
     for g in range(fold):
-        j = g * ncg
-        seedc[g] = a_c ** j
-        if j:
-            w[g, :j] = (1.0 - a_c) * a_c ** (j - 1 - np.arange(j))
+        seedc[g] = a_c ** (g * ncg)
+        for gp in range(g):
+            expo = (g - 1 - gp) * ncg + (ncg - 1 - np.arange(ncg))
+            w[g, gp, :] = (1.0 - a_c) * a_c ** expo
     with jax.ensure_compile_time_eval():
         w_d = jnp.asarray(w.astype(np.float32))
         seedc_d = jnp.asarray(seedc.astype(np.float32))
-    seeds = w_d @ means + seedc_d[:, None] * dc[0][None, :]     # [G, 2C]
-    dc_in = jnp.concatenate([seeds[:, :c].reshape(1, fold * c),
-                             seeds[:, c:].reshape(1, fold * c)], axis=1)
+    dc_re, dc_im = dc[0, :c], dc[0, c:]
+    seeds_re = (jnp.einsum("gpj,jpc->gc", w_d, m_re)
+                + seedc_d[:, None] * dc_re[None, :])            # [G, c]
+    seeds_im = (jnp.einsum("gpj,jpc->gc", w_d, m_im)
+                + seedc_d[:, None] * dc_im[None, :])
+    dc_in = jnp.concatenate([seeds_re.reshape(1, gc),
+                             seeds_im.reshape(1, gc)], axis=1)
 
-    # --- post-mix halo tails for groups 1..G-1
+    # --- post-mix halo tails: group g's history = the DC-removed + mixed
+    #     last d_rows rows of group g-1 (all in the slice below)
+    r0 = seg - d_rows
+    rows = jax.lax.slice(x_f, (r0, 0), (seg, c2e))              # [d_rows, 2GC]
+    jlo = r0 // DC_CHUNK
+    nj = ncg - jlo
+    wj = np.zeros((nj, ncg), np.float64)
+    for idx, j in enumerate(range(jlo, ncg)):
+        wj[idx, :j + 1] = (1.0 - a_c) * a_c ** (j - np.arange(j + 1))
+    with jax.ensure_compile_time_eval():
+        wj_d = jnp.asarray(wj.astype(np.float32))
+        sj_d = jnp.asarray(
+            (a_c ** (1.0 + np.arange(jlo, ncg))).astype(np.float32))
+    sel = jnp.asarray((np.arange(r0, seg) // DC_CHUNK) - jlo)   # [d_rows]
     fhi_r = jnp.asarray(f_hi, jnp.float32)[None, :]
     flo_r = jnp.asarray(f_lo, jnp.float32)[None, :]
-    tails = [tail]                       # group 0: the carried [d_rows, 2C]
+    tails_re = [tail[:, :c]]           # group 0: the carried [d_rows, 2C]
+    tails_im = [tail[:, c:]]
     for g in range(1, fold):
-        r0 = g * seg - d_rows
-        rows = jax.lax.slice(x_pk, (r0, 0), (g * seg, c2))
-        jlo = r0 // DC_CHUNK
-        jhi = (g * seg - 1) // DC_CHUNK
-        nj = jhi - jlo + 1
-        wj = np.zeros((nj, ncht), np.float64)
-        for idx, j in enumerate(range(jlo, jhi + 1)):
-            wj[idx, :j + 1] = (1.0 - a_c) * a_c ** (j - np.arange(j + 1))
-        with jax.ensure_compile_time_eval():
-            wj_d = jnp.asarray(wj.astype(np.float32))
-            sj_d = jnp.asarray(
-                (a_c ** (1.0 + np.arange(jlo, jhi + 1))).astype(np.float32))
-        m_j = wj_d @ means + sj_d[:, None] * dc[0][None, :]     # [nj, 2C]
-        sel = (np.arange(r0, g * seg) // DC_CHUNK) - jlo        # static
-        z = rows - m_j[jnp.asarray(sel)]
+        gp = g - 1
+        # per-chunk DC estimates of group g-1's trailing chunks
+        m_j = (jnp.einsum("ij,jc->ic", wj_d, m_re[:, gp, :])
+               + sj_d[:, None] * seeds_re[gp][None, :])         # [nj, c]
+        m_j_im = (jnp.einsum("ij,jc->ic", wj_d, m_im[:, gp, :])
+                  + sj_d[:, None] * seeds_im[gp][None, :])
+        zr = rows[:, gp * c:(gp + 1) * c] - m_j[sel]
+        zi = rows[:, gc + gp * c:gc + (gp + 1) * c] - m_j_im[sel]
         # NCO mix at the global sample index (same split-precision ramp
         # arithmetic as the kernel's coarse/fine factorization)
-        k = jnp.asarray(np.arange(r0, g * seg, dtype=np.float32))[:, None]
+        k = jnp.asarray(np.arange(gp * seg + r0, gp * seg + seg,
+                                  dtype=np.float32))[:, None]
         ph = jnp.mod(phase0[None, :] + jnp.mod(k * fhi_r, 1.0)
                      + k * flo_r, 1.0)
         cosv = jnp.cos(TWO_PI * ph)
         sinv = jnp.sin(TWO_PI * ph)
-        zr, zi = z[:, :c], z[:, c:]
-        yr = zr * cosv + zi * sinv
-        yi = zi * cosv - zr * sinv
-        tails.append(jnp.concatenate([yr, yi], axis=1))
-    tail_in = jnp.concatenate([t[:, :c] for t in tails]
-                              + [t[:, c:] for t in tails], axis=1)
+        tails_re.append(zr * cosv + zi * sinv)
+        tails_im.append(zi * cosv - zr * sinv)
+    tail_in = jnp.concatenate(tails_re + tails_im, axis=1)
     return dc_in, tail_in
 
 
@@ -272,30 +301,30 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     wt: [sub/factor, d_rows + sub_block] from build_composed_w().T.
 
     fold > 1 enables the virtual-channel TIME-FOLD for small channel counts:
-    the stream splits into `fold` contiguous time groups, each packed into
-    its own lane slot, so the kernel's tiles are [*, 2*fold*C] wide — at
-    C=16, fold=4 lifts lane occupancy from 32/128 to 128/128 and the kernel
-    stops costing the same per dispatch regardless of C.  Group seams are
-    closed-form (_fold_prologue); results match fold=1 streaming-exactly (up
-    to f32 association).  Requires N % fold == 0 and (N/fold) % n_block == 0
-    (whole logical blocks per group).
+    x_pk must then be the FOLDED plane [N/fold, 2*fold*C] (fold_plane /
+    fold_plane_np layout: lane group g = contiguous time segment g).  On the
+    TPU's (8, 128) tiling a narrow [N, 2C] plane at C<=32 physically pads
+    its minor dim to 128 lanes, so every pass over it moves 128/2C times the
+    logical bytes; the folded plane is dense, and the kernel's tiles are
+    [*, 2*fold*C] wide with all lanes live.  Group seams are closed-form
+    (_fold_prologue); results match fold=1 streaming-exactly (up to f32
+    association).  Requires (N/fold) % n_block == 0 (whole logical blocks
+    per group).
 
     Returns (y_pk, dc', tail', phase' [C], raw [K, raw_rows, 2C]) with
     K = N/n_block; dc'/tail'/raw are always in the UNFOLDED [*, 2C] layout.
     y_pk is [N/factor, 2C] for fold=1, else [N/(fold*factor), 2*fold*C] in
     the folded layout — decode with unpack_to_complex(y_pk, fold=fold).
     """
-    n, c2 = x_pk.shape
-    c = c2 // 2
-    assert n % sub_block == 0 and sub_block % DC_CHUNK == 0
+    seg, c2e = x_pk.shape
+    ce = c2e // 2                      # packed half-width seen by the kernel
+    c = ce // fold                     # logical channel count
+    c2 = 2 * c
+    n = seg * fold                     # logical sample count
+    assert seg % sub_block == 0 and sub_block % DC_CHUNK == 0
     if not n_block:
-        n_block = n
-    assert n % n_block == 0 and n_block % sub_block == 0
-    assert n % fold == 0
-    seg = n // fold
-    assert seg % n_block == 0 and seg % sub_block == 0
-    ce = fold * c                      # packed half-width seen by the kernel
-    c2e = 2 * ce
+        n_block = seg
+    assert seg % n_block == 0 and n_block % sub_block == 0
     k_blocks_g = seg // n_block        # logical blocks per group
     nsub_blk = n_block // sub_block
     nsub = seg // sub_block            # grid length (per-group sub-blocks)
@@ -316,7 +345,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         fhi_half = jnp.tile(jnp.asarray(f_hi, jnp.float32), fold)
         flo_half = jnp.tile(jnp.asarray(f_lo, jnp.float32), fold)
         dc_in, tail_in = _fold_prologue(x_pk, dc, phase0, f_hi, f_lo, tail,
-                                        fold, seg, dc_alpha, d_rows)
+                                        fold, dc_alpha, d_rows)
     else:
         ph_half = jnp.asarray(phase0, jnp.float32)
         fhi_half = jnp.asarray(f_hi, jnp.float32)
@@ -352,25 +381,22 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     else:
         wt_rows, wt_cols = m_sub, d_rows + sub_block
 
-    kern = functools.partial(_front_kernel, sub_block, ce, fold, d_rows, a_c,
+    kern = functools.partial(_front_kernel, sub_block, ce, d_rows, a_c,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
                              interpret)
-    nsub_g = nsub
-    in_specs = (
-        [pl.BlockSpec((sub_block, c2), lambda s, _g0=g * nsub_g: (_g0 + s, 0))
-         for g in range(fold)]
-        + [
-            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((128, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
-            pl.BlockSpec((1, c2e), lambda s: (0, 0)),
-            pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
-        ])
+    in_specs = [
+        pl.BlockSpec((sub_block, c2e), lambda s: (s, 0)),
+        pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((128, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
+        pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+        pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
+    ]
     out_shapes = [
         jax.ShapeDtypeStruct((nsub * m_sub, c2e), jnp.float32),
         jax.ShapeDtypeStruct((1, c2e), jnp.float32),
@@ -383,10 +409,15 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
         pl.BlockSpec((1, raw_rows, c2e), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
     ]
+    # raise the Mosaic scoped-VMEM limit above the 16 MB default: v5e has
+    # 128 MB VMEM, and larger sub_blocks (fewer grid steps — the dominant
+    # per-step fixed cost at ~3 us/step) need headroom for the pipeline's
+    # double buffers + straight-line temporaries
     y, dc2, tail2, raw = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
-    )(*([x_pk] * fold), ph2[None, :], fhi2[None, :], flo2[None, :],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
       fr, fi, fi2_t, fr2_t, wt, dc_in, tail_in)
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
     if fold > 1:
@@ -482,7 +513,13 @@ def wfm_tail_packed(raw_t: jax.Array, p0_t: jax.Array, wf_t: jax.Array,
                     interpret: bool = False):
     """Fused WFM stereo demux + decimating audio LP, time-major.
 
-    raw_t: [N, C] f32 composite FM stream (time-major).
+    raw_t: [N, C] f32 composite FM stream (time-major).  At small channel
+    counts callers pass the TIME-FOLDED layout instead — [N/G, G*C] with
+    lane group g = time segment g (dense on the TPU (8, 128) tiling) — plus
+    correspondingly folded p0/wf and a [d_rows, 2*G*C] tail whose per-group
+    histories the caller seeds (wfm.wfm_demod builds the group halos
+    closed-form).  The kernel is layout-oblivious: c below is simply the
+    lane half-width.
     p0_t/wf_t: [N/l_chunk, C] pilot chunk params (time-major).
     tail: [d_rows, 2C] packed [mono | lmr] history; wt from
     build_composed_w(audio_taps, factor, sub_block, pad).T.
@@ -531,5 +568,6 @@ def wfm_tail_packed(raw_t: jax.Array, p0_t: jax.Array, wf_t: jax.Array,
     y, tail2 = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
     )(raw_t, p0_t, wf_t, wt, tail)
     return y, tail2

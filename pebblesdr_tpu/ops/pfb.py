@@ -46,29 +46,51 @@ from scipy import signal as sps
 
 @dataclasses.dataclass(frozen=True)
 class PfbPlan:
-    n_chan: int          # M: channels == decimation factor
+    n_chan: int          # M: channels
     taps_per_branch: int  # T
     h: np.ndarray        # [T*M] float32 prototype (linear phase)
     fs_in: float
-    fs_out: float        # fs_in / M
+    fs_out: float        # fs_in / hop
+    os: int = 1          # oversampling: frames advance by M/os samples
+
+    @property
+    def hop(self) -> int:
+        return self.n_chan // self.os
 
     @property
     def state_len(self) -> int:
-        return self.n_chan * self.taps_per_branch - self.n_chan
+        return self.n_chan * self.taps_per_branch - self.hop
 
 
 def plan(fs_in: float, n_chan: int, taps_per_branch: int = 12,
-         beta: float = 9.0) -> PfbPlan:
-    """Design a critically-sampled M-channel plan.  The Kaiser prototype cuts
-    at the channel Nyquist fs_in/(2M); taps_per_branch trades adjacent-channel
-    rejection (12 taps ≈ 80 dB at beta=9) against state length."""
+         beta: float = 9.0, os: int = 1) -> PfbPlan:
+    """Design an M-channel plan.
+
+    os=1 (critical sampling): the Kaiser prototype cuts at the channel
+    Nyquist fs_in/(2M); taps_per_branch trades adjacent-channel rejection
+    (12 taps ≈ 80 dB at beta=9) against state length.  Stations near
+    channel EDGES lose sideband energy (alias-folded at decimation).
+
+    os=2 (2x oversampled): frames advance by M/2 samples, so each channel
+    runs at 2·fs/M and the alias-free passband doubles — the prototype's
+    −6 dB point moves out to fs_in/M, keeping an edge station's full
+    bandwidth recoverable (the tail Receiver's FastFIR removes the
+    neighbor's energy).  The sharper normalized transition needs a longer
+    prototype: taps_per_branch defaults up to 32.
+    """
     m = int(n_chan)
-    t = int(taps_per_branch)
+    os = int(os)
+    if os not in (1, 2):
+        raise ValueError(f"os={os}: only 1 (critical) or 2 supported")
+    if m % os:
+        raise ValueError(f"n_chan {m} must divide by os {os}")
+    t = int(taps_per_branch) if os == 1 else max(int(taps_per_branch), 32)
     n = m * t
-    h = sps.firwin(n, 1.0 / m, window=("kaiser", beta), scale=True)
+    cutoff = (1.0 if os == 1 else 2.0) / m  # fraction of input Nyquist
+    h = sps.firwin(n, cutoff, window=("kaiser", beta), scale=True)
     return PfbPlan(n_chan=m, taps_per_branch=t,
                    h=np.asarray(h, np.float32), fs_in=float(fs_in),
-                   fs_out=float(fs_in) / m)
+                   fs_out=float(fs_in) / (m // os), os=os)
 
 
 def init_state(p: PfbPlan, channels_in: int = 1) -> jax.Array:
@@ -88,26 +110,30 @@ def channel_freqs(p: PfbPlan) -> np.ndarray:
 def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
     """One block through the filterbank.
 
-    x: [R, N] complex64 input rows (N % M == 0).
-    Returns (state', y [R, M, N/M] complex64): row r's M uniform channels at
-    fs_out, centered at ``channel_freqs(p)``.
+    x: [R, N] complex64 input rows (N % hop == 0).
+    Returns (state', y [R, M, N/hop] complex64): row r's M uniform channels
+    at fs_out, centered at ``channel_freqs(p)``.
     """
     r, n = x.shape
     m, t = p.n_chan, p.taps_per_branch
-    if n % m:
-        raise ValueError(f"block length {n} not divisible by n_chan {m}")
-    k_out = n // m
-    ext = jnp.concatenate([state, x], axis=1)         # [R, (T-1)M + N]
+    hop = p.hop
+    if n % hop:
+        raise ValueError(f"block length {n} not divisible by hop {hop}")
+    k_out = n // hop
+    u = (m * t) // hop                                # hop-rows per window
+    ext = jnp.concatenate([state, x], axis=1)         # [R, TM - hop + N]
     new_state = ext[:, -p.state_len:]
 
-    # Frame k consumes ext[kM : kM + TM); within the window, position
+    # Frame k consumes ext[k·hop : k·hop + TM); within the window, position
     # w = t'M + p' carries prototype index n = TM − 1 − w (filter reversal),
     # so the tap table is the fully-reversed prototype reshaped [T, M].
     # Build the windows with ONE strided reshape (no per-sample gather):
-    # ext2[a, p'] = ext[aM + p'], frames[k, t'] = ext2[k + t'].
-    ext2 = ext.reshape(r, (k_out + t - 1), m)
-    idx_k = jnp.arange(k_out)[:, None] + jnp.arange(t)[None, :]  # [K, T]
-    frames = ext2[:, idx_k, :]                        # [R, K, T, M]
+    # ext2[a, q] = ext[a·hop + q], frames[k, u'] = ext2[k + u'] — the U
+    # consecutive hop-rows concatenate to the TM contiguous window samples
+    # regardless of hop, so the [T, M] reshape below is exact for os=2 too.
+    ext2 = ext.reshape(r, (k_out + u - 1), hop)
+    idx_k = jnp.arange(k_out)[:, None] + jnp.arange(u)[None, :]  # [K, U]
+    frames = ext2[:, idx_k, :].reshape(r, k_out, t, m)
     hb = p.h.reshape(t, m)[::-1, ::-1].copy()         # hb[t', p'] = h[n]
     v = jnp.einsum("rktm,tm->rkm", frames, jnp.asarray(hb, jnp.float32))
     # y_m[k] = sum_{p'} v_{p'}[k] e^{+2πi·m·(M−1−p')/M}
@@ -126,4 +152,15 @@ def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
                        ).astype(np.complex64)
         yf = jnp.fft.fft(v.astype(jnp.complex64), axis=-1)  # [R, K, M]
         y = jnp.moveaxis(yf * jnp.asarray(phase)[None, None, :], 1, 2)
+    if p.os == 2:
+        # oversampled frames end at s_k = (k+1)·hop − 1 (the streaming grid:
+        # the k-th output consumes hop fresh samples, so block outputs end
+        # exactly at the block edge), giving the channel-m output a
+        # per-frame phase e^{+2πi·m·(k+1)·hop/M} = (−1)^{m·(k+1)} on top of
+        # the critical path's constant; undo it so every channel is a
+        # frequency-correct baseband stream at 2·fs/M
+        mm = np.arange(m)[:, None]
+        kk = np.arange(k_out)[None, :]
+        tw = np.where((mm * (kk + 1)) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        y = y * jnp.asarray(tw)[None, :, :]
     return new_state, y

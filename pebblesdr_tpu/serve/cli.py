@@ -143,6 +143,88 @@ def _run_assign(args, source) -> int:
     return 0
 
 
+def _run_stations(args, source) -> int:
+    """Dense-bank monitoring: ONE wideband capture -> many stations through
+    the shared polyphase filterbank (chain.pfb_bank).  --stations takes a
+    comma list of Hz offsets from capture center, or 'db' to pick every
+    shipped-station-DB entry inside the capture window around --center."""
+    import jax.numpy as jnp
+
+    from pebblesdr_tpu.chain.pfb_bank import PfbBankReceiver
+
+    fs = source.info.sample_rate
+    if args.stations.strip().lower() == "db":
+        from pebblesdr_tpu.utils import settings as settings_mod
+
+        center = args.center or source.info.center_freq_hz
+        near = settings_mod.stations_near(settings_mod.load_stations(),
+                                          center, fs * 0.9)
+        if not near:
+            print(f"no DB stations within {fs * 0.9 / 1e6:.3f} MHz of "
+                  f"{center / 1e6:.3f} MHz", file=sys.stderr)
+            return 1
+        tunes = [p.freq_hz - center for p in near]
+        names = [p.name for p in near]
+    else:
+        tunes = [float(v) for v in args.stations.split(",")]
+        names = [f"st{i}" for i in range(len(tunes))]
+    mode = modes_mod.from_string(args.mode or "AM")
+    bank = PfbBankReceiver(fs, args.frames, tunes, mode=mode,
+                           n_bank=args.pfb_bank or None,
+                           oversample=args.pfb_oversample,
+                           agc_mode=args.agc)
+    state = bank.init_state()
+    n_blocks = max(1, int(args.seconds * fs / args.frames))
+    audio = []
+    perform = Perform()
+    last = None
+    t_start = time.perf_counter()
+    for _ in range(n_blocks):
+        blk = source.read_block(args.frames)
+        if blk is None:
+            break
+        plane = np.stack([blk.real, blk.imag], axis=1).astype(np.float32)
+        with perform.measure("step"):
+            state, out = bank.step(state, jnp.asarray(plane))
+            audio.append(np.asarray(out["audio"]))
+        last = out
+    wall = time.perf_counter() - t_start
+    if last is None:
+        print("no IQ blocks read from the source", file=sys.stderr)
+        return 1
+    aud = np.concatenate(audio, axis=-1)
+    snr = np.asarray(last["smeter"]["snr_db"])
+    rows = [{
+        "station": names[i], "tune_hz": float(tunes[i]),
+        "channel": int(bank.chan_idx[i]),
+        "residual_hz": round(float(bank.residuals[i]), 1),
+        "snr_db": round(float(snr[i]), 1),
+        "audio_rms": round(float(np.sqrt(np.mean(aud[i] ** 2))), 4),
+    } for i in range(len(tunes))]
+    if args.audio_out:
+        from pebblesdr_tpu.io import wav as wav_mod
+
+        stem, dot, ext = args.audio_out.rpartition(".")
+        for i in range(min(len(tunes), 16)):  # cap the file spray
+            path = f"{stem or ext}.st{i}.{ext if stem else 'wav'}"
+            wav_mod.write_audio_wav(path, aud[i], bank.rx.cfg.audio_rate)
+    metrics = {
+        "stations": len(tunes),
+        "bank": bank.n_bank,
+        "oversample": bank.pfb_plan.os,
+        "channel_rate": bank.ch_rate,
+        "blocks": len(audio),
+        "wall_s": round(wall, 3),
+        "msps": round(len(audio) * args.frames * len(tunes) / wall / 1e6, 2),
+        "realtime_factor": round(len(audio) * args.frames / fs / wall, 2),
+        "rows": rows,
+        "step_ms": perform.stats("step"),
+    }
+    print(json.dumps(metrics) if args.json else
+          "\n".join(f"{k:>16}: {v}" for k, v in metrics.items()))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -161,6 +243,18 @@ def main(argv=None):
                    help="mixed-mode channels 'MODE@HZ,MODE@HZ,...' — routes "
                         "each channel to its mode-expert chain (EP); "
                         "overrides --mode/--tune/--channels")
+    p.add_argument("--stations", default=None,
+                   help="dense-bank monitoring (PFB): comma list of Hz "
+                        "offsets, or 'db' for every station-DB entry in the "
+                        "capture window; one shared --mode, sublinear front "
+                        "cost per station")
+    p.add_argument("--pfb-bank", type=int, default=0,
+                   help="filterbank size M (0 = auto from sample rate)")
+    p.add_argument("--pfb-oversample", type=int, default=1, choices=[1, 2],
+                   help="2 = 2x oversampled bank: edge stations keep their "
+                        "sidebands (critical banks alias them)")
+    p.add_argument("--center", type=float, default=0.0,
+                   help="capture center frequency Hz (for --stations db)")
     p.add_argument("--mode", default="AM",
                    help="demod mode (AM/SAM/FMN/FM-Mono/FM-Stereo/LSB/USB/CWL/CWU)")
     p.add_argument("--tune", type=float, default=0.0,
@@ -190,6 +284,11 @@ def main(argv=None):
     p.add_argument("--display-zoomed", action="store_true",
                    help="display the demod-rate (HiRes) spectrum instead of "
                         "the device-rate one")
+    p.add_argument("--bandscope", action="store_true",
+                   help="render the device's wideband bandscope stream as a "
+                        "second waterfall (HPSDR EP4; the reference's "
+                        "processBandscopeData -> SpectrumWidget path, "
+                        "receiver.cpp:1010-1025)")
     p.add_argument("--decode", choices=["cw", "rtty"], default=None,
                    help="run a digital modem on the channel and print text")
     p.add_argument("--rds", action="store_true",
@@ -204,12 +303,21 @@ def main(argv=None):
                    help="restore chain state from a .npz before starting")
     args = p.parse_args(argv)
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # honor JAX_PLATFORMS even when a backend plugin re-prepends itself into
+    # the live config at import (the axon TPU plugin does)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     source = make_source(args)
     if args.assign:
         return _run_assign(args, source)
+    if args.stations:
+        return _run_stations(args, source)
     fs = source.info.sample_rate
     mode = modes_mod.from_string(args.mode or source.info.demod_mode or "AM")
 
@@ -246,6 +354,17 @@ def main(argv=None):
 
         display = TerminalDisplay(mode=args.display,
                                   color=sys.stdout.isatty())
+    bs_display = None
+    bs_frames = 0
+    if args.bandscope:
+        if not hasattr(source, "read_bandscope"):
+            print("--bandscope: source has no bandscope stream (HPSDR EP4 "
+                  "only); ignoring", file=sys.stderr)
+        else:
+            from pebblesdr_tpu.serve.display import TerminalDisplay
+
+            bs_display = TerminalDisplay(mode="waterfall",
+                                         color=sys.stdout.isatty())
     rds_block = rds_groups = None
     if args.rds:
         from pebblesdr_tpu.demod import rds as rds_mod
@@ -333,6 +452,17 @@ def main(argv=None):
                 span = rx.demod_rate if args.display_zoomed else fs
                 print(display.frame(spec, sm, center_hz=tune, span_hz=span),
                       flush=True)
+        if bs_display is not None:
+            # the reference routes the second wideband spectrum straight to
+            # the display (signalspectrum.cpp:115-122 setSpectrum); here the
+            # raw EP4 samples become one windowed dB row per update
+            from pebblesdr_tpu.io.hpsdr import bandscope_spectrum
+
+            bs = source.read_bandscope()
+            if len(bs) >= 2048:
+                bs_db = bandscope_spectrum(bs, bins=2048)
+                bs_frames += 1
+                print("BS " + bs_display.frame(bs_db), flush=True)
         if modem is not None:
             # re-frame the tap stream to whole modem frames (no sample drops)
             taps_k = np.asarray(out["taps"]["post_bp"])[:k_real]  # [K, C, n]
@@ -379,6 +509,8 @@ def main(argv=None):
     }
     if supervisor is not None:
         metrics["health"] = supervisor.report()
+    if bs_display is not None:
+        metrics["bandscope_frames"] = bs_frames
     if modem is not None:
         print()  # newline after streamed decode text
         metrics["decoded_text"] = decoder.text

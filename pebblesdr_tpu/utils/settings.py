@@ -96,3 +96,58 @@ def save_presets_csv(path: str, presets: list[Preset]) -> None:
         f.write("# name,freq_hz,mode,notes,lo_hz,hi_hz\n")
         for p in presets:
             f.write(f"{p.name},{p.freq_hz},{p.mode},{p.notes},{p.lo_hz},{p.hi_hz}\n")
+
+
+def data_path(name: str) -> str:
+    """Path of a shipped data fixture (bands.csv / stations.csv / memory.csv
+    — the reference's presets data files, presets.h:43-133)."""
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "data", name)
+
+
+def load_stations() -> list[Preset]:
+    """The shipped shortwave/utility station DB (eibi.csv capability)."""
+    return load_presets_csv(data_path("stations.csv"))
+
+
+def load_memory() -> list[Preset]:
+    return load_presets_csv(data_path("memory.csv"))
+
+
+def import_eibi_csv(path: str, langs: tuple[str, ...] = ()) -> list[Preset]:
+    """Import a real EiBi shortwave schedule (http://eibispace.de sk*.csv):
+    semicolon-separated ``kHz;Time(UTC);Days;ITU;Station;Lng;Target;Remarks``
+    — the reference ships a 555 kB snapshot (application/eibi.csv) and parses
+    it in Presets (presets.cpp); here the import converts to Preset rows so
+    the full DB drops into the same station-lookup path as the shipped
+    fixture.  `langs` optionally filters by the Lng column."""
+    out: list[Preset] = []
+    with open(path, encoding="latin-1") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(";")
+            if len(parts) < 5:
+                continue
+            try:
+                khz = float(parts[0])
+            except ValueError:
+                continue  # header or malformed row
+            lng = parts[5].strip() if len(parts) > 5 else ""
+            if langs and lng not in langs:
+                continue
+            time_utc = parts[1].strip()
+            itu = parts[3].strip()
+            station = parts[4].strip()
+            target = parts[6].strip() if len(parts) > 6 else ""
+            notes = " ".join(x for x in (time_utc, itu, target) if x)
+            out.append(Preset(name=station, freq_hz=khz * 1000.0,
+                              mode="AM", notes=notes))
+    return out
+
+
+def stations_near(presets: list[Preset], center_hz: float, span_hz: float
+                  ) -> list[Preset]:
+    """Stations inside a capture window (what a band-scanning UI or the
+    --stations CLI uses to seed a dense channel bank)."""
+    lo, hi = center_hz - span_hz / 2.0, center_hz + span_hz / 2.0
+    return sorted((p for p in presets if lo <= p.freq_hz <= hi),
+                  key=lambda p: p.freq_hz)

@@ -174,6 +174,16 @@ def test_batched_time_fold_matches_sequential(mode):
     # rounding alone wiggles ~0.4 dB; an ordering bug shows up as ~20 dB
     spec_tol = 0.1 if mode == DemodMode.AM else 1.0
     assert np.abs(spec_seq - np.asarray(ob["spectrum"])).max() < spec_tol
+
+    # pre-FOLDED entry plane (what feeders ship at small C): same result
+    from pebblesdr_tpu.ops import pallas_kernels as pk
+    x_folded = pk.fold_plane_np(x_pk, 4)
+    st3 = rx.init_state()
+    st3, of = jax.jit(functools.partial(rx._step_many_impl, spectra=True))(
+        st3, params, jnp.asarray(x_folded))
+    audio_f = np.moveaxis(np.asarray(of["audio"]), 0, -2).reshape(
+        audio_seq.shape)
+    assert np.abs(audio_f - audio_b).max() / scale < 1e-5
     for name in ("dc", "decim", "mixer"):
         for a, b in zip(jax.tree_util.tree_leaves(getattr(st, name)),
                         jax.tree_util.tree_leaves(getattr(st2, name))):

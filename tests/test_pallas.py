@@ -143,8 +143,9 @@ class TestFusedFrontPlanes:
 
         outs = {}
         for fd in (1, fold):
+            x_in = jnp.asarray(pk.fold_plane_np(x, fd) if fd > 1 else x)
             y, dc2, tl2, ph2, raw = pk.fused_front_packed(
-                jnp.asarray(x), dc0, ph0, hi, lo, tl0, wt, f, d_rows,
+                x_in, dc0, ph0, hi, lo, tl0, wt, f, d_rows,
                 0.9999, sub_block=sub, n_block=nblk, raw_rows=1024,
                 fold=fd, interpret=True)
             outs[fd] = (np.asarray(pk.unpack_to_complex(y, fold=fd)),

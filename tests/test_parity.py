@@ -91,17 +91,42 @@ class TestWholeChainParity:
         fs = 2_048_000
         secs = 1.0
         t = np.arange(int(fs * secs)) / fs
-        # stereo composite: L-only 1 kHz (mono + L-R both carry it) + pilot
+        # stereo composite: L-only 1 kHz (mono + L-R both carry it); the
+        # 38 kHz subcarrier is PHASE-COHERENT with the sin pilot (sin(2θ) —
+        # the broadcast convention; a quadrature cos subcarrier is not a
+        # valid stereo signal and demuxes to zero in any correct receiver)
+        th = 2 * np.pi * 19000.0 * t
         comp = (0.45 * np.sin(2 * np.pi * 1000.0 * t)
-                + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
-                + 0.45 * np.sin(2 * np.pi * 1000.0 * t)
-                * np.cos(2 * np.pi * 38000.0 * t))
+                + 0.1 * np.sin(th)
+                + 0.45 * np.sin(2 * np.pi * 1000.0 * t) * np.sin(2 * th))
         phm = 2 * np.pi * np.cumsum(75000.0 * comp) / fs
         iq = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + phm))
               ).astype(np.complex64)
         got, rx = ph.run_chain(iq, fs, DemodMode.FMS, 300_000.0, 32768)
         left = got[0] if got.ndim == 2 else got
-        golden = ph.scipy_golden_wfm(iq, fs, 300_000.0, rx, stereo=True)
+        golden, golden_r = ph.scipy_golden_wfm(iq, fs, 300_000.0, rx,
+                                               stereo=True,
+                                               return_stereo=True)
+
+        # the GOLDEN must itself demux stereo (L-only -> quiet R); without
+        # this the parity equalizer can mask demux errors (VERDICT r2 item 8)
+        def tone_amp(x):
+            tt = np.arange(len(x)) / rx.cfg.audio_rate
+            a = np.stack([np.sin(2 * np.pi * 1000 * tt),
+                          np.cos(2 * np.pi * 1000 * tt),
+                          np.ones(len(x))], 1)
+            c, *_ = np.linalg.lstsq(a, x, rcond=None)
+            return float(np.hypot(c[0], c[1]))
+
+        half = len(golden) // 2
+        g_sep = 20 * np.log10(tone_amp(golden[half:])
+                              / max(tone_amp(golden_r[half:]), 1e-12))
+        # ~33 dB measured: the 256 kHz Carson-band front (which the golden
+        # shares — it is the geometry under test) caps separation near
+        # 35 dB regardless of demux quality; a broken demux reads ~0 dB
+        assert g_sep > 30.0, f"golden separation {g_sep:.1f} dB"
         snr = ph.snr_db(golden, left.astype(np.float64),
                         skip=rx.cfg.audio_rate // 2)
-        assert snr > 45.0, f"WFM stereo parity SNR {snr:.1f} dB"
+        # fully independent golden (own LP design, analytic-signal pilot):
+        # measured 90+ dB — same class as the NFM/SAM goldens
+        assert snr > 70.0, f"WFM stereo parity SNR {snr:.1f} dB"

@@ -106,3 +106,72 @@ class TestChannelMapping:
         p = pfb.plan(FS, M)
         with pytest.raises(ValueError, match="not divisible"):
             pfb.apply(p, pfb.init_state(p), jnp.zeros((1, 100), jnp.complex64))
+
+
+class TestOversampled:
+    def _direct_os(self, x, p, m):
+        """os=2 reference: channel m = lowpass(x·e^{−2πi m t/M}) sampled at
+        t = (k+1)·hop − 1 (the streaming grid — each output consumes hop
+        fresh samples), times the critical path's constant phase."""
+        mm = p.n_chan
+        t = np.arange(len(x))
+        xm = x * np.exp(-2j * np.pi * m * t / mm)
+        lp = sps.lfilter(p.h.astype(np.float64), [1.0], xm)
+        s = np.arange(p.hop - 1, len(x), p.hop)
+        return lp[s] * np.exp(2j * np.pi * m * (mm - 1) / mm)
+
+    def test_os2_matches_direct(self):
+        p = pfb.plan(FS, M, taps_per_branch=8, os=2)
+        assert p.hop == M // 2 and p.fs_out == FS / (M // 2)
+        n = 4096
+        x = _rand(n, seed=2)
+        _, y = pfb.apply(p, pfb.init_state(p), jnp.asarray(x[None, :]))
+        y = np.asarray(y)[0]
+        assert y.shape == (M, n // (M // 2))
+        for m in range(M):
+            ref = self._direct_os(x.astype(np.complex128), p, m)
+            np.testing.assert_allclose(y[m], ref, atol=2e-5)
+
+    def test_os2_streaming_exact(self):
+        p = pfb.plan(FS, M, os=2)
+        n = 2048
+        x = _rand(3 * n, seed=5)
+        st = pfb.init_state(p)
+        chunks = []
+        for b in range(3):
+            st, y = pfb.apply(p, st, jnp.asarray(x[None, b * n:(b + 1) * n]))
+            chunks.append(np.asarray(y)[0])
+        got = np.concatenate(chunks, axis=-1)
+        _, ref = pfb.apply(p, pfb.init_state(p), jnp.asarray(x[None, :]))
+        np.testing.assert_allclose(got, np.asarray(ref)[0], atol=1e-6)
+
+    def test_os2_edge_station_keeps_sidebands(self):
+        """The critical bank's inherent loss (chain/pfb_bank.py docstring):
+        a station halfway between channel centers keeps its full band only
+        with the oversampled prototype."""
+        m_big = 64
+        n = m_big * 512
+        t = np.arange(n) / FS
+        # DSB station at a channel EDGE: carrier at center + fs/(2M),
+        # +-5 kHz sidebands (channel spacing fs/M = 16 kHz)
+        edge = FS / m_big / 2.0
+        x = ((1.0 + 0.8 * np.cos(2 * np.pi * 5000.0 * t))
+             * np.exp(2j * np.pi * edge * t)).astype(np.complex64)
+        power = {}
+        for os in (1, 2):
+            p = pfb.plan(FS, m_big, os=os)
+            _, y = pfb.apply(p, pfb.init_state(p), jnp.asarray(x[None, :]))
+            ch = np.asarray(y)[0, 0][m_big:]  # channel 0, skip transient
+            # the upper sideband sits at edge+5k = 13 kHz off channel center;
+            # measure its recovered power via the envelope's 5 kHz line
+            env = np.abs(ch)
+            spec = np.abs(np.fft.rfft(env - env.mean()))
+            fbin = np.fft.rfftfreq(len(env), 1.0 / p.fs_out)
+            b5k = np.argmin(np.abs(fbin - 5000.0))
+            power[os] = spec[b5k] / len(env)
+        # critical sampling clips the outer sideband: SSB reception halves
+        # the envelope line (~0.18 of the 0.4 full-depth value); the
+        # oversampled bank recovers BOTH sidebands essentially exactly
+        assert power[2] > 0.35, power      # ~full 0.8-depth AM envelope
+        assert power[1] < 0.25, power      # one sideband lost
+        assert power[2] > 2.0 * power[1], power

@@ -142,3 +142,59 @@ class TestBankVsMixerFront:
         tunes = np.array([123_456.0])
         bank = PfbBankReceiver(FS, N, tunes, n_bank=M)
         assert np.all(np.abs(bank.residuals) <= FS / (2 * M) + 1e-6)
+
+
+class TestShardedBank:
+    def test_sharded_matches_single_chip(self):
+        """Time-sharded PFB front + channel-sharded tails on the 8-device
+        CPU mesh == the single-chip PfbBankReceiver (VERDICT r2 item 5b)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from pebblesdr_tpu.parallel.pfb_shard import build_sharded_bank_step
+
+        fs, frames, m = 1_024_000, 16384, 32
+        plan = pfb.plan(fs, m)
+        centers = pfb.channel_freqs(plan)
+        tunes = centers[[1, 5, 9, 13]] + np.array([0.0, 1000.0, -500.0, 0.0])
+        bank = PfbBankReceiver(fs, frames, tunes, mode=DemodMode.AM, n_bank=m,
+                               agc_mode="off")
+        rng = np.random.default_rng(3)
+        x = (rng.normal(size=3 * frames)
+             + 1j * rng.normal(size=3 * frames)).astype(np.complex64)
+
+        st = bank.init_state()
+        ref = []
+        for b in range(3):
+            st, out = bank.step(st, jnp.asarray(x[b * frames:(b + 1) * frames]))
+            ref.append(np.asarray(out["audio"]))
+        ref = np.concatenate(ref, -1)
+
+        devs = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("channel", "time"))
+        step = build_sharded_bank_step(bank, mesh)
+        st2 = bank.init_state()
+        got = []
+        with mesh:
+            for b in range(3):
+                st2, out = step(st2, bank.params,
+                                jnp.asarray(x[b * frames:(b + 1) * frames]))
+                got.append(np.asarray(out["audio"]))
+        got = np.concatenate(got, -1)
+        scale = max(np.abs(ref).max(), 1e-9)
+        assert np.abs(got - ref).max() / scale < 2e-4
+
+    def test_oversampled_bank_builds_and_runs(self):
+        fs, frames, m = 1_024_000, 16384, 32
+        plan = pfb.plan(fs, m, os=2)
+        centers = pfb.channel_freqs(plan)
+        bank = PfbBankReceiver(fs, frames, centers[[2, 6]],
+                               mode=DemodMode.AM, n_bank=m, oversample=2,
+                               agc_mode="off")
+        assert bank.ch_rate == fs // (m // 2)
+        st = bank.init_state()
+        t = np.arange(frames) / fs
+        x = (0.5 * (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t))
+             * np.exp(2j * np.pi * centers[2] * t)).astype(np.complex64)
+        st, out = bank.step(st, jnp.asarray(x))
+        assert out["audio"].shape[0] == 2

@@ -174,84 +174,71 @@ def scipy_golden_sam(iq: np.ndarray, fs: int, tune_hz: float, rx) -> np.ndarray:
     return _resample64(mono, rate, rx.cfg.audio_rate)
 
 
-def _pilot_open64(cfg, raw: np.ndarray, blk: int) -> np.ndarray:
-    """Float64 sequential mirror of ops.pll.pilot_open_run (the scan-free
-    windowed-DFT pilot): per chunk — Hann-windowed DFT phasor at freq_center,
-    conj-product frequency measurement + EWMA, integrated-deviation phase,
-    residual-phasor EWMA.  Chunk length adapts down to divide blk exactly as
-    the device path does.  Returns the per-sample pilot phase."""
+def scipy_golden_wfm(iq: np.ndarray, fs: int, tune_hz: float, rx,
+                     stereo: bool, return_stereo: bool = False):
+    """WFM golden (demod_wfm.cpp mono :207-232 / stereo :255-365), fully
+    INDEPENDENT of the chain's WFM design (VERDICT r2 item 8 — the previous
+    golden reused rx.wfm_cfg's taps and mirrored the open-pilot algorithm):
+
+      * composite discriminator: float64 conj-product angle (shared math is
+        the DEFINITION of FM, not an implementation);
+      * pilot recovery: the textbook analytic-signal method — narrow 19 kHz
+        FIR bandpass (own firwin design) -> scipy.signal.hilbert ->
+        unwrapped instantaneous phase; nothing like the chain's windowed
+        chunk-DFT open loop;
+      * audio LP: own Kaiser design (kaiserord; 15 kHz pass / 19 kHz stop);
+      * de-emphasis: the standard RC recursion from the time constant.
+
+    Only rate bookkeeping (decimation geometry, 75 kHz deviation constant)
+    is shared.  Returns LEFT at the audio rate (or (L, R) with
+    return_stereo=True so tests can assert the GOLDEN's own stereo
+    separation — the parity equalizer then cannot mask demux errors).
+    """
     import math
 
-    ell = cfg.chunk
-    while blk % ell:
-        ell //= 2
-    n = len(raw)
-    f = n // ell
-    wc = cfg.freq_center
-    t_in = np.arange(ell, dtype=np.float64)
-    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * t_in / ell)
-    win = win / win.sum()
-    mat = win * np.exp(-1j * wc * t_in)
-    z_prev = 0.0 + 0.0j
-    dw = 0.0
-    psi = 0.0
-    r = 0.0 + 0.0j
-    phases = np.empty(n, np.float64)
-    # EWMA alpha at the ACTUAL chunk rate (mirrors pilot_open_core)
-    alpha = math.exp(-2.0 * math.pi * cfg.bw_hz * ell / cfg.sample_rate)
-    for k in range(f):
-        seg = raw[k * ell:(k + 1) * ell].astype(np.float64)
-        z = np.sum(seg * mat) * np.exp(-1j * wc * ell * k)
-        d = z * np.conjugate(z_prev)
-        dwm = min(max(math.atan2(d.imag, d.real) / ell, -cfg.dev_max),
-                  cfg.dev_max)
-        dw = alpha * dw + (1.0 - alpha) * dwm
-        rres = z * np.exp(-1j * psi)
-        r = alpha * r + (1.0 - alpha) * rres
-        ang = math.atan2(r.imag, r.real)
-        phases[k * ell:(k + 1) * ell] = (wc * ell * k + psi + ang
-                                         + math.pi / 2.0
-                                         + (wc + dw) * t_in)
-        psi += ell * dw
-        z_prev = z
-    return phases
-
-
-def scipy_golden_wfm(iq: np.ndarray, fs: int, tune_hz: float, rx,
-                     stereo: bool) -> np.ndarray:
-    """WFM golden (demod_wfm.cpp mono :207-232 / stereo :255-365): composite
-    discriminator; stereo adds pilot biquad BP + float64 pilot PLL +
-    sin(2*phase) demux + notch; both share the 15 kHz LP (decimating) and
-    de-emphasis.  Returns the LEFT channel at the audio rate."""
     x, rate = _front64(iq, fs, tune_hz, rx.info.max_output_bw)
     cfg = rx.wfm_cfg
     prev = np.concatenate([[0.0 + 0.0j], x[:-1]])
     delta = x * np.conj(prev)
-    gain = rate / (2.0 * np.pi * cfg.max_deviation)
+    gain = rate / (2.0 * np.pi * 75000.0)
     raw = np.arctan2(delta.imag, delta.real) * gain
-    taps = cfg.audio_taps.astype(np.float64)
+    # own audio LP design (15 kHz pass, stop at the 19 kHz pilot, 60 dB)
+    ntaps, beta = scipy.signal.kaiserord(60.0, (19000.0 - 15000.0)
+                                         / (rate / 2.0))
+    ntaps |= 1  # odd length -> integer group delay
+    lp = scipy.signal.firwin(ntaps, 17000.0, window=("kaiser", beta),
+                             fs=rate)
     dec = cfg.audio_decim
-    mono = scipy.signal.lfilter(taps, [1.0], raw)[::dec]
+    audio_rate = rate / dec
+    mono = scipy.signal.lfilter(lp, [1.0], raw)[::dec]
     if stereo:
-        if cfg.pilot_alg == "open":
-            phases = _pilot_open64(cfg.pilot_open, raw, rx.blk)
-        else:
-            bp = cfg.pilot_bp
-            pilot = scipy.signal.lfilter([bp.b0, bp.b1, bp.b2],
-                                         [1.0, bp.a1, bp.a2], raw)
-            phases = _pll64(cfg.pilot_pll, pilot.astype(np.complex128))
-        lmr = raw * 2.0 * np.sin(2.0 * phases)
-        lmr_a = scipy.signal.lfilter(taps, [1.0], lmr)[::dec]
+        # analytic-signal pilot: narrow FIR bandpass around 19 kHz, then
+        # hilbert -> instantaneous phase.  pilot = A sin(psi) convention:
+        # analytic real part is A cos(theta), so psi = theta + pi/2 and
+        # sin(2 psi) = -sin(2 theta).
+        nbp, bbp = scipy.signal.kaiserord(50.0, 400.0 / (rate / 2.0))
+        nbp |= 1
+        bp = scipy.signal.firwin(nbp, [18800.0, 19200.0],
+                                 window=("kaiser", bbp), pass_zero=False,
+                                 fs=rate)
+        pilot = scipy.signal.lfilter(bp, [1.0], raw)
+        # compensate the bandpass group delay so pilot phase aligns with raw
+        gd = (nbp - 1) // 2
+        pilot = np.concatenate([pilot[gd:], np.zeros(gd)])
+        theta = np.angle(scipy.signal.hilbert(pilot))
+        lmr = raw * 2.0 * (-np.sin(2.0 * theta))
+        lmr_a = scipy.signal.lfilter(lp, [1.0], lmr)[::dec]
         left = mono + lmr_a
-        if cfg.notch_needed:  # skipped when the LP already covers 19 kHz
-            nc = cfg.pilot_notch
-            left = scipy.signal.lfilter([nc.b0, nc.b1, nc.b2],
-                                        [1.0, nc.a1, nc.a2], left)
+        right = mono - lmr_a
     else:
         left = mono
-    a = iir_mod.deemphasis_alpha(cfg.deemphasis_us, cfg.audio_rate)
+        right = mono
+    a = math.exp(-1.0 / (cfg.deemphasis_us * 1e-6 * audio_rate))
     left = scipy.signal.lfilter([1 - a], [1, -a], left)
-    return _resample64(left, cfg.audio_rate, rx.cfg.audio_rate)
+    right = scipy.signal.lfilter([1 - a], [1, -a], right)
+    left = _resample64(left, audio_rate, rx.cfg.audio_rate)
+    right = _resample64(right, audio_rate, rx.cfg.audio_rate)
+    return (left, right) if return_stereo else left
 
 
 def run_chain(iq: np.ndarray, fs: int, mode: DemodMode, tune_hz: float,
