@@ -184,8 +184,12 @@ def bench_pfb(stations: int, blocks: int, steps: int,
     # stations on distinct grid centers (skip channel 0 = DC)
     idx = (1 + np.arange(stations)) % m
     tunes = centers[idx]
-    bank = PfbBankReceiver(FS, frames, tunes, mode=DemodMode.AM, n_bank=m,
-                           agc_mode="off")
+    # apples-to-apples with the am rows (VERDICT r2 weak 5): AGC on (the
+    # am rows' default "med" with the same stride) and spectra computed
+    # every step
+    bank = PfbBankReceiver(
+        FS, frames, tunes, mode=DemodMode.AM, n_bank=m,
+        agc_stride=int(os.environ.get("BENCH_AGC_STRIDE", "16")))
     state = jax.jit(bank.init_state)()
     iq = _synth_iq("am", frames)
     plane = np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
@@ -196,7 +200,7 @@ def bench_pfb(stations: int, blocks: int, steps: int,
     st = state
     out = None
     for _ in range(WARMUP):
-        st, out = bank.step_many(st, big, spectra=False)
+        st, out = bank.step_many(st, big, spectra=True)
     float(sync(out["audio"]))
     compile_s = time.perf_counter() - t_c
     print(f"# [pfb {stations}st bank{m}] compile+warmup {compile_s:.1f}s",
@@ -205,7 +209,7 @@ def bench_pfb(stations: int, blocks: int, steps: int,
     box = {"st": st}
 
     def run_once(i):
-        box["st"], out = bank.step_many(box["st"], big, spectra=False)
+        box["st"], out = bank.step_many(box["st"], big, spectra=True)
         return out
 
     dt, dts = _timed_windows(run_once, lambda o: float(sync(o["audio"])),
