@@ -426,12 +426,24 @@ def main(argv=None):
             blks.extend(np.zeros(args.frames, np.complex64)
                         for _ in range(kdisp - k_real))
         cat = np.concatenate(blks)
-        iq_tm = np.concatenate([
-            np.broadcast_to(cat.real.astype(np.float32)[:, None],
-                            (kdisp * args.frames, args.channels)),
-            np.broadcast_to(cat.imag.astype(np.float32)[:, None],
-                            (kdisp * args.frames, args.channels)),
-        ], axis=1)
+        # small channel counts ship the TIME-FOLDED plane (group g of the
+        # dispatch's K blocks packs into its own lane slot — the layout
+        # that is physically dense on the TPU (8, 128) tiling; the
+        # Receiver auto-detects it by lane width).  Built directly here:
+        # the fold costs nothing beyond the plane assembly itself.
+        fold = 1
+        if rx.batched_capable:
+            while (2 * args.channels * (fold * 2) <= 128
+                   and kdisp % (fold * 2) == 0):
+                fold *= 2
+        seg_n = kdisp * args.frames // fold
+        halves = []
+        for part in ("real", "imag"):
+            for g in range(fold):
+                halves.append(np.broadcast_to(
+                    getattr(cat[g * seg_n:(g + 1) * seg_n], part)
+                    .astype(np.float32)[:, None], (seg_n, args.channels)))
+        iq_tm = np.concatenate(halves, axis=1)
         with perform.measure("step"):
             state, out = rx.step_many(state, params, jnp.asarray(iq_tm))
             # fetch inside the timed region: block_until_ready alone can
