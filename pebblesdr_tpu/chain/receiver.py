@@ -287,6 +287,7 @@ class Receiver:
 
             self._pk = _pk
             h = decimator.compose_response(self.plan)
+            self._front_h = h
             d = len(h) - 1
             self._front_d_rows = ((d + 7) // 8) * 8
             self._front_sub = sub
@@ -577,15 +578,34 @@ class Receiver:
                 fold *= 2
             if fold > 1:
                 x_pk = self._pk.fold_plane(x_pk, fold)
-        y_pk, dc, decim_state, new_phase, raw_pk = \
-            self._pk.fused_front_packed(
-                x_pk, state.dc, state.mixer.phase,
-                params.tune_hi, params.tune_lo, state.decim, self._front_wt,
-                self.plan.factor, self._front_d_rows, 0.9999,
-                sub_block=self._front_sub, n_block=n,
-                raw_rows=cfg.spectrum_bins if spectra else 0, fold=fold,
-                interpret=self._pallas_interpret)
-        x_cat = self._pk.unpack_to_complex(y_pk, fold=fold)    # [C, K*blk]
+        # WFM-stereo on the fused tail also takes the IN-KERNEL FM
+        # discriminator (disc_gain): the front emits the time-major raw
+        # plane while the composite is in VMEM, eliminating the [C, N]
+        # composite relayout and the separate atan2 pass entirely
+        use_tm = (is_wfm(cfg.mode) and self.wfm_cfg.stereo
+                  and self.wfm_cfg.pallas_tail and self.wfm_cfg.tail_sub > 0)
+        front_kw = {}
+        if use_tm:
+            front_kw = dict(
+                disc_gain=self.demod_rate / (2.0 * np.pi
+                                             * self.wfm_cfg.max_deviation),
+                h_np=self._front_h,
+                disc_last=jnp.concatenate(
+                    [state.demod.last.real[None, :],
+                     state.demod.last.imag[None, :]], axis=1))
+        fr = self._pk.fused_front_packed(
+            x_pk, state.dc, state.mixer.phase,
+            params.tune_hi, params.tune_lo, state.decim, self._front_wt,
+            self.plan.factor, self._front_d_rows, 0.9999,
+            sub_block=self._front_sub, n_block=n,
+            raw_rows=cfg.spectrum_bins if spectra else 0, fold=fold,
+            interpret=self._pallas_interpret, **front_kw)
+        if use_tm:
+            y_pk, dc, decim_state, new_phase, raw_pk, disc_t, dlast = fr
+            x_cat = None
+        else:
+            y_pk, dc, decim_state, new_phase, raw_pk = fr
+            x_cat = self._pk.unpack_to_complex(y_pk, fold=fold)  # [C, K*blk]
         mix_state = mixer.MixerState(phase=new_phase)
 
         # ---- full-rate spectrum per block (batched) ------------------------
@@ -612,8 +632,18 @@ class Receiver:
 
         # ---- zoom power + S-meter per block (batched) ----------------------
         n_z = self.zoom_bins
-        xz = x_cat.reshape(c, k, blk)[:, :, -n_z:]            # [C, K, n_z]
-        xzw = jnp.moveaxis(xz, 1, 0) * self.w_zoom[None, None, :]
+        if x_cat is not None:
+            xz_kc = jnp.moveaxis(x_cat.reshape(c, k, blk)[:, :, -n_z:],
+                                 1, 0)                        # [K, C, n_z]
+        else:
+            # composite stays packed/time-major on the tm path: unfold only
+            # each block's trailing zoom window (the display/S-meter source)
+            k_g = k // fold
+            y5 = y_pk.reshape(k_g, blk, 2, fold, c)[:, blk - n_z:]
+            xz_kc = jax.lax.complex(
+                jnp.transpose(y5[:, :, 0], (2, 0, 3, 1)).reshape(k, c, n_z),
+                jnp.transpose(y5[:, :, 1], (2, 0, 3, 1)).reshape(k, c, n_z))
+        xzw = xz_kc * self.w_zoom[None, None, :]
         normz = 1.0 / (n_z * self.cg_zoom)
         power_lin = (spectrum._shifted_power(xzw.reshape(k * c, n_z))
                      .reshape(k, c, n_z) * (normz * normz))
@@ -649,11 +679,16 @@ class Receiver:
         # ---- demod-rate tail ONCE on the concatenated stream ---------------
         m = cfg.mode
         if is_wfm(m):
-            # WFM skips FastFIR/AGC (like _wfm_path); wfm_demod runs the
+            # WFM skips FastFIR/AGC (like _wfm_path); the demod runs the
             # whole K-block composite stream with per-block pilot-lock
-            demod_state, wout = wfm_mod.wfm_demod(self.wfm_cfg, state.demod,
-                                                  x_cat, n_block=blk,
-                                                  fold=fold)
+            if use_tm:
+                demod_state, wout = wfm_mod.wfm_demod_tm(
+                    self.wfm_cfg, state.demod, disc_t,
+                    jax.lax.complex(dlast[0, :c], dlast[0, c:]),
+                    fold=fold, n_block=blk)
+            else:
+                demod_state, wout = wfm_mod.wfm_demod(
+                    self.wfm_cfg, state.demod, x_cat, n_block=blk, fold=fold)
             out["pilot_locked"] = wout["pilot_locked"].T      # [K, C]
             ff_state, agc_state = state.fastfir, state.agc
             if cfg.rds:

@@ -54,6 +54,12 @@ class RdsConfig:
     #                                          adapted to divide one block's
     #                                          symbol stream so batched and
     #                                          per-block calls share the grid
+    # composite -> 16 kHz decimation as ONE composed-FIR banded matmul
+    # (noble identity, like the chain's fused front) instead of the staged
+    # per-stage polyphase passes — the RDS subchain's dominant cost at
+    # composite rate rides the MXU; "staged" keeps the per-stage form
+    h_composed: np.ndarray = static_field(default=None)
+    composed: bool = static_field(default=True)
 
     @staticmethod
     def make(composite_rate: float, block: int,
@@ -79,7 +85,8 @@ class RdsConfig:
         return RdsConfig(composite_rate=composite_rate, plan=plan, rs_plan=rs,
                          pll=cfg_pll, mf_taps=mf, n_sym=n19 // SPS, alg=alg,
                          costas_open=pll.make_costas_open_config(19000.0),
-                         chunk19=ell)
+                         chunk19=ell,
+                         h_composed=decimator.compose_response(plan))
 
 
 @pytree_dataclass
@@ -93,7 +100,8 @@ class RdsState:
 
 def rds_init(cfg: RdsConfig, channels: int) -> RdsState:
     return RdsState(
-        decim=decimator.state_init(cfg.plan, channels),
+        decim=(jnp.zeros((2 * channels, len(cfg.h_composed) - 1), jnp.float32)
+               if cfg.composed else decimator.state_init(cfg.plan, channels)),
         resamp=resampler.state_init(cfg.rs_plan, channels, jnp.complex64),
         pll=(pll.costas_open_init(channels) if cfg.alg == "open"
              else pll.pll_init(cfg.pll, channels)),
@@ -116,7 +124,16 @@ def rds_process(cfg: RdsConfig, state: RdsState, rds_baseband: jax.Array):
     timing_phase [C] int32) — sign(soft) are the biphase symbols; host does
     the rest (RdsBlockDecoder).
     """
-    st_d, x = decimator.apply(cfg.plan, state.decim, rds_baseband)      # 16 k
+    if cfg.composed:
+        # whole cascade as one real banded matmul on stacked [2C, N] rows
+        c_in = rds_baseband.shape[0]
+        xr = jnp.concatenate([rds_baseband.real, rds_baseband.imag], axis=0)
+        y, st_d = fir.fir_apply_real_signal(
+            xr, None, state.decim, decim=cfg.plan.factor,
+            taps_np=np.asarray(cfg.h_composed, np.float32))
+        x = jax.lax.complex(y[:c_in], y[c_in:])                         # 16 k
+    else:
+        st_d, x = decimator.apply(cfg.plan, state.decim, rds_baseband)  # 16 k
     st_r, x = resampler.apply_many(cfg.rs_plan, state.resamp, x)        # 19 k
     if cfg.alg == "open":
         st_p, phases, _ = pll.costas_open_run(cfg.costas_open, state.pll, x,

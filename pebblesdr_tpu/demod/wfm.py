@@ -198,6 +198,126 @@ def _ewma_rows(prev: jax.Array, p: jax.Array, a: float):
     return p @ lmat_d + prev[:, None] * seed_d[None, :]
 
 
+def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
+                 new_last: jax.Array, fold: int = 1, n_block: int = 0):
+    """Batched WFM stereo tail on the TIME-MAJOR (optionally folded)
+    discriminator plane from the fused front's in-kernel discriminator
+    (pallas_kernels.fused_front_packed disc_gain): pilot recovery
+    (pll.pilot_open_core_tm) -> fused Pallas demux + decimating LP ->
+    de-emphasis, with NO [C, N] channel-major relayout of the composite —
+    the two transposes and the separate atan2 pass of the wfm_demod path
+    disappear.
+
+    raw_t: [N/fold, fold*C] f32; new_last: [C] complex64 (the carried
+    previous-composite sample the front returned — stored into state.last).
+    Requires stereo + pallas_tail + tail_sub (the Receiver gates this).
+    Returns (state', out) exactly like wfm_demod(n_block=...).
+    """
+    mseg, gcc = raw_t.shape
+    c = gcc // fold
+    n = mseg * fold
+    ell = pilot_chunk_for(cfg, n_block)
+    k_blocks = n // n_block
+    pll_state, (p0, wf, _), level_f = pll.pilot_open_core_tm(
+        cfg.pilot_open, state.pilot_pll, raw_t, fold=fold, chunk=ell)
+    fch = n_block // ell
+    lv = level_f.reshape(c, k_blocks, fch)[:, :, -1]       # [C, K]
+    level = lv[:, -1]
+    locked = lv > 0.002
+
+    from pebblesdr_tpu.ops import pallas_kernels as _pk
+
+    d_rows = _tail_d_rows(cfg)
+    sub = cfg.tail_sub
+    w_np = _pk.build_composed_w(
+        np.asarray(cfg.audio_taps, np.float64), cfg.audio_decim,
+        sub, d_rows - (len(cfg.audio_taps) - 1))
+    with jax.ensure_compile_time_eval():
+        wt_d = jnp.asarray(np.ascontiguousarray(w_np.T))
+    fseg = (n // ell) // fold
+    p0_t = jnp.transpose(p0.reshape(c, fold, fseg), (2, 1, 0)
+                         ).reshape(fseg, gcc)
+    wf_t = jnp.transpose(wf.reshape(c, fold, fseg), (2, 1, 0)
+                         ).reshape(fseg, gcc)
+    if fold > 1:
+        # per-group LP history halos straight from the time-major rows
+        rows = raw_t[mseg - d_rows:]                       # [d_rows, GC]
+        t_idx = np.arange(mseg - d_rows, mseg)
+        f_idx = t_idx // ell
+        t_off = jnp.asarray((t_idx - f_idx * ell).astype(np.float32))
+        tails_m = [state.lp_tail_mono[:, :c]]
+        tails_l = [state.lp_tail_mono[:, c:]]
+        for g in range(1, fold):
+            gp = g - 1
+            idx_g = (gp * fseg + f_idx).astype(np.int32)
+            ph_h = (jnp.take(p0, jnp.asarray(idx_g), axis=1)
+                    + jnp.take(wf, jnp.asarray(idx_g), axis=1)
+                    * t_off[None, :]).T                    # [d_rows, C]
+            mono_h = rows[:, gp * c:(gp + 1) * c]
+            tails_m.append(mono_h)
+            tails_l.append(mono_h * 2.0 * jnp.sin(2.0 * ph_h))
+        tail_in = jnp.concatenate(tails_m + tails_l, axis=1)
+    else:
+        tail_in = state.lp_tail_mono
+    audio_pk, tail_pk = _pk.wfm_tail_packed(
+        raw_t, p0_t, wf_t, tail_in, wt_d, cfg.audio_decim, d_rows, ell,
+        sub_block=sub, interpret=cfg.pallas_interpret)
+    m_out = audio_pk.shape[0]
+    mono_a = jnp.transpose(audio_pk[:, :gcc].reshape(m_out, fold, c),
+                           (2, 1, 0)).reshape(c, fold * m_out)
+    lmr_a = jnp.transpose(audio_pk[:, gcc:].reshape(m_out, fold, c),
+                          (2, 1, 0)).reshape(c, fold * m_out)
+    gl = (fold - 1) * c
+    tail_m = jnp.concatenate(
+        [tail_pk[:, gl:gl + c], tail_pk[:, gcc + gl:gcc + gl + c]], axis=1)
+
+    m_all = lmr_a.shape[-1]
+    lmr_a = jnp.where(locked[:, :, None],
+                      lmr_a.reshape(c, k_blocks, m_all // k_blocks),
+                      0.0).reshape(c, m_all)
+    left = mono_a + lmr_a
+    right = mono_a - lmr_a
+    alpha = iir.deemphasis_alpha(cfg.deemphasis_us, cfg.audio_rate)
+    lr = jnp.concatenate([left, right], axis=0)
+    if cfg.notch_needed:
+        notch_lr, lr = iir.biquad_apply(
+            jnp.concatenate([state.notch_l, state.notch_r], axis=0), lr,
+            cfg.pilot_notch)
+    else:
+        notch_lr = jnp.concatenate([state.notch_l, state.notch_r], axis=0)
+    d_lr, lr = iir.first_order_apply(
+        jnp.concatenate([state.deemph_l, state.deemph_r], axis=0), lr,
+        alpha, 1.0 - alpha)
+    left, right = lr[:c], lr[c:]
+
+    rds_bb = None
+    rds_mix_state = state.rds_mixer
+    if cfg.rds_tap:
+        # RDS consumes the composite channel-major; one (half-traffic, f32)
+        # transpose of the discriminator plane
+        raw_cm = jnp.transpose(raw_t.reshape(mseg, fold, c), (2, 1, 0)
+                               ).reshape(c, n)
+        hi, lo = mixer.split_freq(RDS_HZ, cfg.sample_rate)
+        hi_v = jnp.broadcast_to(jnp.asarray(hi, jnp.float32),
+                                state.rds_mixer.phase.shape)
+        lo_v = jnp.broadcast_to(jnp.asarray(lo, jnp.float32),
+                                state.rds_mixer.phase.shape)
+        osc = mixer.oscillator(state.rds_mixer.phase, n, hi_v, lo_v)
+        rds_bb = jax.lax.complex(raw_cm * osc.real, raw_cm * osc.imag)
+        rds_mix_state = mixer.MixerState(phase=jnp.mod(
+            state.rds_mixer.phase + jnp.mod(n * hi_v, 1.0) + n * lo_v, 1.0))
+
+    new_state = WFMState(
+        last=new_last, pilot_bq=state.pilot_bq, pilot_pll=pll_state,
+        pilot_level=level, deemph_l=d_lr[:c], deemph_r=d_lr[c:],
+        lp_tail_mono=tail_m, lp_tail_lmr=state.lp_tail_lmr,
+        notch_l=notch_lr[:c], notch_r=notch_lr[c:],
+        rds_mixer=rds_mix_state)
+    out = {"left": left, "right": right, "pilot_locked": locked,
+           "rds_baseband": rds_bb}
+    return new_state, out
+
+
 def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
               n_block: int = 0, fold: int = 1):
     """x: [C, N] complex64 composite-rate IQ.
@@ -419,8 +539,19 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     rds_bb = None
     rds_mix_state = state.rds_mixer
     if cfg.rds_tap:
+        # the composite is REAL: mix -57 kHz as two real multiplies against
+        # the oscillator planes instead of a complex x complex product
+        # (raw * e^{-j\theta} = (raw cos, -raw sin))
         hi, lo = mixer.split_freq(RDS_HZ, fs)
-        rds_mix_state, rds_bb = mixer.mix(rds_mix_state, raw.astype(jnp.complex64), hi, lo)
+        nn = raw.shape[-1]
+        hi_v = jnp.broadcast_to(jnp.asarray(hi, jnp.float32),
+                                state.rds_mixer.phase.shape)
+        lo_v = jnp.broadcast_to(jnp.asarray(lo, jnp.float32),
+                                state.rds_mixer.phase.shape)
+        osc = mixer.oscillator(state.rds_mixer.phase, nn, hi_v, lo_v)
+        rds_bb = jax.lax.complex(raw * osc.real, raw * osc.imag)
+        rds_mix_state = mixer.MixerState(phase=jnp.mod(
+            state.rds_mixer.phase + jnp.mod(nn * hi_v, 1.0) + nn * lo_v, 1.0))
 
     new_state = WFMState(
         last=new_last, pilot_bq=bq_state, pilot_pll=pll_state, pilot_level=level,

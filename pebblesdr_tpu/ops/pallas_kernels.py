@@ -52,6 +52,28 @@ TWO_PI = 2.0 * math.pi
 DC_CHUNK = 512  # matches ops.iir.dc_removal_chunked default
 
 
+def _atan2(y, x):
+    """Four-quadrant arctangent from Mosaic-lowerable primitives (the TPU
+    Pallas lowering has no atan2): octant reduction + the Cephes atanf
+    4-term polynomial (~2e-7 max error over the reduced range — far below
+    the f32 FM discriminator's own noise floor)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    a = mn / jnp.maximum(mx, 1e-30)
+    big = a > 0.4142135623730951          # tan(pi/8): second reduction
+    t = jnp.where(big, (a - 1.0) / (a + 1.0), a)
+    s = t * t
+    p = ((8.05374449538e-2 * s - 1.38776856032e-1) * s
+         + 1.99777106478e-1) * s - 3.33329491539e-1
+    r = p * s * t + t
+    r = jnp.where(big, r + 0.7853981633974483, r)
+    r = jnp.where(ay > ax, 1.5707963267948966 - r, r)
+    r = jnp.where(x < 0, 3.141592653589793 - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
                      pad: int) -> np.ndarray:
     """W [pad + D + sub, sub/factor] f32 with W[w, o] = H[D + pad + F*o - w]
@@ -68,11 +90,7 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
 
 
 def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
-                  raw_rows, factor, m_tile, interpret,
-                  x_ref, phase_ref, fhi_ref, flo_ref,
-                  fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-                  wt_ref, dc_in_ref, tail_in_ref,
-                  y_ref, dc_out_ref, tail_out_ref, raw_ref):
+                  raw_rows, factor, m_tile, disc_gain, interpret, *refs):
     """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
     c is the packed HALF-width.  For the plain layout that is the channel
@@ -90,7 +108,27 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     wt_ref: [m_sub, d_rows + sub] composed-response Toeplitz transpose.
     raw_ref: [n_blocks, raw_rows, 2c] — each *logical block*'s trailing raw
     input rows (display-spectrum tails), written on its last sub-block.
+
+    disc_gain != 0 (WFM): the kernel also emits the FM DISCRIMINATOR of the
+    decimated composite — atan2(y[m]·conj(y[m-1]))·gain — as a [m_sub, c]
+    real plane per step, with the previous composite sample carried in a
+    constant-index ref (seeded per lane group by the wrapper).  The
+    composite is already in VMEM after the Toeplitz dot, so the demod's
+    dominant transcendental pass costs no extra HBM traffic and the
+    [C, N] channel-major relayout of the composite disappears from the
+    WFM tail entirely.
     """
+    if disc_gain:
+        (x_ref, phase_ref, fhi_ref, flo_ref,
+         fr1_ref, fi1_ref, fi2_ref, fr2_ref,
+         wt_ref, dc_in_ref, tail_in_ref, disc_in_ref,
+         y_ref, dc_out_ref, tail_out_ref, raw_ref, disc_ref,
+         dlast_ref) = refs
+    else:
+        (x_ref, phase_ref, fhi_ref, flo_ref,
+         fr1_ref, fi1_ref, fi2_ref, fr2_ref,
+         wt_ref, dc_in_ref, tail_in_ref,
+         y_ref, dc_out_ref, tail_out_ref, raw_ref) = refs
     s = pl.program_id(0)
     first = s == 0
     xx = x_ref[:, :]
@@ -151,8 +189,8 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     tail_out_ref[:, :] = e2[-d_rows:, :]
     m_sub = sub_block // factor
     if m_tile >= m_sub:
-        y_ref[:, :] = jnp.dot(wt_ref[:, :], e2,
-                              preferred_element_type=jnp.float32)
+        yout = jnp.dot(wt_ref[:, :], e2,
+                       preferred_element_type=jnp.float32)
     else:
         # The Toeplitz band is shift-invariant: every m_tile-row output tile
         # multiplies the SAME [m_tile, span] band block against its own span
@@ -169,9 +207,20 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
         estk = jnp.concatenate(spans, axis=1)  # [span, ntiles*2C]
         ystk = jnp.dot(wt_ref[:, :], estk,
                        preferred_element_type=jnp.float32)
-        for ti in range(ntiles):
-            y_ref[ti * m_tile:(ti + 1) * m_tile, :] = (
-                ystk[:, ti * 2 * c:(ti + 1) * 2 * c])
+        yout = jnp.concatenate(
+            [ystk[:, ti * 2 * c:(ti + 1) * 2 * c] for ti in range(ntiles)],
+            axis=0)
+    y_ref[:, :] = yout
+    if disc_gain:
+        # FM discriminator on the composite while it is still in VMEM
+        yprev = jnp.concatenate(
+            [jnp.where(first, disc_in_ref[0:1, :], dlast_ref[0:1, :]),
+             yout[:-1]], axis=0)
+        dlast_ref[0:1, :] = yout[-1:, :]
+        yr, yi = yout[:, :c], yout[:, c:]
+        pr, pi = yprev[:, :c], yprev[:, c:]
+        disc_ref[:, :] = _atan2(yi * pr - yr * pi,
+                                yr * pr + yi * pi) * disc_gain
 
 
 def fold_plane(x_pk: jax.Array, fold: int) -> jax.Array:
@@ -200,7 +249,7 @@ def fold_plane_np(plane: np.ndarray, fold: int) -> np.ndarray:
 
 
 def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
-                   dc_alpha, d_rows):
+                   dc_alpha, d_rows, extra_rows: int = 0):
     """Closed-form group seams for the time-folded input layout.
 
     x_f: [seg, 2*fold*C] folded plane (lane group g = time segment g).
@@ -213,7 +262,12 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
     consumes the carried state unchanged, so folded == unfolded
     streaming-exactly (up to f32 association).
 
-    Returns (dc_in [1, 2*fold*C], tail_in [d_rows, 2*fold*C]).
+    Returns (dc_in [1, 2*fold*C], tail_in [d_rows, 2*fold*C], strip) where
+    strip is the [d_rows + extra_rows, 2*fold*C] post-mix boundary history
+    (tail_in = its last d_rows rows; extra_rows > 0 lets the caller reach
+    further back, e.g. for the discriminator's previous-output seed at
+    full-rate offset -factor).  Group 0's strip rows beyond the carried
+    d_rows are ZERO (the carried state doesn't reach further back).
     """
     seg, c2e = x_f.shape
     gc = c2e // 2
@@ -244,9 +298,10 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
                              seeds_im.reshape(1, gc)], axis=1)
 
     # --- post-mix halo tails: group g's history = the DC-removed + mixed
-    #     last d_rows rows of group g-1 (all in the slice below)
-    r0 = seg - d_rows
-    rows = jax.lax.slice(x_f, (r0, 0), (seg, c2e))              # [d_rows, 2GC]
+    #     last (d_rows + extra_rows) rows of group g-1
+    nrows = d_rows + extra_rows
+    r0 = seg - nrows
+    rows = jax.lax.slice(x_f, (r0, 0), (seg, c2e))              # [nrows, 2GC]
     jlo = r0 // DC_CHUNK
     nj = ncg - jlo
     wj = np.zeros((nj, ncg), np.float64)
@@ -256,11 +311,12 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
         wj_d = jnp.asarray(wj.astype(np.float32))
         sj_d = jnp.asarray(
             (a_c ** (1.0 + np.arange(jlo, ncg))).astype(np.float32))
-    sel = jnp.asarray((np.arange(r0, seg) // DC_CHUNK) - jlo)   # [d_rows]
+    sel = jnp.asarray((np.arange(r0, seg) // DC_CHUNK) - jlo)   # [nrows]
     fhi_r = jnp.asarray(f_hi, jnp.float32)[None, :]
     flo_r = jnp.asarray(f_lo, jnp.float32)[None, :]
-    tails_re = [tail[:, :c]]           # group 0: the carried [d_rows, 2C]
-    tails_im = [tail[:, c:]]
+    pad0 = jnp.zeros((extra_rows, c), jnp.float32)
+    strips_re = [jnp.concatenate([pad0, tail[:, :c]], axis=0)]  # group 0
+    strips_im = [jnp.concatenate([pad0, tail[:, c:]], axis=0)]
     for g in range(1, fold):
         gp = g - 1
         # per-chunk DC estimates of group g-1's trailing chunks
@@ -278,10 +334,10 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
                      + k * flo_r, 1.0)
         cosv = jnp.cos(TWO_PI * ph)
         sinv = jnp.sin(TWO_PI * ph)
-        tails_re.append(zr * cosv + zi * sinv)
-        tails_im.append(zi * cosv - zr * sinv)
-    tail_in = jnp.concatenate(tails_re + tails_im, axis=1)
-    return dc_in, tail_in
+        strips_re.append(zr * cosv + zi * sinv)
+        strips_im.append(zi * cosv - zr * sinv)
+    strip = jnp.concatenate(strips_re + strips_im, axis=1)
+    return dc_in, strip[extra_rows:], strip
 
 
 def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
@@ -290,6 +346,9 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
                        factor: int, d_rows: int, dc_alpha: float,
                        sub_block: int = 2048, n_block: int = 0,
                        raw_rows: int = 0, fold: int = 1,
+                       disc_gain: float = 0.0,
+                       h_np: np.ndarray | None = None,
+                       disc_last: jax.Array | None = None,
                        interpret: bool = False):
     """Whole front end in one pallas_call, lane-packed layout.
 
@@ -311,10 +370,21 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     association).  Requires (N/fold) % n_block == 0 (whole logical blocks
     per group).
 
-    Returns (y_pk, dc', tail', phase' [C], raw [K, raw_rows, 2C]) with
-    K = N/n_block; dc'/tail'/raw are always in the UNFOLDED [*, 2C] layout.
-    y_pk is [N/factor, 2C] for fold=1, else [N/(fold*factor), 2*fold*C] in
-    the folded layout — decode with unpack_to_complex(y_pk, fold=fold).
+    disc_gain != 0 additionally emits the FM discriminator of the decimated
+    composite (the WFM demod's first stage, computed while the composite is
+    in VMEM): a [N/(fold*factor), fold*C] time-major real plane appended to
+    the return tuple, plus the carried previous-composite sample.  The
+    previous decimated output sits at full-rate offset -factor, which can
+    predate the carried d_rows tail, so it is explicit state: `disc_last`
+    [1, 2C] (the WFM demod's state.last, repacked) seeds group 0; groups
+    g>0 derive their seed from the prologue's extended post-mix strip with
+    one dot against h_np (the composed response).
+
+    Returns (y_pk, dc', tail', phase' [C], raw [K, raw_rows, 2C]
+    [, disc, disc_last']) with K = N/n_block; dc'/tail'/raw/disc_last' are
+    always in the UNFOLDED [*, 2C] layout.  y_pk is [N/factor, 2C] for
+    fold=1, else [N/(fold*factor), 2*fold*C] in the folded layout — decode
+    with unpack_to_complex(y_pk, fold=fold).
     """
     seg, c2e = x_pk.shape
     ce = c2e // 2                      # packed half-width seen by the kernel
@@ -344,8 +414,9 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
             for g in range(fold)])
         fhi_half = jnp.tile(jnp.asarray(f_hi, jnp.float32), fold)
         flo_half = jnp.tile(jnp.asarray(f_lo, jnp.float32), fold)
-        dc_in, tail_in = _fold_prologue(x_pk, dc, phase0, f_hi, f_lo, tail,
-                                        fold, dc_alpha, d_rows)
+        dc_in, tail_in, strip = _fold_prologue(
+            x_pk, dc, phase0, f_hi, f_lo, tail, fold, dc_alpha, d_rows,
+            extra_rows=factor if disc_gain else 0)
     else:
         ph_half = jnp.asarray(phase0, jnp.float32)
         fhi_half = jnp.asarray(f_hi, jnp.float32)
@@ -383,7 +454,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
 
     kern = functools.partial(_front_kernel, sub_block, ce, d_rows, a_c,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
-                             interpret)
+                             float(disc_gain), interpret)
     in_specs = [
         pl.BlockSpec((sub_block, c2e), lambda s: (s, 0)),
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),
@@ -409,16 +480,49 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
         pl.BlockSpec((1, raw_rows, c2e), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
     ]
+    args = [x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
+            fr, fi, fi2_t, fr2_t, wt, dc_in, tail_in]
+    if disc_gain:
+        assert disc_last is not None
+        if fold > 1:
+            # groups g>0: previous composite output = composed-FIR dot of h
+            # against the extended post-mix strip at full-rate offset
+            # -factor (the sample the unfolded stream produced just before
+            # each group's first output); group 0 = the carried disc_last
+            assert h_np is not None
+            d = len(h_np) - 1
+            ll = d_rows + factor
+            w = np.zeros((1, ll), np.float64)
+            w[0, ll - factor - np.arange(d + 1)] = np.asarray(h_np,
+                                                             np.float64)
+            with jax.ensure_compile_time_eval():
+                w_d = jnp.asarray(w.astype(np.float32))
+            sfull = w_d @ strip                         # [1, 2ce]
+            disc_in = jnp.concatenate(
+                [disc_last[:, :c], sfull[:, c:ce],
+                 disc_last[:, c:], sfull[:, ce + c:]], axis=1)
+        else:
+            disc_in = disc_last
+        args.append(disc_in)                            # [1, 2ce]
+        in_specs.append(pl.BlockSpec((1, c2e), lambda s: (0, 0)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nsub * m_sub, ce), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((1, c2e), jnp.float32))
+        out_specs.append(pl.BlockSpec((m_sub, ce), lambda s: (s, 0)))
+        out_specs.append(pl.BlockSpec((1, c2e), lambda s: (0, 0)))
     # raise the Mosaic scoped-VMEM limit above the 16 MB default: v5e has
     # 128 MB VMEM, and larger sub_blocks (fewer grid steps — the dominant
     # per-step fixed cost at ~3 us/step) need headroom for the pipeline's
     # double buffers + straight-line temporaries
-    y, dc2, tail2, raw = pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
-    )(x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
-      fr, fi, fi2_t, fr2_t, wt, dc_in, tail_in)
+    )(*args)
+    if disc_gain:
+        y, dc2, tail2, raw, disc, dlast = outs
+    else:
+        y, dc2, tail2, raw = outs
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
     if fold > 1:
         # carried dc/tail = the LAST group's lanes; raw unfolds to the
@@ -431,6 +535,12 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         r5 = raw.reshape(k_blocks_g, raw_rows, 2, fold, c)
         raw = jnp.transpose(r5, (3, 0, 1, 2, 4)).reshape(
             fold * k_blocks_g, raw_rows, c2)
+    if disc_gain:
+        if fold > 1:
+            gl = (fold - 1) * c
+            dlast = jnp.concatenate(
+                [dlast[:, gl:gl + c], dlast[:, ce + gl:ce + gl + c]], axis=1)
+        return y, dc2, tail2, phase2, raw, disc, dlast
     return y, dc2, tail2, phase2, raw
 
 

@@ -374,6 +374,59 @@ def pilot_open_core(cfg: PilotOpenConfig, state: PilotOpenState,
     zz = jnp.matmul(raw.reshape(c, f, ell), mat_d,
                     precision="highest")                  # [C, F, 2]
     z = jax.lax.complex(zz[..., 0], zz[..., 1])
+    return _pilot_open_post(cfg, state, z, ell, n, alpha,
+                            rotf_c, rotf_s, ramp_d, tin_d)
+
+
+def pilot_open_core_tm(cfg: PilotOpenConfig, state: PilotOpenState,
+                       raw_t: jax.Array, fold: int = 1,
+                       chunk: int | None = None):
+    """pilot_open_core for a TIME-MAJOR (optionally time-folded) composite
+    raw_t [N/fold, fold*C] — the layout the fused front's in-kernel
+    discriminator emits — so the pilot path needs no [C, N] channel-major
+    relayout of the composite.  The chunk-DFT matmul runs directly on the
+    time-major rows; everything downstream operates on the tiny [C, F]
+    phasor arrays.  Results identical to pilot_open_core on the unfolded
+    channel-major stream.
+
+    Returns (state', (p0 [C, F], wf [C, F], t_in [L]), level [C, F])."""
+    mseg, gcc = raw_t.shape
+    c = gcc // fold
+    n = mseg * fold
+    ell = int(chunk or cfg.chunk)
+    assert mseg % ell == 0, (mseg, ell)
+    f_seg = mseg // ell
+    f = n // ell
+    wc = cfg.freq_center
+    fs = cfg.sample_rate or (TWO_PI * 19000.0 / wc)
+    alpha = math.exp(-TWO_PI * cfg.bw_hz * ell / fs)
+    t_in = np.arange(ell, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * t_in / ell)
+    win = win / win.sum()
+    mat = win * np.exp(-1j * wc * t_in)
+    ramp_f = np.mod(wc * ell * np.arange(f, dtype=np.float64), 2 * np.pi)
+    with jax.ensure_compile_time_eval():
+        mat_d = jnp.asarray(np.stack([mat.real, mat.imag], axis=1)
+                            .astype(np.float32))          # [L, 2]
+        rotf_c = jnp.asarray(np.cos(ramp_f).astype(np.float32))
+        rotf_s = jnp.asarray(np.sin(ramp_f).astype(np.float32))
+        ramp_d = jnp.asarray(ramp_f.astype(np.float32))
+        tin_d = jnp.asarray(t_in.astype(np.float32))
+    # [f_seg, L, GC] x [L, 2] -> [f_seg, GC, 2]; unfold to [C, F] (tiny)
+    zz = jnp.einsum("fEg,Eh->fgh", raw_t.reshape(f_seg, ell, gcc), mat_d,
+                    precision="highest")
+    z2 = jnp.transpose(zz.reshape(f_seg, fold, c, 2), (2, 1, 0, 3)
+                       ).reshape(c, f, 2)
+    z = jax.lax.complex(z2[..., 0], z2[..., 1])
+    return _pilot_open_post(cfg, state, z, ell, n, alpha,
+                            rotf_c, rotf_s, ramp_d, tin_d)
+
+
+def _pilot_open_post(cfg, state, z, ell, n, alpha, rotf_c, rotf_s, ramp_d,
+                     tin_d):
+    """Shared pilot-open back half: chunk phasors z [C, F] -> smoothed
+    frequency/phase params (see pilot_open_core)."""
+    wc = cfg.freq_center
     rotf = jax.lax.complex(rotf_c, -rotf_s)               # e^{-j ramp_f}
     z = z * rotf[None, :] * jnp.exp(-1j * state.base)[:, None]
 

@@ -156,6 +156,61 @@ class TestFusedFrontPlanes:
             scale = max(np.abs(a).max(), 1e-9)
             assert np.abs(a - b).max() / scale < 1e-5, name
 
+    @pytest.mark.parametrize("fold", [1, 4])
+    def test_fused_discriminator(self, fold):
+        """disc_gain: the kernel's in-VMEM FM discriminator must equal the
+        XLA conj-product atan2 on the same composite, streaming-exactly
+        across calls (seeds derive from the carried tail history)."""
+        fs = 2_048_000
+        plan = decimator.build_plan(fs, 200_000)
+        f = plan.factor
+        h = decimator.compose_response(plan)
+        d = len(h) - 1
+        d_rows = ((d + 7) // 8) * 8
+        sub = 2048
+        wt = jnp.asarray(np.ascontiguousarray(
+            pk.build_composed_w(h, f, sub, d_rows - d).T))
+        gain = 0.543
+        c, nblk, k = 4, 8192, 8
+        # FM-like input: bounded phase steps keep delta angles away from
+        # the atan2 branch cut (a noise input flips 2*pi on float epsilons)
+        t = np.arange(k * nblk) / fs
+        mod = np.sin(2 * np.pi * 700.0 * t) + 0.3 * np.sin(2 * np.pi * 5e3 * t)
+        phase = 2 * np.pi * np.cumsum(60e3 * mod) / fs
+        iq = 0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+        x = np.concatenate([np.broadcast_to(iq.real[:, None], (k * nblk, c)),
+                            np.broadcast_to(iq.imag[:, None], (k * nblk, c))],
+                           axis=1).astype(np.float32)
+        splits = [mixer.split_freq(250_000.0, fs)] * c
+        hi = jnp.asarray(np.array([s[0] for s in splits]))
+        lo = jnp.asarray(np.array([s[1] for s in splits]))
+        dc0 = jnp.zeros((1, 2 * c), jnp.float32)
+        ph0 = jnp.zeros((c,), jnp.float32)
+        tl0 = jnp.zeros((d_rows, 2 * c), jnp.float32)
+
+        # streaming: two calls with carried state
+        dc, phs, tl = dc0, ph0, tl0
+        dlast = jnp.zeros((1, 2 * c), jnp.float32)
+        discs, ys = [], []
+        half = (k // 2) * nblk
+        for xb in (x[:half], x[half:]):
+            xin = jnp.asarray(pk.fold_plane_np(xb, fold) if fold > 1 else xb)
+            y, dc, tl, phs, _, disc, dlast = pk.fused_front_packed(
+                xin, dc, phs, hi, lo, tl, wt, f, d_rows, 0.9999,
+                sub_block=sub, n_block=nblk, fold=fold, disc_gain=gain,
+                h_np=h, disc_last=dlast, interpret=True)
+            m_seg = disc.shape[0]
+            discs.append(np.asarray(disc).reshape(m_seg, fold, c)
+                         .transpose(2, 1, 0).reshape(c, fold * m_seg))
+            ys.append(np.asarray(pk.unpack_to_complex(y, fold=fold)))
+        got = np.concatenate(discs, -1)
+        xc = np.concatenate(ys, -1)
+        prev = np.concatenate([np.zeros((c, 1), np.complex64), xc[:, :-1]],
+                              -1)
+        delta = xc * np.conj(prev)
+        ref = np.arctan2(delta.imag, delta.real) * gain
+        assert np.abs(got - ref).max() < 1e-4
+
     def test_compose_response_equals_cascade(self):
         plan = decimator.build_plan(2_048_000, 30_000)
         h = decimator.compose_response(plan)
