@@ -398,8 +398,9 @@ def main():
         # reference-parity quality geometry (>=400k composite, ~47 dB sep)
         rows.append(_row_subprocess("wfm_hq", CHANNELS, max(8, BLOCKS // 2),
                                     max(16, STEPS // 2)))
-        rows.append(_row_subprocess("sam", CHANNELS,
-                                    max(8, BLOCKS // 2), max(16, STEPS // 2)))
+        # SAM is scan-free now (open-loop stage-2 smoother): full
+        # blocks/dispatch amortizes the fixed cost like the other rows
+        rows.append(_row_subprocess("sam", CHANNELS, BLOCKS, STEPS))
         # small-channel-count scaling (time-folded entry planes; 2x blocks
         # per dispatch — the folded dispatch is lighter, so K=64 wins there)
         rows.append(_row_subprocess("am", 16, 2 * BLOCKS,

@@ -31,10 +31,18 @@ class SAMConfig:
     #                               100 Hz BW at ~32 ksps, so chunk 8 keeps
     #                               the rescaled gain at 0.22 (chunk 64 put
     #                               it at 1.8 — divergent)
+    # stage-2 smoother for 'aimed': "open" (default) = the scan-free
+    # open-loop tracker (pll.costas_open_run square=False — the aimed
+    # residual is a strong near-DC carrier, and symmetric AM perturbs the
+    # chunk phasors' magnitude only, so the estimate is unbiased); "loop" =
+    # the chunked type-2 loop scan (the round-2 form)
+    smooth: str = static_field(default="open")
+    open_track: pll.CostasOpenConfig = static_field(default=None)
 
     @staticmethod
     def make(sample_rate: float, bandwidth: float = 10000.0,
-             algorithm: str = "aimed") -> "SAMConfig":
+             algorithm: str = "aimed",
+             smooth: str = "open") -> "SAMConfig":
         cfg = pll.make_pll_config(sample_rate, bw_hz=100.0, zeta=0.707,
                                   range_hz=1000.0, detector="atan2")
         # analytic filter 0..bandwidth/2 (demod_sam.cpp GenerateHBFilter(5000));
@@ -43,12 +51,16 @@ class SAMConfig:
         taps = 0.5 * fir.design_hilbert(61, bandwidth / 4.0, bandwidth / 2.0,
                                         sample_rate)
         return SAMConfig(sample_rate=sample_rate, pll=cfg, hilbert_taps=taps,
-                         algorithm=algorithm)
+                         algorithm=algorithm, smooth=smooth,
+                         open_track=pll.make_costas_open_config(
+                             sample_rate, range_hz=2000.0, bw_hz=50.0,
+                             chunk=64))
 
 
 @pytree_dataclass
 class SAMState:
     pll: pll.PLLState
+    track: pll.CostasOpenState   # 'aimed'+'open' stage-2 smoother state
     dc: jax.Array      # mono (L) DC blocker state
     dc_r: jax.Array    # sideband-mix (R) DC blocker state
     hilbert_tail: jax.Array
@@ -60,6 +72,7 @@ class SAMState:
 def sam_init(cfg: SAMConfig, channels: int) -> SAMState:
     return SAMState(
         pll=pll.pll_init(cfg.pll, channels),
+        track=pll.costas_open_init(channels),
         dc=jnp.zeros((channels,), jnp.float32),
         dc_r=jnp.zeros((channels,), jnp.float32),
         hilbert_tail=fir.fir_tail_init(channels, len(cfg.hilbert_taps)),
@@ -92,10 +105,16 @@ def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array,
     """
     aim = state.aim
     nb_len = n_block or x.shape[-1]
+    pll_state, track_state = state.pll, state.track
     if cfg.algorithm == "aimed" and nb_len % 128 == 0:
-        pll_state, aim, phases, _ = pll.pll_run_aimed(
-            cfg.pll, state.pll, state.aim, x, chunk=cfg.pll_chunk,
-            n_block=n_block)
+        if cfg.smooth == "open":
+            track_state, aim, phases, _ = pll.pll_run_aimed(
+                cfg.pll, state.track, state.aim, x, n_block=n_block,
+                smooth_cfg=cfg.open_track)
+        else:
+            pll_state, aim, phases, _ = pll.pll_run_aimed(
+                cfg.pll, state.pll, state.aim, x, chunk=cfg.pll_chunk,
+                n_block=n_block)
     else:  # 'scan', or a block too short for the multi-resolution aim
         pll_state, phases, _ = pll.pll_run(cfg.pll, state.pll, x)
     base = x * jnp.exp(-1j * phases.astype(jnp.complex64))
@@ -111,6 +130,6 @@ def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array,
     dc, mono = iir.dc_removal_apply(state.dc, mono_raw, alpha=0.999)
     dc_r, right = iir.dc_removal_apply(state.dc_r, hi_minus_lo, alpha=0.999)
     left = mono
-    return (SAMState(pll=pll_state, dc=dc, dc_r=dc_r, hilbert_tail=tail,
-                     align=new_align, aim=aim),
+    return (SAMState(pll=pll_state, track=track_state, dc=dc, dc_r=dc_r,
+                     hilbert_tail=tail, align=new_align, aim=aim),
             mono, left, right)

@@ -193,8 +193,9 @@ def pll_run_blockwise(cfg: PLLConfig, state: PLLState, x: jax.Array,
     return new_state, phases, freqs
 
 
-def pll_run_aimed(cfg: PLLConfig, state: PLLState, aim_phase: jax.Array,
-                  x: jax.Array, chunk: int = 64, n_block: int = 0):
+def pll_run_aimed(cfg: PLLConfig, state, aim_phase: jax.Array,
+                  x: jax.Array, chunk: int = 64, n_block: int = 0,
+                  smooth_cfg=None):
     """Two-stage blockwise PLL for WIDE pull ranges (SAM: +-1 kHz at ~30 ksps,
     where pll_run_blockwise's fixed-center chunk sums lose coherence).
 
@@ -207,6 +208,13 @@ def pll_run_aimed(cfg: PLLConfig, state: PLLState, aim_phase: jax.Array,
     n_block > 0 computes the aim per logical block of the concatenated
     stream (the batched step_many path) with a closed-form carried-phase
     cumsum — matches sequential calls up to fp32 ramp precision.
+
+    smooth_cfg (a CostasOpenConfig; state must then be a CostasOpenState)
+    replaces the stage-2 chunked loop SCAN with the OPEN-LOOP tracker
+    (costas_open_run square=False): the residual after aiming is a strong
+    near-DC carrier, and symmetric AM scales the chunk phasors' magnitude
+    only, so the open estimate is unbiased — and the last sequential op in
+    the SAM chain disappears.
 
     Returns (state', aim_phase' [C], phases [C, N], freqs [C, N] rad/sample).
     """
@@ -246,11 +254,19 @@ def pll_run_aimed(cfg: PLLConfig, state: PLLState, aim_phase: jax.Array,
     ramp = (starts[:, :, None] + f_est[:, :, None] * t_in[None, None, :]
             ).reshape(c, n)
     xd = x * jnp.exp(-1j * ramp.astype(jnp.complex64))
-    cfg0 = PLLConfig(alpha=cfg.alpha, beta=cfg.beta, freq_center=0.0,
-                     freq_lo=cfg.freq_lo - cfg.freq_hi,
-                     freq_hi=cfg.freq_hi - cfg.freq_lo,
-                     detector=cfg.detector)
-    st2, ph_res, fr_res = pll_run_blockwise(cfg0, state, xd, chunk=chunk)
+    if smooth_cfg is not None:
+        ell = smooth_cfg.chunk
+        while nb % ell:
+            ell //= 2
+        st2, ph_res, _ = costas_open_run(smooth_cfg, state, xd, chunk=ell,
+                                         square=False)
+        fr_res = jnp.zeros_like(ph_res)
+    else:
+        cfg0 = PLLConfig(alpha=cfg.alpha, beta=cfg.beta, freq_center=0.0,
+                         freq_lo=cfg.freq_lo - cfg.freq_hi,
+                         freq_hi=cfg.freq_hi - cfg.freq_lo,
+                         detector=cfg.detector)
+        st2, ph_res, fr_res = pll_run_blockwise(cfg0, state, xd, chunk=chunk)
     phases = ramp + ph_res
     freqs = jnp.repeat(f_est, nb, axis=-1) + fr_res
     aim2 = jnp.mod(starts[:, -1] + steps[:, -1] + math.pi, TWO_PI) - math.pi
@@ -516,18 +532,31 @@ class CostasOpenState:
     #                 with a +-pi branch cut flips the BPSK sign every time
     #                 noise crosses the cut, so the angle is tracked as a
     #                 continuous cumsum of chunk-to-chunk angle increments
+    z_prev: jax.Array  # [C] complex64: previous chunk phasor (frequency is
+    #                 measured between CHUNK means, whose boxcar already
+    #                 attenuates modulation sidebands — a per-sample conj
+    #                 product is power-weighted and an asymmetric sideband
+    #                 would bias the carrier estimate toward itself)
 
 
 def costas_open_init(channels: int) -> CostasOpenState:
     return CostasOpenState(w2=jnp.zeros((channels,), jnp.float32),
                            psi=jnp.zeros((channels,), jnp.float32),
                            r=jnp.zeros((channels,), jnp.complex64),
-                           ang=jnp.zeros((channels,), jnp.float32))
+                           ang=jnp.zeros((channels,), jnp.float32),
+                           z_prev=jnp.zeros((channels,), jnp.complex64))
 
 
 def costas_open_run(cfg: CostasOpenConfig, state: CostasOpenState,
-                    x: jax.Array, chunk: int | None = None):
+                    x: jax.Array, chunk: int | None = None,
+                    square: bool = True):
     """Track the BPSK carrier in x [C, N] complex64.
+
+    square=False tracks a PLAIN (unmodulated) carrier with the same
+    machinery — no squaring, no phase halving: the open-loop smoother for
+    any strong near-DC carrier (e.g. SAM's residual after the aim stage;
+    symmetric AM scales the chunk phasor's magnitude only, so the phase
+    estimate is unbiased by the modulation).
 
     Returns (state', phases [C, N] carrier phase, level [C, F] lock level).
     Streaming-exact for any whole-chunk blocking of the input (all smoothers
@@ -539,13 +568,17 @@ def costas_open_run(cfg: CostasOpenConfig, state: CostasOpenState,
     f = n // ell
     alpha = math.exp(-TWO_PI * cfg.bw_hz * ell / cfg.sample_rate)
 
-    s = x * x                                             # squared domain
+    s = x * x if square else x                # squared domain (BPSK) or raw
     s3 = s.reshape(c, f, ell)
-    # within-chunk conj products only: the K-block batched call computes the
-    # exact same measurements as K sequential calls
-    dm = jnp.mean(s3[:, :, 1:] * jnp.conj(s3[:, :, :-1]), axis=-1)
-    w2m = jnp.clip(jnp.arctan2(dm.imag, dm.real),
-                   -2.0 * cfg.dev_max, 2.0 * cfg.dev_max)
+    # frequency from CHUNK-phasor conj products: the boxcar chunk mean
+    # attenuates modulation sidebands before the frequency read (a
+    # per-sample product is power-weighted — an asymmetric sideband pulls
+    # the estimate toward itself); unambiguous while |w*ell| < pi
+    zf = jnp.mean(s3, axis=-1)                            # [C, F]
+    zp = jnp.concatenate([state.z_prev[:, None], zf[:, :-1]], axis=1)
+    dm = zf * jnp.conj(zp)
+    lim = (2.0 if square else 1.0) * cfg.dev_max
+    w2m = jnp.clip(jnp.arctan2(dm.imag, dm.real) / ell, -lim, lim)
     w2 = _ewma_closed(state.w2, w2m, alpha)               # [C, F]
 
     cs = jnp.cumsum(w2, axis=-1)
@@ -568,12 +601,14 @@ def costas_open_run(cfg: CostasOpenConfig, state: CostasOpenState,
                      jnp.arctan2(r.imag, r.real))  # first-ever chunk: seed
     ang = state.ang[:, None] + jnp.cumsum(dang, axis=-1)  # [C, F]
 
-    phases = 0.5 * (ph_in + ang[:, :, None]).reshape(c, n)
+    half = 0.5 if square else 1.0
+    phases = half * (ph_in + ang[:, :, None]).reshape(c, n)
     # wrap psi/ang mod 4*pi: the HALVED carrier phase then wraps mod 2*pi,
     # so a wrap never flips the BPSK sign across call boundaries
     new_state = CostasOpenState(
         w2=w2[:, -1],
         psi=jnp.mod(psi_next + TWO_PI, 2.0 * TWO_PI) - TWO_PI,
         r=r[:, -1],
-        ang=jnp.mod(ang[:, -1] + TWO_PI, 2.0 * TWO_PI) - TWO_PI)
+        ang=jnp.mod(ang[:, -1] + TWO_PI, 2.0 * TWO_PI) - TWO_PI,
+        z_prev=zf[:, -1])
     return new_state, phases, level
