@@ -407,7 +407,9 @@ def main():
                                     max(16, STEPS // 2)))
         rows.append(_row_subprocess("wfm", 16, 2 * BLOCKS,
                                     max(16, STEPS // 2)))
-        rows.append(_row_subprocess("pfb", blocks=max(8, BLOCKS // 2),
+        # batched bank tail: one straight-line graph per dispatch; K=64
+        # amortizes the fixed dispatch cost best on the tunnel
+        rows.append(_row_subprocess("pfb", blocks=2 * BLOCKS,
                                     steps=max(16, STEPS // 2)))
         # measured quality (stereo separation, RDS BLER) — CPU, weatherproof
         rows.append(_row_subprocess("quality"))

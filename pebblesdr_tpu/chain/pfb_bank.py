@@ -158,6 +158,40 @@ class PfbBankReceiver:
 
     def _step_many_impl(self, state, params, chan_idx, iq, spectra=True):
         n = self.frames_per_buffer
+        rx = self.rx
+        if rx.batched_mode_ok and not rx.cfg.enable_anf:
+            # ONE straight-line graph for the whole dispatch: filterbank
+            # front once over the concatenated capture, then the Receiver's
+            # batched tail (Receiver._tail_many — the same graph the fused
+            # Pallas front feeds).  The per-block lax.scan ran ~60 small
+            # launches per block; this runs them once per dispatch.
+            from pebblesdr_tpu.ops import mixer as mixer_mod
+            from pebblesdr_tpu.ops.mixer import MixerState
+            import dataclasses as _dc
+
+            pfb_state, rx_state = state
+            x = self._to_complex(iq.reshape(-1, iq.shape[-1])
+                                 if jnp.issubdtype(iq.dtype, jnp.floating)
+                                 else iq.reshape(1, -1)[0])
+            k = x.shape[-1] // n
+            pfb_state, y = pfb.apply(self.pfb_plan, pfb_state, x)
+            ch = y[0][chan_idx]                       # [C, K*nb]
+            c = rx.cfg.channels
+            nb = rx.cfg.frames_per_buffer
+            raw_c = None
+            if spectra:
+                bins = rx.cfg.spectrum_bins
+                raw_c = jnp.moveaxis(
+                    ch.reshape(c, k, nb)[:, :, nb - bins:], 1, 0)
+            # residual fine-tune mix (streaming-exact on the concatenation);
+            # the tail Receiver's decimation plan is empty at channel rate
+            mix_state, xm = mixer_mod.mix(rx_state.mixer, ch,
+                                          params.tune_hi, params.tune_lo)
+            tail_st, out = rx._tail_many(rx_state, params, k, raw_c, xm,
+                                         spectra=spectra)
+            new_rx = _dc.replace(rx_state, mixer=mix_state, **tail_st)
+            return (pfb_state, new_rx), out
+
         if jnp.issubdtype(iq.dtype, jnp.floating):
             blocks = iq.reshape(-1, n, 2)
         else:

@@ -439,22 +439,29 @@ class Receiver:
         return self._step_many(state, params, iq, spectra=spectra)
 
     @property
-    def batched_capable(self) -> bool:
-        """True when step_many runs the straight-line batched graph (and may
-        therefore consume TIME-FOLDED input planes)."""
+    def batched_mode_ok(self) -> bool:
+        """The demod tail is expressible as one straight-line batched graph
+        (independent of the front-end requirements — chain.pfb_bank reuses
+        the batched TAIL behind its own filterbank front)."""
         batched_modes = (DemodMode.AM, DemodMode.USB, DemodMode.LSB,
                          DemodMode.CWU, DemodMode.CWL, DemodMode.DIGU,
                          DemodMode.DIGL, DemodMode.DSB, DemodMode.NONE)
-        mode_ok = (self.cfg.mode in batched_modes
-                   or (is_wfm(self.cfg.mode) and self.batched_wfm
-                       and (not self.cfg.rds
-                            or self.rds_cfg.alg == "open"))
-                   or (self.cfg.mode == DemodMode.FMN
-                       and self.nfm_cfg.algorithm in ("conj", "derivative"))
-                   or (self.cfg.mode == DemodMode.SAM
-                       and self.sam_cfg.algorithm == "aimed"
-                       and self.blk % 128 == 0))
-        return bool(self.cfg.batched_many and self.use_pallas and mode_ok
+        return bool(self.cfg.mode in batched_modes
+                    or (is_wfm(self.cfg.mode) and self.batched_wfm
+                        and (not self.cfg.rds
+                             or self.rds_cfg.alg == "open"))
+                    or (self.cfg.mode == DemodMode.FMN
+                        and self.nfm_cfg.algorithm in ("conj", "derivative"))
+                    or (self.cfg.mode == DemodMode.SAM
+                        and self.sam_cfg.algorithm == "aimed"
+                        and self.blk % 128 == 0))
+
+    @property
+    def batched_capable(self) -> bool:
+        """True when step_many runs the straight-line batched graph (and may
+        therefore consume TIME-FOLDED input planes)."""
+        return bool(self.cfg.batched_many and self.use_pallas
+                    and self.batched_mode_ok
                     and not self.cfg.enable_anf
                     and self.cfg.spectrum_bins <= self._front_sub)
 
@@ -607,18 +614,49 @@ class Receiver:
             y_pk, dc, decim_state, new_phase, raw_pk = fr
             x_cat = self._pk.unpack_to_complex(y_pk, fold=fold)  # [C, K*blk]
         mix_state = mixer.MixerState(phase=new_phase)
-
-        # ---- full-rate spectrum per block (batched) ------------------------
+        raw_c = None
         if spectra:
-            bins = cfg.spectrum_bins
             # raw display tails come from the kernel's raw export: slicing
             # them off the entry buffer instead costs a [K, bins, 2C]
             # strided-gather relayout (measured 25-40% whole-chain hit)
-            raw = jax.lax.complex(
+            raw_c = jax.lax.complex(
                 jnp.moveaxis(raw_pk[:, :, :c], 2, 1),
                 jnp.moveaxis(raw_pk[:, :, c:], 2, 1))           # [K, C, bins]
-            overload = jnp.max(jnp.abs(raw.real), axis=-1) > spectrum.OVERLOAD_LEVEL
-            xw = raw * self.w_full[None, None, :]
+        tm = (y_pk, fold, disc_t, dlast) if use_tm else None
+        tail_st, out = self._tail_many(state, params, k, raw_c, x_cat,
+                                       spectra, tm=tm)
+        new_state = ReceiverState(
+            mixer=mix_state, decim=decim_state, dc=dc,
+            nb=state.nb, anf=state.anf, iqbal=state.iqbal, **tail_st)
+        return new_state, out
+
+    def _tail_many(self, state: ReceiverState, params: RxParams, k: int,
+                   raw_c, x_cat, spectra: bool = True, tm=None):
+        """The straight-line BATCHED demod-rate tail for K concatenated
+        logical blocks: display spectra, S-meter/squelch, bandpass/AGC/demod/
+        resample — everything downstream of a front end.  Used by
+        _step_many_batched (behind the fused Pallas front) and by
+        chain.pfb_bank's batched step_many (behind the filterbank front).
+
+        raw_c: [K, C, spectrum_bins] complex device-rate display tails (or
+        None when spectra=False); x_cat: [C, K*blk] demod-rate stream; tm:
+        (y_pk, fold, disc_t, dlast) for the WFM time-major fast path (x_cat
+        may then be None).  Returns (tail_state_dict, out) where the dict
+        carries the tail-owned ReceiverState fields."""
+        cfg = self.cfg
+        c = cfg.channels
+        blk = self.blk
+        out: dict[str, Any] = {}
+        use_tm = tm is not None
+        if use_tm:
+            y_pk, fold, disc_t, dlast = tm
+
+        # ---- full-rate spectrum per block (batched) ------------------------
+        if spectra:
+            bins = raw_c.shape[-1]
+            overload = jnp.max(jnp.abs(raw_c.real),
+                               axis=-1) > spectrum.OVERLOAD_LEVEL
+            xw = raw_c * self.w_full[None, None, :]
             norm = 1.0 / (bins * self.cg_full)
             p_full = (spectrum._shifted_power(xw.reshape(k * c, bins))
                       .reshape(k, c, bins) * (norm * norm))
@@ -687,8 +725,10 @@ class Receiver:
                     jax.lax.complex(dlast[0, :c], dlast[0, c:]),
                     fold=fold, n_block=blk)
             else:
+                # non-tm implies no fused tail kernel (pallas_tail False),
+                # so the demod's fold parameter is moot
                 demod_state, wout = wfm_mod.wfm_demod(
-                    self.wfm_cfg, state.demod, x_cat, n_block=blk, fold=fold)
+                    self.wfm_cfg, state.demod, x_cat, n_block=blk)
             out["pilot_locked"] = wout["pilot_locked"].T      # [K, C]
             ff_state, agc_state = state.fastfir, state.agc
             if cfg.rds:
@@ -748,13 +788,12 @@ class Receiver:
             1.0 - params.mute.astype(jnp.float32))
         out["audio"] = audio * gate[(...,) + (None,) * (audio.ndim - 2)]
 
-        new_state = ReceiverState(
-            mixer=mix_state, decim=decim_state, fastfir=ff_state, dc=dc,
-            nb=state.nb, anf=state.anf, agc=agc_state, demod=demod_state,
+        tail_st = dict(
+            fastfir=ff_state, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
             spec_zoom=spec_zoom_state, rds=rds_state,
-            squelch=squelch_open[-1], iqbal=state.iqbal)
-        return new_state, out
+            squelch=squelch_open[-1])
+        return tail_st, out
 
     def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,
                    spectra: bool = True):

@@ -103,8 +103,12 @@ _dense_cache: dict[int, jax.Array] = {}
 
 def _dense_dev(p: ResamplePlan) -> jax.Array:
     """Banded operator as a cached DEVICE array (lifted as a jit parameter
-    instead of an HLO literal — measurably faster on TPU)."""
-    key = id(p.dense)
+    instead of an HLO literal — measurably faster on TPU).
+
+    Keyed by the plan GEOMETRY, never id(): a garbage-collected plan's id
+    can be reused by a different plan's array, silently serving the wrong
+    operator (shape-mismatch at best)."""
+    key = (p.in_rate, p.out_rate, p.n_in, p.taps)
     if key not in _dense_cache:
         with jax.ensure_compile_time_eval():
             _dense_cache[key] = jnp.asarray(p.dense)
