@@ -175,25 +175,41 @@ def _run_stations(args, source) -> int:
                            agc_mode=args.agc)
     state = bank.init_state()
     n_blocks = max(1, int(args.seconds * fs / args.frames))
+    kdisp = max(1, min(args.blocks_per_dispatch, n_blocks))
     audio = []
     perform = Perform()
     last = None
+    n_done = 0
     t_start = time.perf_counter()
-    for _ in range(n_blocks):
-        blk = source.read_block(args.frames)
-        if blk is None:
+    while n_done < n_blocks:
+        blks = []
+        for _ in range(kdisp):
+            blk = source.read_block(args.frames)
+            if blk is None:
+                break
+            blks.append(blk)
+        if not blks:
             break
-        plane = np.stack([blk.real, blk.imag], axis=1).astype(np.float32)
+        k_real = len(blks)
+        if k_real < kdisp:
+            blks.extend(np.zeros(args.frames, np.complex64)
+                        for _ in range(kdisp - k_real))
+        cat = np.concatenate(blks)
+        plane = np.stack([cat.real, cat.imag], axis=1).astype(np.float32)
         with perform.measure("step"):
-            state, out = bank.step(state, jnp.asarray(plane))
-            audio.append(np.asarray(out["audio"]))
-        last = out
+            state, out = bank.step_many(state, jnp.asarray(plane))
+            audio.extend(np.asarray(out["audio"])[:k_real])  # [K, C, M]
+        n_done += k_real
+        last = (out, k_real)
+        if k_real < kdisp:
+            break
     wall = time.perf_counter() - t_start
     if last is None:
         print("no IQ blocks read from the source", file=sys.stderr)
         return 1
+    out, k_real = last
     aud = np.concatenate(audio, axis=-1)
-    snr = np.asarray(last["smeter"]["snr_db"])
+    snr = np.asarray(out["smeter"]["snr_db"])[k_real - 1]
     rows = [{
         "station": names[i], "tune_hz": float(tunes[i]),
         "channel": int(bank.chan_idx[i]),
