@@ -319,7 +319,7 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
 
 
 def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
-              n_block: int = 0, fold: int = 1):
+              n_block: int = 0):
     """x: [C, N] complex64 composite-rate IQ.
 
     n_block > 0 treats x as K = N // n_block concatenated logical blocks in
@@ -329,12 +329,9 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     and the per-block pilot lock EWMA keeps its per-call semantics via a
     closed-form K-matmul.
 
-    fold > 1 runs the fused Pallas tail on the TIME-FOLDED lane layout
-    (G groups x C channels wide; see pallas_kernels.wfm_tail_packed): the
-    [N, C] time-major composite at C<=32 is physically padded to 128 lanes
-    by the TPU tiling, so the folded relayout makes the kernel's input
-    dense.  Group seams (LP history halos) are built closed-form from the
-    composite + pilot phases; requires n_block and K % fold == 0.
+    (The batched Receiver path with the fused front uses wfm_demod_tm
+    instead — the front's in-kernel discriminator hands it the time-major,
+    optionally time-folded, raw plane directly.)
 
     Returns (state', out) with out = dict(left [C, M], right [C, M],
     pilot_locked ([C] bool, or [C, K] when n_block), rds_baseband
@@ -430,60 +427,13 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
                 sub, d_rows - (len(cfg.audio_taps) - 1))
             with jax.ensure_compile_time_eval():
                 wt_d = jnp.asarray(np.ascontiguousarray(w_np.T))
-            if fold > 1 and n % fold == 0 and (n // fold) % sub == 0 \
-                    and (n // fold) % ell == 0:
-                seg = n // fold
-                fch = seg // ell
-                # folded time-major layouts (lane group g = time segment g)
-                raw_t = jnp.transpose(raw.reshape(c, fold, seg),
-                                      (2, 1, 0)).reshape(seg, fold * c)
-                p0_t = jnp.transpose(p0.reshape(c, fold, fch),
-                                     (2, 1, 0)).reshape(fch, fold * c)
-                wf_t = jnp.transpose(wf.reshape(c, fold, fch),
-                                     (2, 1, 0)).reshape(fch, fold * c)
-                # per-group LP history: group 0 = carried tail; group g>0 =
-                # the last d_rows [mono | lmr] samples of group g-1,
-                # rebuilt from the composite + the pilot chunk phases
-                mono_h = raw.reshape(c, fold, seg)[:, :, seg - d_rows:]
-                t_idx = np.arange(seg - d_rows, seg)
-                f_idx = t_idx // ell
-                t_off = (t_idx - f_idx * ell).astype(np.float32)
-                ph_h = (jnp.take(p0.reshape(c, fold, fch), f_idx, axis=2)
-                        + jnp.take(wf.reshape(c, fold, fch), f_idx, axis=2)
-                        * jnp.asarray(t_off)[None, None, :])
-                lmr_h = mono_h * 2.0 * jnp.sin(2.0 * ph_h)  # [C, G, d_rows]
-                tails_m = [state.lp_tail_mono[:, :c]]
-                tails_l = [state.lp_tail_mono[:, c:]]
-                for g in range(1, fold):
-                    tails_m.append(mono_h[:, g - 1].T)
-                    tails_l.append(lmr_h[:, g - 1].T)
-                tail_in = jnp.concatenate(tails_m + tails_l, axis=1)
-                audio_pk, tail_pk = _pk.wfm_tail_packed(
-                    raw_t, p0_t, wf_t, tail_in, wt_d,
-                    cfg.audio_decim, d_rows, ell, sub_block=sub,
-                    interpret=cfg.pallas_interpret)
-                gc_ = fold * c
-                m_seg = audio_pk.shape[0]
-                mono_a = jnp.transpose(
-                    audio_pk[:, :gc_].reshape(m_seg, fold, c),
-                    (2, 1, 0)).reshape(c, fold * m_seg)
-                lmr_a = jnp.transpose(
-                    audio_pk[:, gc_:].reshape(m_seg, fold, c),
-                    (2, 1, 0)).reshape(c, fold * m_seg)
-                # carried tail = the LAST group's lanes
-                gl = (fold - 1) * c
-                tail_m = jnp.concatenate(
-                    [tail_pk[:, gl:gl + c], tail_pk[:, gc_ + gl:gc_ + gl + c]],
-                    axis=1)
-                tail_s = state.lp_tail_lmr
-            else:
-                audio_pk, tail_pk = _pk.wfm_tail_packed(
-                    raw.T, p0.T, wf.T, state.lp_tail_mono, wt_d,
-                    cfg.audio_decim, d_rows, ell, sub_block=sub,
-                    interpret=cfg.pallas_interpret)
-                mono_a = audio_pk[:, :c].T
-                lmr_a = audio_pk[:, c:].T
-                tail_m, tail_s = tail_pk, state.lp_tail_lmr
+            audio_pk, tail_pk = _pk.wfm_tail_packed(
+                raw.T, p0.T, wf.T, state.lp_tail_mono, wt_d,
+                cfg.audio_decim, d_rows, ell, sub_block=sub,
+                interpret=cfg.pallas_interpret)
+            mono_a = audio_pk[:, :c].T
+            lmr_a = audio_pk[:, c:].T
+            tail_m, tail_s = tail_pk, state.lp_tail_lmr
         else:
             lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
             # mono + L-R share the same LP: ONE stacked [2C, N] banded-matmul
