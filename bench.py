@@ -401,8 +401,12 @@ def main():
         # SAM is scan-free now (open-loop stage-2 smoother): full
         # blocks/dispatch amortizes the fixed cost like the other rows
         rows.append(_row_subprocess("sam", CHANNELS, BLOCKS, STEPS))
-        # small-channel-count scaling (time-folded entry planes; 2x blocks
-        # per dispatch — the folded dispatch is lighter, so K=64 wins there)
+        # channel-count scaling: 256ch (the north-star "many concurrent
+        # wideband channels" shape — each ~40x realtime on one chip) and
+        # 16ch (time-folded entry planes; 2x blocks per dispatch — the
+        # folded dispatch is lighter, so K=64 wins there)
+        rows.append(_row_subprocess("am", 256, max(8, BLOCKS // 2),
+                                    max(16, STEPS // 2)))
         rows.append(_row_subprocess("am", 16, 2 * BLOCKS,
                                     max(16, STEPS // 2)))
         rows.append(_row_subprocess("wfm", 16, 2 * BLOCKS,
