@@ -568,7 +568,7 @@ def unpack_to_complex(y_pk: jax.Array, fold: int = 1) -> jax.Array:
 # ----------------------------------------------------- fused WFM stereo tail
 
 def _wfm_tail_kernel(sub_block, c, d_rows, l_chunk, m_tile, factor,
-                     disc_gain, interpret,
+                     interpret,
                      raw_ref, p0_ref, wf_ref, wt_ref, tail_in_ref,
                      y_ref, tail_out_ref):
     """One grid step of the fused WFM stereo tail: demux + decimating LP.
@@ -659,7 +659,7 @@ def wfm_tail_packed(raw_t: jax.Array, p0_t: jax.Array, wf_t: jax.Array,
         wt_rows, wt_cols = m_sub, d_rows + sub_block
 
     kern = functools.partial(_wfm_tail_kernel, sub_block, c, d_rows, l_chunk,
-                             m_tile, factor, 1.0, interpret)
+                             m_tile, factor, interpret)
     in_specs = [
         pl.BlockSpec((sub_block, c), lambda s: (s, 0)),
         pl.BlockSpec((nch, c), lambda s: (s, 0)),
