@@ -115,15 +115,13 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
     # lanes by the TPU's (8, 128) tiling, so the unfolded entry would make
     # every front-end pass move 128/2C times the logical bytes.  Feeders
     # build this layout for free; here one host-side reorder does it.
-    fold = 1
-    while 2 * channels * (fold * 2) <= 128 and blocks % (fold * 2) == 0:
-        fold *= 2
+    from pebblesdr_tpu.ops.pallas_kernels import fold_plane_np, pick_fold
+    fold = pick_fold(channels, blocks)
     if fold > 1 and rx.batched_capable:
         # one logical block tiled K times is IDENTICAL in every lane group,
         # so the folded dispatch buffer is the block-plane widened to 2GC
         # lanes and tiled K/G times
-        from pebblesdr_tpu.ops import pallas_kernels as _pkm
-        plane_f = _pkm.fold_plane_np(
+        plane_f = fold_plane_np(
             np.tile(plane, (fold, 1)), fold)       # [N, 2*fold*C]
         iq_dev = jax.jit(lambda b: jnp.tile(b, (blocks // fold, 1)))(
             jnp.asarray(plane_f))

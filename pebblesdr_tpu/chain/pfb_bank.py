@@ -159,7 +159,19 @@ class PfbBankReceiver:
     def _step_many_impl(self, state, params, chan_idx, iq, spectra=True):
         n = self.frames_per_buffer
         rx = self.rx
-        if rx.batched_mode_ok and not rx.cfg.enable_anf:
+        # the batched fast path reproduces only the mixer stage of the tail
+        # Receiver's front (plus the empty decimation plan); any other
+        # enabled front stage (DC blocker, IQ balance, noise blanker, a
+        # non-trivial decimator — e.g. oversample=2 banks whose channel rate
+        # still decimates) must take the per-block scan path so batched and
+        # sequential results agree
+        front_trivial = (len(rx.plan.stages) == 0
+                         and not rx.cfg.enable_dc_removal
+                         and not rx.cfg.enable_iq_balance
+                         and not rx.cfg.enable_noise_blanker
+                         and not rx.cfg.taps)
+        if (rx.cfg.batched_many and rx.batched_mode_ok
+                and not rx.cfg.enable_anf and front_trivial):
             # ONE straight-line graph for the whole dispatch: filterbank
             # front once over the concatenated capture, then the Receiver's
             # batched tail (Receiver._tail_many — the same graph the fused

@@ -580,9 +580,7 @@ class Receiver:
         else:
             total = x_pk.shape[0]
             k = total // n
-            fold = 1
-            while c2 * (fold * 2) <= 128 and k % (fold * 2) == 0:
-                fold *= 2
+            fold = self._pk.pick_fold(c, k)
             if fold > 1:
                 x_pk = self._pk.fold_plane(x_pk, fold)
         # WFM-stereo on the fused tail also takes the IN-KERNEL FM

@@ -69,7 +69,12 @@ class RdsConfig:
         n16 = block // plan.factor
         rs = resampler.plan(16000, 19000, n16, taps=16)
         n19 = rs.n_out
-        assert n19 % SPS == 0, (n19, "block must yield whole RDS symbols")
+        if n19 % SPS:
+            raise ValueError(
+                f"RDS needs whole symbols per block: a {block}-sample "
+                f"composite block yields {n19} samples at 19 kHz, not a "
+                f"multiple of {SPS} (use a block length whose 16 kHz "
+                f"stream is a multiple of {SPS * 16})")
         # biphase (Manchester) matched filter: +half, -half of a symbol
         half = SPS // 2
         mf = np.concatenate([np.ones(half), -np.ones(half)]) / SPS
@@ -79,9 +84,9 @@ class RdsConfig:
         # open-loop chunk: multiple of SPS (chunk sums then null the baud
         # harmonics of the squared signal) that divides the per-block stream
         ell = 64
-        while n19 % ell or ell % SPS:
+        while ell > SPS and n19 % ell:
             ell //= 2
-        assert ell >= SPS and n19 % ell == 0
+        assert ell >= SPS and n19 % ell == 0  # n19 % SPS == 0 checked above
         return RdsConfig(composite_rate=composite_rate, plan=plan, rs_plan=rs,
                          pll=cfg_pll, mf_taps=mf, n_sym=n19 // SPS, alg=alg,
                          costas_open=pll.make_costas_open_config(19000.0),

@@ -53,8 +53,8 @@ class SAMConfig:
         return SAMConfig(sample_rate=sample_rate, pll=cfg, hilbert_taps=taps,
                          algorithm=algorithm, smooth=smooth,
                          open_track=pll.make_costas_open_config(
-                             sample_rate, range_hz=2000.0, bw_hz=50.0,
-                             chunk=64))
+                             sample_rate, range_hz=200.0, bw_hz=50.0,
+                             chunk=64, square=False))
 
 
 @pytree_dataclass

@@ -239,6 +239,16 @@ def fold_plane(x_pk: jax.Array, fold: int) -> jax.Array:
                            + [xg[g, :, c:] for g in range(fold)], axis=1)
 
 
+def pick_fold(channels: int, k_blocks: int) -> int:
+    """The time-fold factor the Receiver/feeders/bench all agree on: the
+    largest power of two G with 2*C*G <= 128 (fill the tile lanes) that
+    divides the dispatch's block count (whole logical blocks per group)."""
+    fold = 1
+    while 2 * channels * (fold * 2) <= 128 and k_blocks % (fold * 2) == 0:
+        fold *= 2
+    return fold
+
+
 def fold_plane_np(plane: np.ndarray, fold: int) -> np.ndarray:
     """Host-side twin of fold_plane (numpy; what feeders/benches ship)."""
     n, c2 = plane.shape

@@ -119,6 +119,12 @@ def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
     hop = p.hop
     if n % hop:
         raise ValueError(f"block length {n} not divisible by hop {hop}")
+    if p.os == 2 and (n // hop) % 2:
+        # the per-frame twiddle below is (-1)^(m*(k+1)) with k local to the
+        # call; whole frame PAIRS per call keep the global parity consistent
+        # across streaming calls (and across time shards)
+        raise ValueError(f"os=2 needs whole frame pairs per call: "
+                         f"{n} samples = {n // hop} frames of hop {hop}")
     k_out = n // hop
     u = (m * t) // hop                                # hop-rows per window
     ext = jnp.concatenate([state, x], axis=1)         # [R, TM - hop + N]

@@ -516,8 +516,17 @@ class CostasOpenConfig:
 
 
 def make_costas_open_config(sample_rate: float, range_hz: float = 200.0,
-                            bw_hz: float = 30.0,
-                            chunk: int = 64) -> CostasOpenConfig:
+                            bw_hz: float = 30.0, chunk: int = 64,
+                            square: bool = True) -> CostasOpenConfig:
+    """The chunk length bounds the UNAMBIGUOUS frequency read: the
+    chunk-to-chunk conj product measures |w·ell| < pi (2w in the squared
+    domain), so the default chunk shrinks until the advertised range_hz is
+    actually measurable — otherwise a carrier inside the configured range
+    would alias to a wrong frequency and the clip could never engage."""
+    wmax = (2.0 if square else 1.0) * TWO_PI * range_hz / sample_rate
+    chunk = int(chunk)
+    while chunk > 1 and wmax * chunk >= 0.9 * math.pi:
+        chunk //= 2
     return CostasOpenConfig(dev_max=TWO_PI * range_hz / sample_rate,
                             chunk=chunk, bw_hz=bw_hz,
                             sample_rate=float(sample_rate))
@@ -577,7 +586,9 @@ def costas_open_run(cfg: CostasOpenConfig, state: CostasOpenState,
     zf = jnp.mean(s3, axis=-1)                            # [C, F]
     zp = jnp.concatenate([state.z_prev[:, None], zf[:, :-1]], axis=1)
     dm = zf * jnp.conj(zp)
-    lim = (2.0 if square else 1.0) * cfg.dev_max
+    # the conj-product angle wraps at +-pi, so the usable clip is the
+    # smaller of the configured range and the measurement's own span
+    lim = min((2.0 if square else 1.0) * cfg.dev_max, math.pi / ell)
     w2m = jnp.clip(jnp.arctan2(dm.imag, dm.real) / ell, -lim, lim)
     w2 = _ewma_closed(state.w2, w2m, alpha)               # [C, F]
 

@@ -38,9 +38,11 @@ def build_sharded_bank_step(bank: PfbBankReceiver, mesh):
     plan = bank.pfb_plan
     n_time = mesh.shape["time"]
     n_local = bank.frames_per_buffer // n_time
-    if n_local % plan.hop:
-        raise ValueError(f"per-shard chunk {n_local} not divisible by the "
-                         f"filterbank hop {plan.hop}")
+    if n_local % (plan.hop * plan.os):
+        # os=2: whole frame PAIRS per shard keep the per-frame twiddle's
+        # parity globally consistent (see ops.pfb.apply)
+        raise ValueError(f"per-shard chunk {n_local} not divisible by "
+                         f"hop*os = {plan.hop * plan.os}")
     state_len = plan.state_len
 
     def front_body(carry, xl):

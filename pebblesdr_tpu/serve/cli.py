@@ -449,9 +449,9 @@ def main(argv=None):
         # the fold costs nothing beyond the plane assembly itself.
         fold = 1
         if rx.batched_capable:
-            while (2 * args.channels * (fold * 2) <= 128
-                   and kdisp % (fold * 2) == 0):
-                fold *= 2
+            from pebblesdr_tpu.ops.pallas_kernels import pick_fold
+
+            fold = pick_fold(args.channels, kdisp)
         seg_n = kdisp * args.frames // fold
         halves = []
         for part in ("real", "imag"):

@@ -175,3 +175,13 @@ class TestOversampled:
         assert power[2] > 0.35, power      # ~full 0.8-depth AM envelope
         assert power[1] < 0.25, power      # one sideband lost
         assert power[2] > 2.0 * power[1], power
+
+
+class TestOs2Guards:
+    def test_odd_frame_count_rejected(self):
+        """The os=2 per-frame twiddle needs whole frame pairs per call for
+        streaming parity consistency (code-review r3 finding 2)."""
+        p = pfb.plan(FS, M, os=2)
+        with pytest.raises(ValueError, match="frame pairs"):
+            pfb.apply(p, pfb.init_state(p),
+                      jnp.zeros((1, 3 * p.hop), jnp.complex64))

@@ -198,3 +198,51 @@ class TestShardedBank:
              * np.exp(2j * np.pi * centers[2] * t)).astype(np.complex64)
         st, out = bank.step(st, jnp.asarray(x))
         assert out["audio"].shape[0] == 2
+
+
+class TestBatchedTailGate:
+    def test_nontrivial_front_takes_scan_path(self):
+        """oversample=2 gives the tail Receiver a real decimation stage; the
+        batched fast path must fall back to the per-block scan and still
+        match sequential steps (code-review r3 finding 1)."""
+        fs, frames, m = 1_024_000, 16384, 16   # ch_rate 128k -> tail decim x2
+        centers = pfb.channel_freqs(pfb.plan(fs, m, os=2))
+        t = np.arange(3 * frames) / fs
+        x = (0.5 * (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t))
+             * np.exp(2j * np.pi * centers[3] * t)).astype(np.complex64)
+        bank = PfbBankReceiver(fs, frames, centers[[3, 7]],
+                               mode=DemodMode.AM, n_bank=m, oversample=2,
+                               agc_mode="off")
+        assert len(bank.rx.plan.stages) >= 1
+        st = bank.init_state()
+        ref = []
+        for b in range(3):
+            st, out = bank.step(st, jnp.asarray(x[b * frames:(b + 1) * frames]))
+            ref.append(np.asarray(out["audio"]))
+        ref = np.concatenate(ref, -1)
+        st2 = bank.init_state()
+        st2, ob = bank.step_many(st2, jnp.asarray(x))
+        got = np.moveaxis(np.asarray(ob["audio"]), 0, 1).reshape(ref.shape)
+        scale = max(np.abs(ref).max(), 1e-9)
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_dc_removal_override_takes_scan_path(self):
+        fs, frames, m = 1_024_000, 16384, 32
+        centers = pfb.channel_freqs(pfb.plan(fs, m))
+        bank = PfbBankReceiver(fs, frames, centers[[2, 6]],
+                               mode=DemodMode.AM, n_bank=m,
+                               enable_dc_removal=True, agc_mode="off")
+        rng = np.random.default_rng(1)
+        x = (rng.normal(size=2 * frames) + 0.2
+             + 1j * rng.normal(size=2 * frames)).astype(np.complex64)
+        st = bank.init_state()
+        ref = []
+        for b in range(2):
+            st, out = bank.step(st, jnp.asarray(x[b * frames:(b + 1) * frames]))
+            ref.append(np.asarray(out["audio"]))
+        ref = np.concatenate(ref, -1)
+        st2 = bank.init_state()
+        st2, ob = bank.step_many(st2, jnp.asarray(x))
+        got = np.moveaxis(np.asarray(ob["audio"]), 0, 1).reshape(ref.shape)
+        scale = max(np.abs(ref).max(), 1e-9)
+        assert np.abs(got - ref).max() / scale < 1e-5

@@ -343,3 +343,11 @@ class TestRdsSignalPath:
         for grp in block_dec.groups:
             g.decode(grp)
         assert g.ps_name == "PEBBLES "
+
+
+class TestConfigGuards:
+    def test_incompatible_block_raises_clearly(self):
+        """A block whose 19 kHz stream is not whole symbols must raise a
+        clear ValueError, not divide by zero (code-review r3 finding 3)."""
+        with pytest.raises(ValueError, match="whole symbols"):
+            rds.RdsConfig.make(256000.0, 2048)
