@@ -257,3 +257,53 @@ def test_batched_wfm_rds_decodes_ps():
     for grp in dec.groups:
         g.decode(grp)
     assert g.ps_name == "PEBBLES "
+
+
+def test_batched_tm_checkpoint_and_retune():
+    """Round-3 fast-path state (folded front carries, packed tm tails,
+    open-loop tracker states) must checkpoint/restore bit-exactly mid-stream
+    and retune without recompiling (the recovery + no-recompile contracts
+    extend to the new layouts)."""
+    import dataclasses
+
+    from pebblesdr_tpu.utils import checkpoint as ckpt
+
+    kf = 4
+    t = np.arange(2 * kf * N) / FS
+    a = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    th = 2 * np.pi * 19000.0 * t
+    comp = 0.45 * a + 0.1 * np.sin(th) + 0.45 * a * np.sin(2 * th)
+    phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+    iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+          ).astype(np.complex64)
+    iq = iq[None, :] * np.ones((C, 1), np.float32)
+    x_pk = np.concatenate([iq.real.astype(np.float32).T,
+                           iq.imag.astype(np.float32).T], axis=1)
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=DemodMode.FMS, use_pallas=True)
+    rx = Receiver(cfg)
+    assert rx.wfm_cfg.pallas_tail
+    params = rx.default_params(250_000.0)
+    step = jax.jit(functools.partial(rx._step_many_impl, spectra=False))
+
+    st = rx.init_state()
+    st, out1 = step(st, params, jnp.asarray(x_pk[:kf * N]))
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/state.npz"
+        ckpt.save_state(path, st)
+        st_restored, _ = ckpt.load_state(path, rx.init_state())
+
+    # continuation from the restored state must equal the uninterrupted one
+    st_a, out_a = step(st, params, jnp.asarray(x_pk[kf * N:]))
+    st_b, out_b = step(st_restored, params, jnp.asarray(x_pk[kf * N:]))
+    np.testing.assert_array_equal(np.asarray(out_a["audio"]),
+                                  np.asarray(out_b["audio"]))
+
+    # retune is a pure params change: same compiled executable (no trace)
+    with jax.log_compiles(False):
+        params2 = rx.retune(params, 260_000.0)
+        st_c, out_c = step(st_a, params2, jnp.asarray(x_pk[:kf * N]))
+    assert np.all(np.isfinite(np.asarray(out_c["audio"])))
