@@ -82,4 +82,28 @@ ref = np.concatenate(ref, axis=-1)
 err = np.abs(got - ref).max()
 print(f"[{pid}] audio shards {got.shape} maxdiff {err:.2e}", flush=True)
 assert err < 2e-3, err
+
+# ---- WFM-STEREO over the same 2-process mesh: the flagship demod's
+# sharded step (time-sharded composite front + channel-sharded pilot/
+# demux tail) must run distributed and produce finite stereo audio
+cfg_w = ReceiverConfig(sample_rate=fs, frames_per_buffer=n,
+                       channels=c_total, mode=DemodMode.FMS,
+                       use_pallas=False)
+rx_w = Receiver(cfg_w)
+params_w = rx_w.default_params(np.full(c_total, 100_000.0))
+tw = np.arange(n) / fs
+comp_w = (0.45 * np.sin(2 * np.pi * 1000.0 * tw)
+          + 0.1 * np.sin(2 * np.pi * 19000.0 * tw))
+ph_w = 2 * np.pi * np.cumsum(75000.0 * comp_w) / fs
+iq_w = (0.5 * np.exp(1j * (2 * np.pi * 100_000.0 * tw + ph_w))
+        ).astype(np.complex64)
+step_w = channelizer.build_sharded_step(rx_w, mesh, fused=False)
+state_w = mesh_mod.shard_state(channelizer.init_state(rx_w), mesh)
+blk_w = np.broadcast_to(iq_w, (2, n)).copy()
+for _ in range(2):
+    iq_gw = jax.make_array_from_process_local_data(bsh, blk_w, (c_total, n))
+    state_w, audio_w = step_w(state_w, params_w, iq_gw)
+aw = np.asarray(audio_w.addressable_shards[0].data)
+assert aw.shape[1] == 2 and np.all(np.isfinite(aw))  # stereo L/R
+print(f"[{pid}] WFM shards {aw.shape} finite", flush=True)
 print(f"[{pid}] MULTIPROCESS OK", flush=True)
