@@ -26,7 +26,7 @@ import numpy as np
 
 CHANNELS = int(os.environ.get("BENCH_CHANNELS", "64"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "32768"))
-FS = 2_048_000
+FS = int(os.environ.get("BENCH_FS", "2048000"))
 WARMUP = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "40"))
 # blocks per dispatch (Receiver.step_many lax.scan): amortizes the

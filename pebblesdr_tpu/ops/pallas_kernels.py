@@ -70,7 +70,12 @@ def _atan2(y, x):
     r = p * s * t + t
     r = jnp.where(big, r + 0.7853981633974483, r)
     r = jnp.where(ay > ax, 1.5707963267948966 - r, r)
-    r = jnp.where(x < 0, 3.141592653589793 - r, r)
+    # IEEE signed zero: atan2(+-0, -0.0) = +-pi (XLA/libm semantics — the
+    # first-ever discriminator sample multiplies by a zero seed and lands
+    # exactly here, so the kernel must agree with the XLA path); a plain
+    # x < 0 misses -0.0, the reciprocal's sign does not
+    neg_x = (x < 0) | ((x == 0) & (1.0 / x < 0))
+    r = jnp.where(neg_x, 3.141592653589793 - r, r)
     return jnp.where(y < 0, -r, r)
 
 

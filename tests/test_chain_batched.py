@@ -121,10 +121,13 @@ def test_batched_fm_matches_sequential(mode):
         assert locked.shape == (K, C) and locked[-1].all()
 
 
-@pytest.mark.parametrize("mode", [DemodMode.AM, DemodMode.FMS])
-def test_batched_time_fold_matches_sequential(mode):
+@pytest.mark.parametrize("mode,hq", [(DemodMode.AM, False),
+                                     (DemodMode.FMS, False),
+                                     (DemodMode.FMS, True)])
+def test_batched_time_fold_matches_sequential(mode, hq):
     """K=4 blocks at C=2 engage the virtual-channel time-fold (fold=4) in
-    the batched front; audio must still match sequential step() calls."""
+    the batched front; audio must still match sequential step() calls —
+    including the wfm_hq (>=400 kHz composite) geometry."""
     kf = 4
     t = np.arange(kf * N) / FS
     if mode == DemodMode.FMS:
@@ -149,7 +152,7 @@ def test_batched_time_fold_matches_sequential(mode):
 
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
                          mode=mode, use_pallas=True, batched_many=True,
-                         agc_mode="off")
+                         agc_mode="off", wfm_hq=hq)
     rx = Receiver(cfg)
     params = rx.default_params(250_000.0)
 
