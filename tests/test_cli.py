@@ -57,3 +57,18 @@ class TestCli:
             assert metrics["snr_db"] > 30
         finally:
             server.stop()
+
+
+class TestCliDecode:
+    def test_cw_decode_end_to_end(self, capsys):
+        """--synthetic morse --decode cw: MorseGen source -> chain taps ->
+        Goertzel-OOK modem -> text (the reference's CW decode path,
+        morse.cpp:761+, at the app-shell surface)."""
+        rc = main(["--synthetic", "morse", "--mode", "CWU",
+                   "--tune", "100000", "--seconds", "3.2",
+                   "--decode", "cw", "--json"])
+        assert rc == 0 or rc is None
+        out = capsys.readouterr().out
+        metrics = json.loads(out.strip().splitlines()[-1])
+        # 3.2 s of 20 WPM airs "cq cq ..." — the full callsign takes ~14 s
+        assert metrics["decoded_text"].lower().startswith("cq")
