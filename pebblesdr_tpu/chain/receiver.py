@@ -545,8 +545,10 @@ class Receiver:
             lmat_d = jnp.asarray(lmat.astype(np.float32))
             seed_d = jnp.asarray((a ** (kk + 1)).astype(np.float32))
         flat = p.reshape(k, -1)
-        avg = (lmat_d @ flat).reshape(p.shape) + \
-            seed_d.reshape((k,) + (1,) * (p.ndim - 1)) * prev[None]
+        avg = (jnp.matmul(lmat_d, flat,
+                          precision=jax.lax.Precision.HIGHEST)
+               .reshape(p.shape)
+               + seed_d.reshape((k,) + (1,) * (p.ndim - 1)) * prev[None])
         return avg, avg[-1]
 
     def _step_many_batched(self, state: ReceiverState, params: RxParams,

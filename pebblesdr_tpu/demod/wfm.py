@@ -195,7 +195,8 @@ def _ewma_rows(prev: jax.Array, p: jax.Array, a: float):
     with jax.ensure_compile_time_eval():
         lmat_d = jnp.asarray(lmat.astype(np.float32))
         seed_d = jnp.asarray((a ** (kk + 1)).astype(np.float32))
-    return p @ lmat_d + prev[:, None] * seed_d[None, :]
+    return (jnp.matmul(p, lmat_d, precision=jax.lax.Precision.HIGHEST)
+            + prev[:, None] * seed_d[None, :])
 
 
 def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,

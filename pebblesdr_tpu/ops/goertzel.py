@@ -53,7 +53,7 @@ def goertzel_power(x: jax.Array, basis: jax.Array):
     Normalized so a unit-amplitude tone exactly on bin gives power 1.0.
     """
     n = x.shape[-1]
-    resp = jnp.einsum("cfn,bn->cfb", x, basis) / n
+    resp = jnp.einsum("cfn,bn->cfb", x, basis, precision="highest") / n
     return jnp.abs(resp) ** 2
 
 

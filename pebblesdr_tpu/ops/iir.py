@@ -236,18 +236,22 @@ def biquad_apply(state: jax.Array, x: jax.Array, coef: BiquadCoef):
     w_zs = jnp.matmul(xc, tt, precision="highest")          # [C, K, L]
     d = jnp.matmul(xc, p_end, precision="highest")          # [C, K, 2]
     # cross-chunk handoff: t_k = M^L t_{k-1} + d_k, t_{-1} = state
-    d = d.at[:, 0, :].add(jnp.einsum("ij,cj->ci", a_l, state))
+    d = d.at[:, 0, :].add(jnp.einsum("ij,cj->ci", a_l, state,
+                                     precision="highest"))
     mats = jnp.broadcast_to(a_l, (c, k, 2, 2))
 
     def combine(l, r):
         ml, bl = l
         mr, br = r
-        return (jnp.einsum("...ij,...jk->...ik", mr, ml),
-                jnp.einsum("...ij,...j->...i", mr, bl) + br)
+        return (jnp.einsum("...ij,...jk->...ik", mr, ml,
+                           precision="highest"),
+                jnp.einsum("...ij,...j->...i", mr, bl,
+                           precision="highest") + br)
 
     _, t_end = jax.lax.associative_scan(combine, (mats, d), axis=1)  # [C,K,2]
     v_in = jnp.concatenate([state[:, None, :], t_end[:, :-1, :]], axis=1)
-    w = (w_zs + jnp.einsum("nv,ckv->ckn", inj, v_in)).reshape(c, n)
+    w = (w_zs + jnp.einsum("nv,ckv->ckn", inj, v_in,
+                           precision="highest")).reshape(c, n)
     w1 = jnp.concatenate([state[:, :1], w[:, :-1]], axis=-1)
     w2 = jnp.concatenate([state[:, 1:2], w1[:, :-1]], axis=-1)
     y = coef.b0 * w + coef.b1 * w1 + coef.b2 * w2
@@ -262,12 +266,14 @@ def _biquad_apply_scan(state: jax.Array, x: jax.Array, coef: BiquadCoef):
     ms = jnp.broadcast_to(m, (c, n, 2, 2))
     bvec = jnp.stack([x, jnp.zeros_like(x)], axis=-1)                  # [C,N,2]
     # fold carried state into first element: b0' = M @ v_prev + [x0, 0]
-    bvec = bvec.at[:, 0, :].add(jnp.einsum("ij,cj->ci", m, state))
+    bvec = bvec.at[:, 0, :].add(jnp.einsum("ij,cj->ci", m, state,
+                                           precision="highest"))
 
     def combine(l, r):
         ml, bl = l
         mr, br = r
-        return jnp.einsum("...ij,...jk->...ik", mr, ml), jnp.einsum(
+        return jnp.einsum("...ij,...jk->...ik", mr, ml,
+                          precision="highest"), jnp.einsum(
             "...ij,...j->...i", mr, bl) + br
 
     _, v = jax.lax.associative_scan(combine, (ms, bvec), axis=1)       # [C,N,2]

@@ -79,6 +79,28 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
+
+def _split_bf16(w):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= w to ~2^-17 relative."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(wh, wl, e):
+    """~f32-accurate MXU dot from three bf16 passes (Mosaic supports only
+    DEFAULT=1 bf16 pass or HIGHEST=6 passes for f32; 6 passes double the
+    whole-chain block time while one pass loses 2^-8 — enough to lift the
+    S-meter noise floor by ~30 dB on hardware.  The classic split
+    w = wh + wl, e = eh + el recovers ~2^-16 with the wl*el term dropped):
+    wh/wl [m, K] bf16; e [K, L] f32 -> [m, L] f32."""
+    eh = e.astype(jnp.bfloat16)
+    el = (e - eh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(wh, eh, preferred_element_type=jnp.float32)
+            + jnp.dot(wh, el, preferred_element_type=jnp.float32)
+            + jnp.dot(wl, eh, preferred_element_type=jnp.float32))
+
+
 def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
                      pad: int) -> np.ndarray:
     """W [pad + D + sub, sub/factor] f32 with W[w, o] = H[D + pad + F*o - w]
@@ -126,13 +148,13 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     if disc_gain:
         (x_ref, phase_ref, fhi_ref, flo_ref,
          fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-         wt_ref, dc_in_ref, tail_in_ref, disc_in_ref,
+         wth_ref, wtl_ref, dc_in_ref, tail_in_ref, disc_in_ref,
          y_ref, dc_out_ref, tail_out_ref, raw_ref, disc_ref,
          dlast_ref) = refs
     else:
         (x_ref, phase_ref, fhi_ref, flo_ref,
          fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-         wt_ref, dc_in_ref, tail_in_ref,
+         wth_ref, wtl_ref, dc_in_ref, tail_in_ref,
          y_ref, dc_out_ref, tail_out_ref, raw_ref) = refs
     s = pl.program_id(0)
     first = s == 0
@@ -194,8 +216,7 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     tail_out_ref[:, :] = e2[-d_rows:, :]
     m_sub = sub_block // factor
     if m_tile >= m_sub:
-        yout = jnp.dot(wt_ref[:, :], e2,
-                       preferred_element_type=jnp.float32)
+        yout = _dot3(wth_ref[:, :], wtl_ref[:, :], e2)
     else:
         # The Toeplitz band is shift-invariant: every m_tile-row output tile
         # multiplies the SAME [m_tile, span] band block against its own span
@@ -210,8 +231,7 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
         spans = [e2[ti * m_tile * factor: ti * m_tile * factor + span, :]
                  for ti in range(ntiles)]
         estk = jnp.concatenate(spans, axis=1)  # [span, ntiles*2C]
-        ystk = jnp.dot(wt_ref[:, :], estk,
-                       preferred_element_type=jnp.float32)
+        ystk = _dot3(wth_ref[:, :], wtl_ref[:, :], estk)
         yout = jnp.concatenate(
             [ystk[:, ti * 2 * c:(ti + 1) * 2 * c] for ti in range(ntiles)],
             axis=0)
@@ -305,9 +325,11 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
         w_d = jnp.asarray(w.astype(np.float32))
         seedc_d = jnp.asarray(seedc.astype(np.float32))
     dc_re, dc_im = dc[0, :c], dc[0, c:]
-    seeds_re = (jnp.einsum("gpj,jpc->gc", w_d, m_re)
+    seeds_re = (jnp.einsum("gpj,jpc->gc", w_d, m_re,
+                           precision="highest")
                 + seedc_d[:, None] * dc_re[None, :])            # [G, c]
-    seeds_im = (jnp.einsum("gpj,jpc->gc", w_d, m_im)
+    seeds_im = (jnp.einsum("gpj,jpc->gc", w_d, m_im,
+                           precision="highest")
                 + seedc_d[:, None] * dc_im[None, :])
     dc_in = jnp.concatenate([seeds_re.reshape(1, gc),
                              seeds_im.reshape(1, gc)], axis=1)
@@ -335,9 +357,11 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
     for g in range(1, fold):
         gp = g - 1
         # per-chunk DC estimates of group g-1's trailing chunks
-        m_j = (jnp.einsum("ij,jc->ic", wj_d, m_re[:, gp, :])
+        m_j = (jnp.einsum("ij,jc->ic", wj_d, m_re[:, gp, :],
+                          precision="highest")
                + sj_d[:, None] * seeds_re[gp][None, :])         # [nj, c]
-        m_j_im = (jnp.einsum("ij,jc->ic", wj_d, m_im[:, gp, :])
+        m_j_im = (jnp.einsum("ij,jc->ic", wj_d, m_im[:, gp, :],
+                             precision="highest")
                   + sj_d[:, None] * seeds_im[gp][None, :])
         zr = rows[:, gp * c:(gp + 1) * c] - m_j[sel]
         zi = rows[:, gc + gp * c:gc + (gp + 1) * c] - m_j_im[sel]
@@ -480,6 +504,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         pl.BlockSpec((128, c2e), lambda s: (0, 0)),
         pl.BlockSpec((128, c2e), lambda s: (0, 0)),
         pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
+        pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),
         pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
     ]
@@ -495,8 +520,9 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
         pl.BlockSpec((1, raw_rows, c2e), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
     ]
+    wt_hi, wt_lo = _split_bf16(wt)
     args = [x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
-            fr, fi, fi2_t, fr2_t, wt, dc_in, tail_in]
+            fr, fi, fi2_t, fr2_t, wt_hi, wt_lo, dc_in, tail_in]
     if disc_gain:
         assert disc_last is not None
         if fold > 1:
@@ -584,7 +610,7 @@ def unpack_to_complex(y_pk: jax.Array, fold: int = 1) -> jax.Array:
 
 def _wfm_tail_kernel(sub_block, c, d_rows, l_chunk, m_tile, factor,
                      interpret,
-                     raw_ref, p0_ref, wf_ref, wt_ref, tail_in_ref,
+                     raw_ref, p0_ref, wf_ref, wth_ref, wtl_ref, tail_in_ref,
                      y_ref, tail_out_ref):
     """One grid step of the fused WFM stereo tail: demux + decimating LP.
 
@@ -617,16 +643,14 @@ def _wfm_tail_kernel(sub_block, c, d_rows, l_chunk, m_tile, factor,
     tail_out_ref[:, :] = e2[-d_rows:, :]
     m_sub = sub_block // factor
     if m_tile >= m_sub:
-        y_ref[:, :] = jnp.dot(wt_ref[:, :], e2,
-                              preferred_element_type=jnp.float32)
+        y_ref[:, :] = _dot3(wth_ref[:, :], wtl_ref[:, :], e2)
     else:
         span = d_rows + m_tile * factor
         ntiles = m_sub // m_tile
         spans = [e2[ti * m_tile * factor: ti * m_tile * factor + span, :]
                  for ti in range(ntiles)]
         estk = jnp.concatenate(spans, axis=1)     # [span, ntiles*2C]
-        ystk = jnp.dot(wt_ref[:, :], estk,
-                       preferred_element_type=jnp.float32)
+        ystk = _dot3(wth_ref[:, :], wtl_ref[:, :], estk)
         for ti in range(ntiles):
             y_ref[ti * m_tile:(ti + 1) * m_tile, :] = (
                 ystk[:, ti * 2 * c:(ti + 1) * 2 * c])
@@ -680,6 +704,7 @@ def wfm_tail_packed(raw_t: jax.Array, p0_t: jax.Array, wf_t: jax.Array,
         pl.BlockSpec((nch, c), lambda s: (s, 0)),
         pl.BlockSpec((nch, c), lambda s: (s, 0)),
         pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
+        pl.BlockSpec((wt_rows, wt_cols), lambda s: (0, 0)),
         pl.BlockSpec((d_rows, 2 * c), lambda s: (0, 0)),
     ]
     out_shapes = [
@@ -690,9 +715,10 @@ def wfm_tail_packed(raw_t: jax.Array, p0_t: jax.Array, wf_t: jax.Array,
         pl.BlockSpec((m_sub, 2 * c), lambda s: (s, 0)),
         pl.BlockSpec((d_rows, 2 * c), lambda s: (0, 0)),
     ]
+    wt_hi, wt_lo = _split_bf16(wt)
     y, tail2 = pl.pallas_call(
         kern, grid=(nsub,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
-    )(raw_t, p0_t, wf_t, wt, tail)
+    )(raw_t, p0_t, wf_t, wt_hi, wt_lo, tail)
     return y, tail2

@@ -141,7 +141,8 @@ def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
     idx_k = jnp.arange(k_out)[:, None] + jnp.arange(u)[None, :]  # [K, U]
     frames = ext2[:, idx_k, :].reshape(r, k_out, t, m)
     hb = p.h.reshape(t, m)[::-1, ::-1].copy()         # hb[t', p'] = h[n]
-    v = jnp.einsum("rktm,tm->rkm", frames, jnp.asarray(hb, jnp.float32))
+    v = jnp.einsum("rktm,tm->rkm", frames, jnp.asarray(hb, jnp.float32),
+                   precision="high")
     # y_m[k] = sum_{p'} v_{p'}[k] e^{+2πi·m·(M−1−p')/M}
     #        = e^{+2πi·m·(M−1)/M} · FFT_m(v[k]).
     # Small M: one [K, M] @ [M, M] DFT-matrix dot rides the MXU (measured at
@@ -152,7 +153,8 @@ def apply(p: PfbPlan, state: jax.Array, x: jax.Array):
         pp = np.arange(m)
         dft = np.exp(2j * np.pi * np.outer(m - 1 - pp, pp) / m
                      ).astype(np.complex64)
-        y = jnp.einsum("rkm,mc->rck", v, jnp.asarray(dft))  # [R, M, K]
+        y = jnp.einsum("rkm,mc->rck", v, jnp.asarray(dft),
+                       precision="highest")               # [R, M, K]
     else:
         phase = np.exp(2j * np.pi * np.arange(m) * (m - 1) / m
                        ).astype(np.complex64)

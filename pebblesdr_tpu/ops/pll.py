@@ -155,7 +155,8 @@ def pll_run_blockwise(cfg: PLLConfig, state: PLLState, x: jax.Array,
         xin = xc.real.astype(jnp.complex64)
     else:
         xin = xc
-    z = jnp.einsum("cfk,k->cf", xin, rot_in) * rot_chunk[None, :] / chunk
+    z = jnp.einsum("cfk,k->cf", xin, rot_in,
+                   precision="highest") * rot_chunk[None, :] / chunk
 
     alpha = cfg.alpha * chunk      # loop gains rescale to the chunk rate
     beta = cfg.beta * chunk * chunk
@@ -337,11 +338,14 @@ def _ewma_closed(prev: jax.Array, p: jax.Array, a: float) -> jax.Array:
     with jax.ensure_compile_time_eval():
         lmat_d = jnp.asarray(lmat.astype(np.float32))
         seed_d = jnp.asarray(seed.astype(np.float32))
+    hp = jax.lax.Precision.HIGHEST  # bf16 EWMA matmuls bias the loops
     if jnp.iscomplexobj(p):
-        re = p.real @ lmat_d + prev.real[..., None] * seed_d
-        im = p.imag @ lmat_d + prev.imag[..., None] * seed_d
+        re = jnp.matmul(p.real, lmat_d, precision=hp) \
+            + prev.real[..., None] * seed_d
+        im = jnp.matmul(p.imag, lmat_d, precision=hp) \
+            + prev.imag[..., None] * seed_d
         return jax.lax.complex(re, im)
-    return p @ lmat_d + prev[..., None] * seed_d
+    return jnp.matmul(p, lmat_d, precision=hp) + prev[..., None] * seed_d
 
 
 def pilot_open_core(cfg: PilotOpenConfig, state: PilotOpenState,

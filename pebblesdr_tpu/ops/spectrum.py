@@ -67,8 +67,15 @@ def _shifted_power(xw: jax.Array) -> jax.Array:
         return spec.real**2 + spec.imag**2
     fr, fi = _dft_mats(n)
     xr, xi = xw.real, xw.imag
-    sr = xr @ fr - xi @ fi
-    si = xr @ fi + xi @ fr
+    # f32 matmul precision: the TPU MXU defaults f32 inputs to bf16
+    # passes, which raises the display/S-meter noise floor from the
+    # signal's -120 dB to ~-48 dB (measured on hardware) — the squelch
+    # SNR estimate then reads ~30 dB low.  HIGH (bf16_3x) restores
+    # ~f32 accuracy at 3 MXU passes (HIGHEST's 6 passes doubled the
+    # whole-chain block time for no further measurable floor gain).
+    p = jax.lax.Precision.HIGH
+    sr = jnp.matmul(xr, fr, precision=p) - jnp.matmul(xi, fi, precision=p)
+    si = jnp.matmul(xr, fi, precision=p) + jnp.matmul(xi, fr, precision=p)
     return sr * sr + si * si
 
 
