@@ -671,32 +671,40 @@ class Receiver:
         # ---- zoom power + S-meter per block (batched) ----------------------
         n_z = self.zoom_bins
         if x_cat is not None:
-            xz_kc = jnp.moveaxis(x_cat.reshape(c, k, blk)[:, :, -n_z:],
-                                 1, 0)                        # [K, C, n_z]
+            # stay in the stream's native [C, K, n_z] order: the per-row DFT
+            # and mask sums don't care about row order, so the [K, C, ·]
+            # relayout of the whole demod-rate stream (every block) shrinks
+            # to a transpose of the tiny [·, K, C] summary outputs — plus
+            # one [K, C, n_z] transpose at display cadence only
+            xz = x_cat.reshape(c, k, blk)[:, :, -n_z:]        # [C, K, n_z]
+            kc_order = False
         else:
             # composite stays packed/time-major on the tm path: unfold only
             # each block's trailing zoom window (the display/S-meter source)
             k_g = k // fold
             y5 = y_pk.reshape(k_g, blk, 2, fold, c)[:, blk - n_z:]
-            xz_kc = jax.lax.complex(
+            xz = jax.lax.complex(
                 jnp.transpose(y5[:, :, 0], (2, 0, 3, 1)).reshape(k, c, n_z),
                 jnp.transpose(y5[:, :, 1], (2, 0, 3, 1)).reshape(k, c, n_z))
-        xzw = xz_kc * self.w_zoom[None, None, :]
+            kc_order = True
+        xzw = xz * self.w_zoom[None, None, :]
         normz = 1.0 / (n_z * self.cg_zoom)
         power_lin = (spectrum._shifted_power(xzw.reshape(k * c, n_z))
-                     .reshape(k, c, n_z) * (normz * normz))
+                     .reshape(xz.shape) * (normz * normz))
         power_lin = power_lin * jnp.power(10.0, cfg.db_offset / 10.0)
         power_lin = jax.lax.optimization_barrier(power_lin)
         if spectra:
+            p_kc = power_lin if kc_order else jnp.moveaxis(power_lin, 1, 0)
             zavg, zavg_last = self._ewma_blocks(state.spec_zoom.avg_power,
-                                                power_lin, 0.5)
+                                                p_kc, 0.5)
             out["zoomed"] = dbu.power_to_db(zavg)
             spec_zoom_state = spectrum.SpectrumState(avg_power=zavg_last)
         else:
             spec_zoom_state = state.spec_zoom
         sm = signalstrength.fd_estimate_masked(
             power_lin.reshape(k * c, n_z), params.sm_band, params.sm_noise)
-        sm = {key: v.reshape(k, c) for key, v in sm.items()}
+        sm = {key: (v.reshape(k, c) if kc_order else v.reshape(c, k).T)
+              for key, v in sm.items()}
         out["smeter"] = sm
 
         # ---- squelch with hysteresis: associative boolean recurrence -------

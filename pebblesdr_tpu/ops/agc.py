@@ -113,9 +113,12 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     s = cfg.stride
     if s > 1 and n % s:
         raise ValueError(f"AGC stride {s} must divide block length {n}")
-    logmag = jnp.log10(jnp.abs(x) + MIN_CONSTANT)
+    # max commutes with the monotone log10, so decimate BEFORE the
+    # transcendental: log10 runs on N/s elements, not N (bit-identical)
+    mag = jnp.abs(x)
     if s > 1:
-        logmag = jnp.max(logmag.reshape(c, n // s, s), axis=-1)
+        mag = jnp.max(mag.reshape(c, n // s, s), axis=-1)
+    logmag = jnp.log10(mag + MIN_CONSTANT)
     rate_s = rate / s
     window = max(1, cfg.window // s)
     ext = jnp.concatenate([state.window_tail, logmag], axis=-1)

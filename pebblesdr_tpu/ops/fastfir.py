@@ -78,10 +78,16 @@ def apply_many(state: jax.Array, x_cat: jax.Array, mask: jax.Array, block: int):
     c, l = x_cat.shape
     k = l // block
     ext = jnp.concatenate([state, x_cat], axis=-1)     # [C, (K+1)*B]
-    # windows[k] = ext[:, k*B:(k+2)*B]  -> [K, C, 2B]
-    wins = jnp.stack([jax.lax.slice_in_dim(ext, i * block, (i + 2) * block,
-                                           axis=1) for i in range(k)])
+    # windows[k] = ext[:, k*B:(k+2)*B] -> [C, K, 2B].  The 50%-overlap
+    # window stack is TWO contiguous reshapes + one concat (window k is the
+    # pair of whole blocks (k, k+1)) — not a K-long unrolled slice+stack,
+    # which costs O(K) ops, a [K, C, ·] relayout on each side of the FFT,
+    # and made the dispatch cost scale with K (measured: K=128 ran SLOWER
+    # per block than K=64 through the old form).
+    lo = ext[:, :l].reshape(c, k, block)               # blocks 0..K-1
+    hi = ext[:, block:].reshape(c, k, block)           # blocks 1..K
+    wins = jnp.concatenate([lo, hi], axis=-1)          # [C, K, 2B]
     spec = jnp.fft.fft(wins, axis=-1)
     filtered = jnp.fft.ifft(spec * mask[None, None, :], axis=-1)
-    y = jnp.moveaxis(filtered[:, :, block:], 0, 1).reshape(c, l)
+    y = filtered[:, :, block:].reshape(c, l)
     return ext[:, -block:], y.astype(jnp.complex64)

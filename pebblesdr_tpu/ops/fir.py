@@ -22,6 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.signal
 
+# MXU precision for the audio-path banded/chunked matmuls.  HIGH (bf16_3x)
+# carries ~f32 dot-product accuracy at 3 MXU passes; HIGHEST (6 passes)
+# measured ~2x the matmul time for no audible gain (audio floor is already
+# set by the f32 signal path itself).  Same policy as ops/spectrum.py.
+_PREC = "high"
+
 from pebblesdr_tpu.core import windows as win
 
 
@@ -242,7 +248,7 @@ def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array,
     if (taps_np is not None
             and (n + t - 1) * (n // decim) <= _BANDED_MAX_ENTRIES):
         b = jnp.asarray(banded_fir_matrix(np.asarray(taps_np, np.float32), n, decim))
-        y = jnp.matmul(xx, b, precision="highest")
+        y = jnp.matmul(xx, b, precision=_PREC)
     elif taps_np is not None and _banded_seg(n, t, decim):
         # long input (a batched multi-block stream): window into segments and
         # run ONE batched matmul against the per-segment banded operator —
@@ -253,11 +259,18 @@ def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array,
         k = n // seg
         b = jnp.asarray(banded_fir_matrix(np.asarray(taps_np, np.float32),
                                           seg, decim))
-        wins = jnp.stack([jax.lax.slice_in_dim(xx, i * seg,
-                                               i * seg + seg + t - 1, axis=1)
-                          for i in range(k)])          # [K, C, seg+T-1]
-        y = jnp.matmul(wins, b, precision="highest")   # [K, C, seg//decim]
-        y = jnp.moveaxis(y, 0, 1).reshape(c, n // decim)
+        # windows[i] = xx[:, i*seg : i*seg+seg+T-1] -> [C, K, seg+T-1] from
+        # two contiguous reshapes + one concat (_banded_seg guarantees
+        # seg >= T): the K-long unrolled slice+stack it replaces cost O(K)
+        # ops plus [K, C, ·] relayouts around the matmul
+        base = xx[:, :n].reshape(c, k, seg)
+        if t > 1:
+            carry = x.reshape(c, k, seg)[:, :, seg - (t - 1):]
+            wins = jnp.concatenate([base, carry], axis=-1)
+        else:
+            wins = base
+        y = jnp.matmul(wins, b, precision=_PREC)   # [C, K, seg//decim]
+        y = y.reshape(c, n // decim)
     else:
         y = _conv_real(xx, taps if taps is not None
                        else jnp.asarray(taps_np, jnp.float32), decim)

@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# MXU precision for the audio-path banded/chunked matmuls.  HIGH (bf16_3x)
+# carries ~f32 dot-product accuracy at 3 MXU passes; HIGHEST (6 passes)
+# measured ~2x the matmul time for no audible gain (audio floor is already
+# set by the f32 signal path itself).  Same policy as ops/spectrum.py.
+_PREC = "high"
+
 
 # ------------------------------------------------------------- first order
 
@@ -80,8 +86,8 @@ def first_order_apply(y_prev: jax.Array, x: jax.Array, a, b):
         c = x.shape[0]
         k_n = n // chunk
         xc = x.reshape(c, k_n, chunk)
-        y_zs = jnp.matmul(xc, tt, precision="highest")       # [C, K, L]
-        d = jnp.matmul(xc, p_end, precision="highest")       # [C, K]
+        y_zs = jnp.matmul(xc, tt, precision=_PREC)       # [C, K, L]
+        d = jnp.matmul(xc, p_end, precision=_PREC)       # [C, K]
         # chunk-boundary handoff t_k = a^L t_{k-1} + d_k over K scalars
         _, t_end = _first_order_assoc(y_prev, d, a_l, 1.0)
         v_in = jnp.concatenate([y_prev[:, None], t_end[:, :-1]], axis=1)
@@ -233,25 +239,25 @@ def biquad_apply(state: jax.Array, x: jax.Array, coef: BiquadCoef):
     k = n // chunk
     xc = x.reshape(c, k, chunk)
     # zero-state response + zero-state chunk-end state, both MXU matmuls
-    w_zs = jnp.matmul(xc, tt, precision="highest")          # [C, K, L]
-    d = jnp.matmul(xc, p_end, precision="highest")          # [C, K, 2]
+    w_zs = jnp.matmul(xc, tt, precision=_PREC)          # [C, K, L]
+    d = jnp.matmul(xc, p_end, precision=_PREC)          # [C, K, 2]
     # cross-chunk handoff: t_k = M^L t_{k-1} + d_k, t_{-1} = state
     d = d.at[:, 0, :].add(jnp.einsum("ij,cj->ci", a_l, state,
-                                     precision="highest"))
+                                     precision=_PREC))
     mats = jnp.broadcast_to(a_l, (c, k, 2, 2))
 
     def combine(l, r):
         ml, bl = l
         mr, br = r
         return (jnp.einsum("...ij,...jk->...ik", mr, ml,
-                           precision="highest"),
+                           precision=_PREC),
                 jnp.einsum("...ij,...j->...i", mr, bl,
-                           precision="highest") + br)
+                           precision=_PREC) + br)
 
     _, t_end = jax.lax.associative_scan(combine, (mats, d), axis=1)  # [C,K,2]
     v_in = jnp.concatenate([state[:, None, :], t_end[:, :-1, :]], axis=1)
     w = (w_zs + jnp.einsum("nv,ckv->ckn", inj, v_in,
-                           precision="highest")).reshape(c, n)
+                           precision=_PREC)).reshape(c, n)
     w1 = jnp.concatenate([state[:, :1], w[:, :-1]], axis=-1)
     w2 = jnp.concatenate([state[:, 1:2], w1[:, :-1]], axis=-1)
     y = coef.b0 * w + coef.b1 * w1 + coef.b2 * w2
@@ -267,13 +273,13 @@ def _biquad_apply_scan(state: jax.Array, x: jax.Array, coef: BiquadCoef):
     bvec = jnp.stack([x, jnp.zeros_like(x)], axis=-1)                  # [C,N,2]
     # fold carried state into first element: b0' = M @ v_prev + [x0, 0]
     bvec = bvec.at[:, 0, :].add(jnp.einsum("ij,cj->ci", m, state,
-                                           precision="highest"))
+                                           precision=_PREC))
 
     def combine(l, r):
         ml, bl = l
         mr, br = r
         return jnp.einsum("...ij,...jk->...ik", mr, ml,
-                          precision="highest"), jnp.einsum(
+                          precision=_PREC), jnp.einsum(
             "...ij,...j->...i", mr, bl) + br
 
     _, v = jax.lax.associative_scan(combine, (ms, bvec), axis=1)       # [C,N,2]

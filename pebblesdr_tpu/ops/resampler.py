@@ -32,6 +32,12 @@ import numpy as np
 
 from pebblesdr_tpu.core import windows as win
 
+# MXU precision for the audio-path banded/chunked matmuls.  HIGH (bf16_3x)
+# carries ~f32 dot-product accuracy at 3 MXU passes; HIGHEST (6 passes)
+# measured ~2x the matmul time for no audible gain (audio floor is already
+# set by the f32 signal path itself).  Same policy as ops/spectrum.py.
+_PREC = "high"
+
 
 @dataclasses.dataclass(frozen=True)
 class ResamplePlan:
@@ -125,10 +131,10 @@ def apply(p: ResamplePlan, state: jax.Array, x: jax.Array):
     dense = _dense_dev(p)
     if jnp.iscomplexobj(xx):
         y = jax.lax.complex(
-            jnp.matmul(xx.real, dense, precision="highest"),
-            jnp.matmul(xx.imag, dense, precision="highest"))
+            jnp.matmul(xx.real, dense, precision=_PREC),
+            jnp.matmul(xx.imag, dense, precision=_PREC))
     else:
-        y = jnp.matmul(xx, dense, precision="highest")
+        y = jnp.matmul(xx, dense, precision=_PREC)
     new_state = xx[:, -p.taps:]
     return new_state, y.astype(x.dtype)
 
@@ -143,17 +149,28 @@ def apply_many(p: ResamplePlan, state: jax.Array, x_cat: jax.Array):
     c, l = x_cat.shape
     k = l // p.n_in
     ext = jnp.concatenate([state, x_cat], axis=-1)      # [C, taps + K*N]
-    wins = jnp.stack([jax.lax.slice_in_dim(ext, i * p.n_in,
-                                           i * p.n_in + p.n_in + p.taps,
-                                           axis=1) for i in range(k)])
+    # windows[k] = ext[:, k*N : k*N + N + taps] -> [C, K, N + taps], built
+    # from two contiguous reshapes + one concat when taps <= N (always true
+    # for the chain's audio geometry) — the K-long unrolled slice+stack it
+    # replaces cost O(K) ops plus [K, C, ·] relayouts around the matmul.
+    if p.taps <= p.n_in:
+        base = ext[:, :l].reshape(c, k, p.n_in)
+        # ext[(k+1)*N : (k+1)*N + taps] == x_cat block k's last `taps`
+        carry = x_cat.reshape(c, k, p.n_in)[:, :, p.n_in - p.taps:]
+        wins = jnp.concatenate([base, carry], axis=-1)  # [C, K, N + taps]
+    else:
+        wins = jnp.stack([jax.lax.slice_in_dim(ext, i * p.n_in,
+                                               i * p.n_in + p.n_in + p.taps,
+                                               axis=1) for i in range(k)],
+                         axis=1)
     dense = _dense_dev(p)
     if jnp.iscomplexobj(ext):
         y = jax.lax.complex(
-            jnp.matmul(wins.real, dense, precision="highest"),
-            jnp.matmul(wins.imag, dense, precision="highest"))
+            jnp.matmul(wins.real, dense, precision=_PREC),
+            jnp.matmul(wins.imag, dense, precision=_PREC))
     else:
-        y = jnp.matmul(wins, dense, precision="highest")  # [K, C, M]
-    y = jnp.moveaxis(y, 0, 1).reshape(c, k * p.n_out)
+        y = jnp.matmul(wins, dense, precision=_PREC)  # [C, K, M]
+    y = y.reshape(c, k * p.n_out)
     return ext[:, -p.taps:], y.astype(x_cat.dtype)
 
 
