@@ -113,6 +113,13 @@ class ReceiverConfig:
     #                                       stays opt-in there.
     db_offset: float = 0.0                # display calibration offset applied
     #                                       to both spectra (settings.h dbOffset)
+    ctcss_tone: float | None = None       # FMN only: CTCSS sub-audible tone
+    #                                       squelch qualifier (goertzel.h:232-
+    #                                       277 tables).  The squelch opens
+    #                                       only when the SNR gate passes AND
+    #                                       the configured tone dominates its
+    #                                       neighbor tones (coherent EWMA
+    #                                       integration, ops/goertzel.py)
     wfm_hq: bool = False                  # WFM composite geometry: False
     #                                       (default) demodulates at ~256 kHz
     #                                       (exactly the +-128 kHz Carson band
@@ -157,6 +164,7 @@ class ReceiverState:
     rds: Any = None
     squelch: Any = None  # [C] bool: previous squelch decision (hysteresis)
     iqbal: Any = None    # adaptive IQ-balance weight (enable_iq_balance="auto")
+    ctcss: Any = None    # CTCSS coherent-integration state (cfg.ctcss_tone)
 
 
 class Receiver:
@@ -224,6 +232,17 @@ class Receiver:
         # --- resampler to audio rate (receiver.cpp:998-1004) ------------------
         self.rs_plan = resampler.plan(audio_src_rate, cfg.audio_rate, audio_blk)
         self.audio_blk = self.rs_plan.n_out
+
+        # --- CTCSS tone squelch (FMN qualifier) -------------------------------
+        if cfg.ctcss_tone is not None:
+            if m != DemodMode.FMN:
+                raise ValueError("ctcss_tone requires mode=FMN")
+            from pebblesdr_tpu.ops import goertzel as _gz
+            self._gz = _gz
+            self.ctcss_cfg = _gz.CtcssConfig.make(
+                cfg.ctcss_tone, float(cfg.audio_rate), self.audio_blk)
+        else:
+            self.ctcss_cfg = None
 
         # --- AGC --------------------------------------------------------------
         agc_mode = cfg.agc_mode if cfg.agc_mode is not None else info.agc_mode
@@ -343,6 +362,8 @@ class Receiver:
             squelch=jnp.zeros((c,), bool),
             iqbal=(scanops.auto_iq_balance_init(c)
                    if self.cfg.enable_iq_balance == "auto" else None),
+            ctcss=(self._gz.ctcss_init(c) if self.ctcss_cfg is not None
+                   else None),
         )
 
     # ----------------------------------------------------------------- params
@@ -792,6 +813,16 @@ class Receiver:
             audio_blk = audio.shape[-1] // k
             audio = jnp.moveaxis(audio.reshape(c, k, audio_blk), 1, 0)
 
+        # CTCSS squelch qualifier (FMN): one straight-line K-block update
+        if self.ctcss_cfg is not None:
+            ctcss_state, tone_open = self._gz.ctcss_update_many(
+                self.ctcss_cfg, state.ctcss, audio)
+            squelch_open = squelch_open & tone_open
+            out["squelch_open"] = squelch_open
+            out["ctcss_open"] = tone_open
+        else:
+            ctcss_state = state.ctcss
+
         gate = squelch_open.astype(jnp.float32) * params.gain * (
             1.0 - params.mute.astype(jnp.float32))
         out["audio"] = audio * gate[(...,) + (None,) * (audio.ndim - 2)]
@@ -800,7 +831,7 @@ class Receiver:
             fastfir=ff_state, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
             spec_zoom=spec_zoom_state, rds=rds_state,
-            squelch=squelch_open[-1])
+            squelch=squelch_open[-1], ctcss=ctcss_state)
         return tail_st, out
 
     def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,
@@ -926,6 +957,16 @@ class Receiver:
             audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
                 self._narrowband_path(state, params, x, taps_out))
 
+        # --- CTCSS squelch qualifier (FMN, cfg.ctcss_tone) -------------------
+        if self.ctcss_cfg is not None:
+            ctcss_state, tone_open = self._gz.ctcss_update(
+                self.ctcss_cfg, state.ctcss, audio)
+            squelch_open = squelch_open & tone_open
+            out["squelch_open"] = squelch_open
+            out["ctcss_open"] = tone_open
+        else:
+            ctcss_state = state.ctcss
+
         # --- squelch gate + output gain/mute (branchless) --------------------
         gate = squelch_open.astype(jnp.float32) * params.gain * (
             1.0 - params.mute.astype(jnp.float32))
@@ -942,7 +983,7 @@ class Receiver:
             nb=nb_state, anf=anf_state, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
             spec_zoom=spec_zoom_state, rds=rds_state, squelch=squelch_open,
-            iqbal=iqbal_state)
+            iqbal=iqbal_state, ctcss=ctcss_state)
         return new_state, out
 
     # ---------------------------------------------------------- mode branches

@@ -73,11 +73,22 @@ class AGCConfig:
 
 @pytree_dataclass
 class AGCState:
-    attack_avg: jax.Array   # [C] log-domain attack smoother
+    attack_avg: jax.Array   # [C] log-domain attack smoother (fast/rise pole)
     decay_avg: jax.Array    # [C] log-domain decay smoother
-    hang_count: jax.Array   # [C] int32 hang timer
+    hang_count: jax.Array   # [C] int32 hang timer (scan path)
     window_tail: jax.Array  # [C, window-1] previous log-magnitudes
     delay_line: jax.Array   # [C, delay] delayed complex signal
+    attack_fall_avg: jax.Array = None  # [C] slow/fall pole (parallel path)
+    hang_tail: jax.Array = None        # [C, hang-1] coarse peak history
+    #                                    (parallel hang window; 'long' mode)
+
+
+def hang_window(cfg: AGCConfig) -> int:
+    """Parallel-path hang window length on the coarse (stride) grid."""
+    decay_ms, use_hang = MODES[cfg.mode]
+    if not use_hang or cfg.algorithm != "parallel":
+        return 0
+    return max(1, int((decay_ms / 1000.0) * cfg.sample_rate) // cfg.stride)
 
 
 def agc_init(cfg: AGCConfig, channels: int) -> AGCState:
@@ -88,12 +99,16 @@ def agc_init(cfg: AGCConfig, channels: int) -> AGCState:
         w = max(1, cfg.window // cfg.stride)
     else:
         w = cfg.window
+    h = hang_window(cfg)
     return AGCState(
         attack_avg=jnp.full((channels,), floor, jnp.float32),
         decay_avg=jnp.full((channels,), floor, jnp.float32),
         hang_count=jnp.zeros((channels,), jnp.int32),
         window_tail=jnp.full((channels, max(w - 1, 0)), floor, jnp.float32),
         delay_line=jnp.zeros((channels, cfg.delay), jnp.complex64),
+        attack_fall_avg=jnp.full((channels,), floor, jnp.float32),
+        hang_tail=(jnp.full((channels, h - 1), floor, jnp.float32)
+                   if h > 1 else None),
     )
 
 
@@ -104,7 +119,7 @@ def _coef(timeconst_s: float, rate: float) -> float:
 def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     c, n = x.shape
     rate = cfg.sample_rate
-    decay_ms, _use_hang = MODES[cfg.mode]
+    decay_ms, use_hang = MODES[cfg.mode]
 
     # stride>1: collapse the envelope to one max per `stride` samples FIRST,
     # then run every scan/window op on the N/stride coarse envelope (the gain
@@ -126,13 +141,46 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     new_window_tail = (ext[:, -(window - 1):] if window > 1
                        else ext[:, :0])
 
-    # exponential release: log10-amplitude decays at log10(e)/tau per second
-    d = 0.43429448 / max(decay_ms / 1000.0, 1e-3) / rate_s
-    dec_last, env = _decaying_max(state.decay_avg, peak, d)
-    # fast attack smoothing (linear recurrence -> associative scan)
-    att_coef = _coef(ATTACK_RISE_TIMECONST, rate_s)
-    att_last, level = first_order_apply(state.attack_avg, env, 1.0 - att_coef,
-                                        att_coef)
+    # hang ('long' mode): hold each peak for hang_samples before releasing.
+    # A hang timer IS a trailing windowed max of width H — the envelope may
+    # not fall below any peak seen in the last H samples — composed with the
+    # exponential release below (which then starts from the END of the hold).
+    # Same van Herk machinery as the 18 ms peak window, own carried tail.
+    # Documented deviation vs the scan/reference recurrence: the held
+    # envelope reaches each peak INSTANTLY, where the reference's decay
+    # averager rises at 0.3*decay (600 ms) and only hang-holds the level it
+    # actually reached (agc.cpp:159-170) — on short bursts the reference
+    # therefore holds a lower level.  On the hang-defining fixture (steady
+    # carrier, brief dropout) the two agree; test_parallel_hang_matches_scan.
+    h = hang_window(cfg)
+    if h > 1:
+        ext_h = jnp.concatenate([state.hang_tail, peak], axis=-1)
+        held = _windowed_max(ext_h, h)
+        new_hang_tail = ext_h[:, -(h - 1):]
+    else:
+        held = peak
+        new_hang_tail = state.hang_tail
+
+    # exponential release: log10-amplitude decays at log10(e)/tau per second.
+    # hang mode releases FAST (RELEASE_TIMECONST) once the hold expires — the
+    # hang window is the slowness (agc.cpp:296-299: decayFallAlpha uses
+    # RELEASE_TIMECONST when hang is on, the decay time otherwise)
+    release_s = RELEASE_TIMECONST if use_hang else decay_ms / 1000.0
+    d = 0.43429448 / max(release_s, 1e-3) / rate_s
+    dec_last, env = _decaying_max(state.decay_avg, held, d)
+    # attack smoothing with the CuteSDR rise/fall asymmetry (agc.cpp attack
+    # smoother): the switched one-pole (rise 2 ms above, fall 5 ms below) is
+    # not associative, but max(fast_pole, slow_pole) IS the same behavior —
+    # when the envelope rises the faster pole is higher (tracks up at 2 ms);
+    # when it falls the slower pole lags above (falls at 5 ms).  Two linear
+    # recurrences (associative scans) + elementwise max.
+    rise_coef = _coef(ATTACK_RISE_TIMECONST, rate_s)
+    fall_coef = _coef(ATTACK_FALL_TIMECONST, rate_s)
+    att_last, lvl_rise = first_order_apply(state.attack_avg, env,
+                                           1.0 - rise_coef, rise_coef)
+    attf_last, lvl_fall = first_order_apply(state.attack_fall_avg, env,
+                                            1.0 - fall_coef, fall_coef)
+    level = jnp.maximum(lvl_rise, lvl_fall)
 
     knee = cfg.threshold_db / 20.0
     log_gain = jnp.where(level > knee,
@@ -142,9 +190,9 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
         # piecewise-linear gain interpolation back to the sample grid (avoids
         # staircase zipper): g[i*s + j] = lerp(g[i-1], g[i], (j+1)/s), i.e.
         # each coarse gain is reached at the END of its stride window.
-        lg0 = jnp.where(state.attack_avg > knee,
-                        cfg.slope_factor * (state.attack_avg - knee)
-                        - state.attack_avg, -knee)
+        lvl0 = jnp.maximum(state.attack_avg, state.attack_fall_avg)
+        lg0 = jnp.where(lvl0 > knee,
+                        cfg.slope_factor * (lvl0 - knee) - lvl0, -knee)
         g0 = jnp.power(10.0, lg0) * AGC_OUTSCALE  # gain at end of prev block
         g_prev = jnp.concatenate([g0[:, None], gain[:, :-1]], axis=-1)
         w_up = (jnp.arange(1, s + 1, dtype=jnp.float32) / s)[None, None, :]
@@ -157,7 +205,8 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     y = (delayed * gain).astype(jnp.complex64)
     new_state = AGCState(attack_avg=att_last, decay_avg=dec_last,
                          hang_count=state.hang_count,
-                         window_tail=new_window_tail, delay_line=new_delay)
+                         window_tail=new_window_tail, delay_line=new_delay,
+                         attack_fall_avg=attf_last, hang_tail=new_hang_tail)
     return new_state, y
 
 
@@ -218,7 +267,10 @@ def agc_apply(cfg: AGCConfig, state: AGCState, x: jax.Array):
     attack_rise = _coef(ATTACK_RISE_TIMECONST, rate / cfg.stride)
     attack_fall = _coef(ATTACK_FALL_TIMECONST, rate / cfg.stride)
     decay_rise = _coef((decay_ms / 1000.0) * DECAY_RISEFALL_RATIO, rate / cfg.stride)
-    decay_fall = _coef(decay_ms / 1000.0, rate / cfg.stride)
+    # hang mode: fast release (RELEASE_TIMECONST) after the hold expires
+    # (agc.cpp:296-299); exponential mode: release at the decay time
+    decay_fall = _coef(RELEASE_TIMECONST if use_hang else decay_ms / 1000.0,
+                       rate / cfg.stride)
     hang_samples = int((decay_ms / 1000.0) * rate / cfg.stride)
 
     env = peak[:, :: cfg.stride] if cfg.stride > 1 else peak  # [C, M]
@@ -265,5 +317,7 @@ def agc_apply(cfg: AGCConfig, state: AGCState, x: jax.Array):
     y = (delayed * gain).astype(jnp.complex64)
 
     new_state = AGCState(attack_avg=att, decay_avg=dec, hang_count=hang,
-                         window_tail=new_window_tail, delay_line=new_delay)
+                         window_tail=new_window_tail, delay_line=new_delay,
+                         attack_fall_avg=state.attack_fall_avg,
+                         hang_tail=state.hang_tail)
     return new_state, y

@@ -203,6 +203,132 @@ def _raw_decision(cfg: OOKConfig, pm, pl, ph, peak, floor, avg, last):
     return pm > cfg.noise_snr * jnp.maximum(floor, 1e-18)
 
 
+# --------------------------------------------------------- CTCSS squelch
+#
+# Sub-audible tone squelch (the capability goertzel.h:232-277 ships tables
+# for).  Neighboring CTCSS tones sit 2.3-4 Hz apart at the low end, so a
+# one-block DFT (e.g. 21 ms audio block -> 47 Hz bins) cannot discriminate
+# them.  TPU-first reformulation: per block we take the tone's single-bin DFT
+# response, de-rotate it by the block-start carrier phase (tracked in state,
+# advanced closed-form by 2*pi*f*blk/fs per block) and EWMA the COMPLEX
+# response — coherent integration with an exponential window.  The effective
+# noise bandwidth is (1-a)/(pi) * fs/blk ~ 1-2 Hz for a ~0.25 s time
+# constant, enough to separate any two table neighbors, while the chain
+# keeps its fixed per-block cost (three dot products).  Decision: the
+# configured tone's integrated power must dominate both neighbor tones.
+
+@pytree_dataclass
+class CtcssConfig:
+    tone_hz: float = static_field()
+    alpha: float = static_field()          # per-block EWMA
+    nb_ratio: float = static_field()       # tone power vs max neighbor
+    min_power: float = static_field()      # absolute floor (squelch silence)
+    basis_re: np.ndarray = static_field()  # [3, blk] block-local DFT rows
+    basis_im: np.ndarray = static_field()
+    dphi: np.ndarray = static_field()      # [3] phase advance per block (rad)
+
+    @staticmethod
+    def make(tone_hz: float, sample_rate: float, blk: int,
+             tau_s: float = 0.25, nb_ratio: float = 4.0,
+             min_power: float = 1e-5) -> "CtcssConfig":
+        tones = sorted(CTCSS_TONES)
+        if tone_hz not in tones:
+            raise ValueError(f"{tone_hz} Hz is not a CTCSS table tone")
+        i = tones.index(tone_hz)
+        lo = tones[i - 1] if i > 0 else tone_hz - 2.3
+        hi = tones[i + 1] if i + 1 < len(tones) else tone_hz + 4.0
+        freqs = [tone_hz, lo, hi]
+        basis = dft_vectors(freqs, sample_rate, blk)
+        alpha = float(np.exp(-(blk / sample_rate) / tau_s))
+        dphi = (2.0 * np.pi * np.asarray(freqs, np.float64) * blk
+                / sample_rate) % (2.0 * np.pi)
+        return CtcssConfig(tone_hz=tone_hz, alpha=alpha, nb_ratio=nb_ratio,
+                           min_power=min_power,
+                           basis_re=basis.real.astype(np.float32),
+                           basis_im=basis.imag.astype(np.float32),
+                           dphi=dphi.astype(np.float32))
+
+
+@pytree_dataclass
+class CtcssState:
+    iq: jax.Array     # [C, 3, 2] EWMA of de-rotated (re, im) responses
+    phase: jax.Array  # [3] block-start carrier phase (rad)
+
+
+def ctcss_init(channels: int) -> CtcssState:
+    return CtcssState(iq=jnp.zeros((channels, 3, 2), jnp.float32),
+                      phase=jnp.zeros((3,), jnp.float32))
+
+
+def _ctcss_resp(cfg: CtcssConfig, audio: jax.Array):
+    """audio [..., blk] real -> de-rotatable block responses [..., 3, 2]."""
+    blk = audio.shape[-1]
+    with jax.ensure_compile_time_eval():
+        bre = jnp.asarray(cfg.basis_re)
+        bim = jnp.asarray(cfg.basis_im)
+    re = jnp.einsum("...n,bn->...b", audio, bre,
+                    precision=jax.lax.Precision.HIGHEST) / blk
+    im = jnp.einsum("...n,bn->...b", audio, bim,
+                    precision=jax.lax.Precision.HIGHEST) / blk
+    return jnp.stack([re, im], axis=-1)
+
+
+def _ctcss_open(cfg: CtcssConfig, iq):
+    p = jnp.sum(iq * iq, axis=-1)                      # [..., 3]
+    p_tone, p_lo, p_hi = p[..., 0], p[..., 1], p[..., 2]
+    return ((p_tone > cfg.nb_ratio * jnp.maximum(p_lo, p_hi))
+            & (p_tone > cfg.min_power))
+
+
+def _rot(iq, cos, sin):
+    """Rotate (re, im) pairs by -phase given cos/sin of phase."""
+    re = iq[..., 0] * cos + iq[..., 1] * sin
+    im = iq[..., 1] * cos - iq[..., 0] * sin
+    return jnp.stack([re, im], axis=-1)
+
+
+def ctcss_update(cfg: CtcssConfig, state: CtcssState, audio: jax.Array):
+    """One block: audio [C, blk] real -> (state', open [C] bool)."""
+    resp = _ctcss_resp(cfg, audio)                     # [C, 3, 2]
+    cos = jnp.cos(state.phase)[None, :, None]
+    sin = jnp.sin(state.phase)[None, :, None]
+    resp = _rot(resp, cos[..., 0], sin[..., 0])
+    a = cfg.alpha
+    iq = a * state.iq + (1.0 - a) * resp
+    with jax.ensure_compile_time_eval():
+        dphi = jnp.asarray(cfg.dphi)
+    phase = jnp.mod(state.phase + dphi, 2.0 * np.pi)
+    return CtcssState(iq=iq, phase=phase), _ctcss_open(cfg, iq)
+
+
+def ctcss_update_many(cfg: CtcssConfig, state: CtcssState, audio: jax.Array):
+    """K blocks, one straight-line graph: audio [K, C, blk] ->
+    (state', open [K, C] bool).  The cross-block EWMA is the closed-form
+    lower-triangular matmul (no scan); block k's response is de-rotated by
+    phase + k*dphi."""
+    k, c, blk = audio.shape
+    resp = _ctcss_resp(cfg, audio)                     # [K, C, 3, 2]
+    with jax.ensure_compile_time_eval():
+        dphi = jnp.asarray(cfg.dphi)
+        ks = jnp.arange(k, dtype=jnp.float32)
+    ang = state.phase[None, :] + ks[:, None] * dphi[None, :]   # [K, 3]
+    resp = _rot(resp, jnp.cos(ang)[:, None, :], jnp.sin(ang)[:, None, :])
+    a = cfg.alpha
+    kk = np.arange(k)
+    lmat = np.where(kk[:, None] >= kk[None, :],
+                    (1.0 - a) * float(a) ** np.maximum(
+                        kk[:, None] - kk[None, :], 0), 0.0)
+    with jax.ensure_compile_time_eval():
+        lmat_d = jnp.asarray(lmat.astype(np.float32))
+        seed_d = jnp.asarray((float(a) ** (kk + 1)).astype(np.float32))
+    flat = resp.reshape(k, -1)
+    iq = (jnp.matmul(lmat_d, flat, precision=jax.lax.Precision.HIGHEST)
+          .reshape(resp.shape) + seed_d[:, None, None, None] * state.iq[None])
+    phase = jnp.mod(state.phase + k * dphi, 2.0 * np.pi)
+    return (CtcssState(iq=iq[-1], phase=phase),
+            _ctcss_open(cfg, iq))
+
+
 def ook_detect(cfg: OOKConfig, state: OOKState, power_main: jax.Array,
                power_low: jax.Array, power_high: jax.Array):
     """OOK decision per frame (GoertzelOOK::processResult capability,

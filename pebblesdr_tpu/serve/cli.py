@@ -297,6 +297,13 @@ def main(argv=None):
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
     p.add_argument("--display", choices=["waterfall", "spectrum"], default=None,
                    help="live terminal spectrum display (SpectrumWidget analog)")
+    p.add_argument("--keys", default=None, metavar="TOKENS",
+                   help="scripted control keys, applied one per dispatch "
+                        "(tests/demos; arrows spelled as ESC sequences). "
+                        "With --display on a real terminal, live keyboard "
+                        "control is on automatically: arrows tune, m=mode, "
+                        "a=AGC, [/]=bandwidth, s/S=squelch, g/G=gain, "
+                        "space=mute, q=quit (receiverwidget.h:28-140 analog)")
     p.add_argument("--display-zoomed", action="store_true",
                    help="display the demod-rate (HiRes) spectrum instead of "
                         "the device-rate one")
@@ -405,6 +412,18 @@ def main(argv=None):
             params, iq_gain=jnp.asarray(g, jnp.float32),
             iq_phase=jnp.asarray(ph, jnp.float32))
 
+    # interactive runtime control (receiverwidget.h:28-140 capability):
+    # scripted via --keys, or the live keyboard when displaying on a TTY
+    controls = key_source = None
+    if args.keys is not None or (args.display and sys.stdin.isatty()):
+        from pebblesdr_tpu.serve.control import (ControlSurface, ScriptedKeys,
+                                                 TtyKeys)
+
+        controls = ControlSurface(rx, params, tune,
+                                  squelch_db=args.squelch, gain=args.gain)
+        key_source = (ScriptedKeys(args.keys) if args.keys is not None
+                      else TtyKeys().__enter__())
+
     n_blocks = max(1, int(args.seconds * fs / args.frames))
     kdisp = max(1, min(args.blocks_per_dispatch, n_blocks))
     supervisor = None
@@ -422,6 +441,24 @@ def main(argv=None):
 
     t_start = time.perf_counter()
     while n_done < n_blocks:
+        if controls is not None:
+            # live control: params-only events (tune/bandpass/squelch/gain/
+            # mute) keep the SAME compiled step running; mode/AGC events swap
+            # the chain build and restart its state (the no-recompile retune
+            # contract, Receiver.retune)
+            for key in key_source.poll():
+                ev = controls.handle(key)
+                if ev:
+                    print(f"* {ev}", file=sys.stderr, flush=True)
+            if controls.take_reset():
+                rx = controls.rx
+                mode = rx.cfg.mode
+                state = rx.init_state()
+                audio_chunks = []  # new chain geometry: new audio segment
+            params = controls.params
+            tune = controls.tune
+            if controls.quit:
+                break
         # Read K blocks and ship them as ONE [K*N, 2C] lane-packed plane
         # through step_many: a single dispatch amortizes the per-dispatch
         # floor and (on networked backends) the erratic small-transfer
@@ -516,25 +553,35 @@ def main(argv=None):
         if k_real < kdisp:
             break
     wall = time.perf_counter() - t_start
+    if key_source is not None and hasattr(key_source, "__exit__"):
+        key_source.__exit__(None, None, None)
 
-    audio = np.concatenate(audio_chunks, axis=-1)
-    n_in = len(audio_chunks) * args.frames
+    if last_out is None:
+        print("no IQ blocks read from the source", file=sys.stderr)
+        return 1
+    audio = (np.concatenate(audio_chunks, axis=-1) if audio_chunks
+             else np.zeros((args.channels, 1), np.float32))
+    n_in = n_done * args.frames
     out, k_real = last_out
     sm = {k: float(np.asarray(v)[k_real - 1, 0])
           for k, v in out["smeter"].items()}
     metrics = {
-        "blocks": len(audio_chunks),
+        "blocks": n_done,
         "input_samples": n_in,
         "wall_s": round(wall, 3),
         "msps": round(n_in * args.channels / wall / 1e6, 2),
         "realtime_factor": round(n_in / fs / wall, 2),
-        "audio_rate": cfg.audio_rate,
+        "audio_rate": rx.cfg.audio_rate,
         "smeter_db": round(sm["signal_db"], 1),
         "snr_db": round(sm["snr_db"], 1),
         "squelch_open": bool(np.asarray(out["squelch_open"])[k_real - 1, 0]),
         "audio_rms": round(float(np.sqrt(np.mean(audio[0] ** 2))), 4),
         "step_ms": perform.stats("step"),
     }
+    if controls is not None:
+        metrics["control_events"] = controls.events
+        metrics["tune_hz"] = controls.tune
+        metrics["final_mode"] = rx.cfg.mode.value
     if supervisor is not None:
         metrics["health"] = supervisor.report()
     if bs_display is not None:

@@ -1,0 +1,230 @@
+"""Interactive runtime control: live retune/mode/filter/AGC/squelch keys.
+
+The control capability of ReceiverWidget (application/receiverwidget.h:28-140
+— frequency up/down, mode/filter/AGC selectors, squelch/gain sliders changed
+while the chain runs) and SpectrumWidget's mouse tuning
+(spectrumwidget.h:18-90), driven from the terminal instead of Qt.
+
+The chain was designed for this: tuning frequency, bandpass mask, squelch,
+gain and mute are RxParams *inputs* to the jitted step — changing them is a
+pure params update, the SAME compiled executable keeps running (no retrace,
+no recompile; Receiver.retune/set_bandpass).  Only a demod-mode or AGC-mode
+switch swaps the chain build (a cached jit executable when that config was
+seen before), exactly like the reference tearing down and rebuilding its
+demod object (receiver.cpp setDemodMode capability).
+
+Key map (also printed by `--display ... --keys help`):
+  Left/Right      tune down/up by the current step
+  Up/Down         tune step x10 / /10 (1 Hz .. 1 MHz)
+  m / M           next / previous demod mode      (chain rebuild)
+  a               cycle AGC off/fast/med/slow/long (chain rebuild)
+  [ / ]           narrow / widen the bandpass (params-only mask redesign)
+  s / S           squelch threshold +3 / -3 dB
+  g / G           audio gain +3 / -3 dB
+  space           mute toggle
+  q               quit
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from pebblesdr_tpu.chain.receiver import Receiver
+from pebblesdr_tpu.demod.modes import DemodMode
+
+# cycling order for the 'm' key (the receiverwidget mode selector list)
+MODE_CYCLE = [DemodMode.AM, DemodMode.SAM, DemodMode.USB, DemodMode.LSB,
+              DemodMode.CWU, DemodMode.CWL, DemodMode.DSB, DemodMode.FMN,
+              DemodMode.FMM, DemodMode.FMS]
+AGC_CYCLE = ["off", "fast", "med", "slow", "long"]
+
+# escape sequences -> key tokens
+_ESCAPES = {"\x1b[C": "right", "\x1b[D": "left",
+            "\x1b[A": "up", "\x1b[B": "down"}
+
+
+def parse_keys(data: str) -> list[str]:
+    """Byte/char stream -> key tokens ('right', 'm', ' ', ...)."""
+    out = []
+    i = 0
+    while i < len(data):
+        matched = False
+        for seq, name in _ESCAPES.items():
+            if data.startswith(seq, i):
+                out.append(name)
+                i += len(seq)
+                matched = True
+                break
+        if not matched:
+            out.append(data[i])
+            i += 1
+    return out
+
+
+class ScriptedKeys:
+    """Key source for tests/demos: a fixed token string, N keys per poll."""
+
+    def __init__(self, text: str, per_poll: int = 1):
+        self._keys = parse_keys(text)
+        self.per_poll = per_poll
+
+    def poll(self) -> list[str]:
+        take, self._keys = (self._keys[:self.per_poll],
+                            self._keys[self.per_poll:])
+        return take
+
+
+class TtyKeys:
+    """Nonblocking key source from a real terminal (cbreak mode + select)."""
+
+    def __init__(self, stream=None):
+        self.stream = stream or sys.stdin
+        self._saved = None
+
+    def __enter__(self):
+        import termios
+        import tty
+
+        self._fd = self.stream.fileno()
+        self._saved = termios.tcgetattr(self._fd)
+        tty.setcbreak(self._fd)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        if self._saved is not None:
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
+
+    def poll(self) -> list[str]:
+        import select
+
+        data = ""
+        while select.select([self.stream], [], [], 0)[0]:
+            data += self.stream.read(1)
+        return parse_keys(data)
+
+
+class ControlSurface:
+    """Owns the live Receiver + RxParams and applies key events to them.
+
+    params-only events (retune, bandpass, squelch, gain, mute) mutate
+    `self.params` — the caller keeps stepping with the same compiled
+    executable.  Chain-swap events (mode, AGC) rebuild `self.rx` and set the
+    reset flag — the caller re-inits chain state (a mode change resets the
+    demod pipeline in the reference too)."""
+
+    def __init__(self, rx: Receiver, params, tune_hz: float,
+                 squelch_db: float | None = None, gain: float = 1.0):
+        self.rx = rx
+        self.params = params
+        self.tune = float(tune_hz)
+        self.step = 1000.0
+        self.mode = rx.cfg.mode
+        self.agc = rx.cfg.agc_mode or rx.info.agc_mode
+        self.squelch_db = squelch_db
+        self.gain = gain
+        self.mute = False
+        self.bp_lo = rx.info.lo_cut
+        self.bp_hi = rx.info.hi_cut
+        self.quit = False
+        self._reset = False
+        self.events: list[str] = []
+
+    def take_reset(self) -> bool:
+        r, self._reset = self._reset, False
+        return r
+
+    def apply_levels(self):
+        """Push the surface's squelch/gain/mute into params (call once after
+        construction if the CLI pre-set them)."""
+        self._apply_levels()
+
+    # ------------------------------------------------------------- internals
+
+    def _rebuild(self):
+        cfg = dataclasses.replace(self.rx.cfg, mode=self.mode,
+                                  agc_mode=self.agc)
+        self.rx = Receiver(cfg)
+        self.bp_lo = self.rx.info.lo_cut
+        self.bp_hi = self.rx.info.hi_cut
+        self.params = self.rx.default_params(self.tune)
+        self._apply_levels()
+        self._reset = True
+
+    def _apply_levels(self):
+        repl = {"gain": jnp.asarray(self.gain, jnp.float32),
+                "mute": jnp.asarray(self.mute)}
+        if self.squelch_db is not None:
+            repl["squelch_db"] = jnp.asarray(self.squelch_db, jnp.float32)
+        self.params = dataclasses.replace(self.params, **repl)
+
+    # ---------------------------------------------------------------- events
+
+    def handle(self, key: str) -> str | None:
+        """Apply one key token; returns a human-readable event (or None)."""
+        ev = self._handle(key)
+        if ev:
+            self.events.append(ev)
+        return ev
+
+    def _handle(self, key: str) -> str | None:
+        if key == "q":
+            self.quit = True
+            return "QUIT"
+        if key in ("left", "right"):
+            self.tune += self.step if key == "right" else -self.step
+            limit = self.rx.cfg.sample_rate / 2
+            self.tune = float(np.clip(self.tune, -limit, limit))
+            self.params = self.rx.retune(self.params, self.tune)
+            return f"TUNE {self.tune / 1e3:.3f} kHz"
+        if key in ("up", "down"):
+            self.step = float(np.clip(
+                self.step * (10.0 if key == "up" else 0.1), 1.0, 1e6))
+            return f"STEP {self.step:g} Hz"
+        if key in ("m", "M"):
+            idx = (MODE_CYCLE.index(self.mode)
+                   if self.mode in MODE_CYCLE else 0)
+            idx = (idx + (1 if key == "m" else -1)) % len(MODE_CYCLE)
+            self.mode = MODE_CYCLE[idx]
+            self._rebuild()
+            return f"MODE {self.mode.value}"
+        if key == "a":
+            idx = (AGC_CYCLE.index(self.agc)
+                   if self.agc in AGC_CYCLE else 0)
+            self.agc = AGC_CYCLE[(idx + 1) % len(AGC_CYCLE)]
+            self._rebuild()
+            return f"AGC {self.agc}"
+        if key in ("[", "]"):
+            f = 0.8 if key == "[" else 1.25
+            # scale both cuts about their center (keeps CW offsets centered)
+            mid = (self.bp_lo + self.bp_hi) / 2
+            half = (self.bp_hi - self.bp_lo) / 2 * f
+            half = float(np.clip(half, 50.0, self.rx.demod_rate / 2 - 100.0))
+            self.bp_lo, self.bp_hi = mid - half, mid + half
+            self.params = self.rx.set_bandpass(self.params, self.bp_lo,
+                                               self.bp_hi)
+            return f"BW {self.bp_hi - self.bp_lo:.0f} Hz"
+        if key in ("s", "S"):
+            cur = self.squelch_db if self.squelch_db is not None else -999.0
+            if cur <= -999.0:
+                cur = -10.0 if key == "s" else -999.0
+            else:
+                cur += 3.0 if key == "s" else -3.0
+            self.squelch_db = float(np.clip(cur, -999.0, 60.0))
+            self._apply_levels()
+            return f"SQL {self.squelch_db:.0f} dB"
+        if key in ("g", "G"):
+            self.gain *= 10.0 ** (0.15 if key == "g" else -0.15)
+            self.gain = float(np.clip(self.gain, 1e-3, 1e3))
+            self._apply_levels()
+            return f"GAIN {20 * np.log10(self.gain):+.1f} dB"
+        if key == " ":
+            self.mute = not self.mute
+            self._apply_levels()
+            return f"MUTE {'on' if self.mute else 'off'}"
+        return None

@@ -1,0 +1,148 @@
+"""Interactive runtime control (serve/control.py): live retune/mode/filter/
+AGC/squelch — params-only updates keep the compiled step, mode swaps rebuild,
+and the CLI applies scripted key events between dispatches."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+from pebblesdr_tpu.demod.modes import DemodMode
+from pebblesdr_tpu.serve.control import (ControlSurface, ScriptedKeys,
+                                         parse_keys)
+
+FS, N = 2_048_000, 32768
+
+
+def make_surface(mode=DemodMode.AM, tune=250_000.0):
+    rx = Receiver(ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                                 mode=mode))
+    return ControlSurface(rx, rx.default_params(tune), tune)
+
+
+class TestKeyParsing:
+    def test_arrows_and_chars(self):
+        assert parse_keys("\x1b[C\x1b[Dmq \x1b[A") == [
+            "right", "left", "m", "q", " ", "up"]
+
+    def test_scripted_source_paces(self):
+        src = ScriptedKeys("ab", per_poll=1)
+        assert src.poll() == ["a"]
+        assert src.poll() == ["b"]
+        assert src.poll() == []
+
+
+class TestControlSurface:
+    def test_arrow_retune_is_params_only(self):
+        s = make_surface()
+        rx0 = s.rx
+        hi0 = np.asarray(s.params.tune_hi).copy()
+        ev = s.handle("right")
+        assert ev == "TUNE 251.000 kHz"
+        assert s.rx is rx0                      # no chain rebuild
+        assert not s.take_reset()
+        assert not np.array_equal(np.asarray(s.params.tune_hi), hi0)
+        s.handle("up")                          # step 1 kHz -> 10 kHz
+        s.handle("left")
+        assert s.tune == pytest.approx(241_000.0)
+
+    def test_bandpass_key_redesigns_mask(self):
+        s = make_surface()
+        mask0 = np.asarray(s.params.bp_mask).copy()
+        ev = s.handle("[")
+        assert ev.startswith("BW ")
+        assert s.rx is not None and not s.take_reset()
+        assert not np.array_equal(np.asarray(s.params.bp_mask), mask0)
+
+    def test_squelch_gain_mute_params_only(self):
+        s = make_surface()
+        s.handle("s")
+        assert float(np.asarray(s.params.squelch_db)) == -10.0
+        s.handle("g")
+        assert float(np.asarray(s.params.gain)) > 1.0
+        s.handle(" ")
+        assert bool(np.asarray(s.params.mute))
+        s.handle(" ")
+        assert not bool(np.asarray(s.params.mute))
+        assert not s.take_reset()
+
+    def test_mode_key_swaps_chain(self):
+        s = make_surface(DemodMode.AM)
+        rx0 = s.rx
+        ev = s.handle("m")
+        assert ev == "MODE SAM"
+        assert s.rx is not rx0 and s.rx.cfg.mode == DemodMode.SAM
+        assert s.take_reset()
+        s.handle("M")
+        assert s.rx.cfg.mode == DemodMode.AM and s.take_reset()
+
+    def test_agc_key_swaps_chain(self):
+        s = make_surface()
+        ev = s.handle("a")
+        assert ev.startswith("AGC ")
+        assert s.take_reset()
+
+    def test_retune_moves_off_station_mid_stream(self):
+        # the actual RF effect: stepping the SAME compiled executable with
+        # surface-updated params moves off a station between blocks
+        s = make_surface(DemodMode.AM, tune=250_000.0)
+        t = np.arange(4 * N) / FS
+        env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+        iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)
+              ).astype(np.complex64)[None]
+        state = s.rx.init_state()
+        snrs = []
+        for k in range(4):
+            if k == 2:
+                s.step = 100_000.0
+                s.handle("right")   # 250 kHz -> 350 kHz: off the station
+            state, out = s.rx.step(state, s.params,
+                                   jnp.asarray(iq[:, k * N:(k + 1) * N]))
+            snrs.append(float(np.asarray(out["smeter"]["snr_db"])[0]))
+        assert snrs[1] > 30.0
+        assert snrs[3] < snrs[1] - 20.0
+
+
+class TestCliScriptedKeys:
+    def test_keys_retune_between_dispatches(self, capsys):
+        from pebblesdr_tpu.serve.cli import main
+
+        # tone at tune+1 kHz; 3 right-arrows x 1 kHz step shift the channel
+        # off the tone.  One key per dispatch; single-block dispatches.
+        rc = main(["--synthetic", "tone", "--mode", "USB",
+                   "--tune", "400000", "--seconds", "0.4",
+                   "--blocks-per-dispatch", "1", "--json",
+                   "--keys", "\x1b[C\x1b[C\x1b[C"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["tune_hz"] == pytest.approx(403_000.0)
+        assert [e for e in metrics["control_events"]
+                if e.startswith("TUNE")] == [
+            "TUNE 401.000 kHz", "TUNE 402.000 kHz", "TUNE 403.000 kHz"]
+
+    def test_keys_mode_swap_and_quit(self, capsys):
+        from pebblesdr_tpu.serve.cli import main
+
+        rc = main(["--synthetic", "am", "--mode", "AM",
+                   "--tune", "250000", "--seconds", "0.5",
+                   "--blocks-per-dispatch", "1", "--json",
+                   "--keys", "m"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["final_mode"] == "SAM"
+        assert "MODE SAM" in metrics["control_events"]
+
+    def test_quit_key_stops_early(self, capsys):
+        from pebblesdr_tpu.serve.cli import main
+
+        # 'x' is unbound (first dispatch runs), 'q' quits before the second
+        rc = main(["--synthetic", "am", "--mode", "AM",
+                   "--tune", "250000", "--seconds", "2.0",
+                   "--blocks-per-dispatch", "1", "--json",
+                   "--keys", "xq"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # ~125 blocks requested; quit on the second dispatch
+        assert metrics["blocks"] <= 2

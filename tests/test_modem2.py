@@ -42,18 +42,80 @@ class TestRtty:
 
 
 class TestWwv:
-    def test_decodes_time(self):
-        fs = 8000.0
-        audio = wwv.encode_wwv(minutes=37, hours=14, sample_rate=fs, seconds=100)
+    @staticmethod
+    def _run(audio, fs, dec=None):
         modem = wwv.WwvModem(fs)
-        dec = wwv.WwvDecoder()
+        dec = dec or wwv.WwvDecoder()
         blk = 100 * modem.frame
         n = (len(audio) // blk) * blk
         for i in range(0, n, blk):
             p = modem.detect(jnp.asarray(audio[None, i:i + blk]))
             dec.feed(np.asarray(p)[0])
-        assert dec.minutes == 37
+        return dec
+
+    def test_decodes_time(self):
+        fs = 8000.0
+        audio = wwv.encode_wwv(minutes=37, hours=14, sample_rate=fs,
+                               seconds=130)
+        dec = self._run(audio, fs)
+        # minute 0's :00 mark precedes the first received pulse, so the
+        # first *confirmable* minute is the second one (37 + 1)
+        assert dec.minutes == 38
         assert dec.hours == 14
+
+    def test_full_frame_fields(self):
+        # every published field of the NIST frame decodes: BCD day-of-year
+        # (incl. the 100/200 bits), 2-digit year, DST/leap flags, signed DUT1
+        fs = 8000.0
+        fr = wwv.WwvFrame(minutes=58, hours=23, day_of_year=366, year=87,
+                          dst1=True, dst2=False, leap=True, dut1=-0.3)
+        audio = wwv.encode_wwv_frame(fr, fs, seconds=130)
+        dec = self._run(audio, fs)
+        assert dec.frame is not None
+        got = dec.frame
+        # first confirmable minute = 58 + 1 (the leading :00 precedes rx)
+        assert (got.minutes, got.hours) == (59, 23)
+        assert got.day_of_year == 366
+        assert got.year == 87
+        assert (got.dst1, got.dst2, got.leap) == (True, False, True)
+        assert got.dut1 == pytest.approx(-0.3)
+
+    def test_mid_minute_alignment(self):
+        # transmission joined at second :23 — the decoder must self-align on
+        # the marker pattern and decode the NEXT full minute (minutes+1)
+        fs = 8000.0
+        fr = wwv.WwvFrame(minutes=11, hours=5, day_of_year=200, year=26)
+        audio = wwv.encode_wwv_frame(fr, fs, seconds=130, start_second=23)
+        dec = self._run(audio, fs)
+        assert dec.frame is not None
+        assert dec.frame.minutes == 12  # the first complete minute
+        assert dec.frame.hours == 5
+        assert dec.frame.day_of_year == 200
+
+    def test_corrupted_marker_rejected(self):
+        # P3 (:29) replaced by a data bit in every minute: nothing may
+        # decode.  Positive control: the identical stream without the
+        # corruption decodes — proving the marker check is what rejected it.
+        fs = 8000.0
+        fr = wwv.WwvFrame(minutes=30, hours=12, day_of_year=100, year=26)
+        bad = wwv.encode_wwv_frame(fr, fs, seconds=130, corrupt_marker=29)
+        assert self._run(bad, fs).frame is None
+        good = wwv.encode_wwv_frame(fr, fs, seconds=130)
+        assert self._run(good, fs).frame is not None
+
+    def test_layout_is_the_published_standard(self):
+        # spot-check the table against the NIST second assignments
+        # (reference wwvdigitalmodem.cpp:34-112)
+        L = wwv.WWV_LAYOUT
+        assert L[0] == "minute"
+        assert all(L[s] == "M" for s in (9, 19, 29, 39, 49, 59))
+        assert L[10] == ("minutes", 1) and L[17] == ("minutes", 40)
+        assert L[20] == ("hours", 1) and L[26] == ("hours", 20)
+        assert L[30] == ("day_of_year", 1) and L[41] == ("day_of_year", 200)
+        assert L[51] == ("year_tens", 10) and L[4] == ("year_units", 1)
+        assert L[2] == ("dst1", 1) and L[55] == ("dst2", 1)
+        assert L[3] == ("leap", 1)
+        assert L[50] == ("dut1_sign", 1) and L[58] == ("dut1_mag", 4)
 
 
 class TestFeeder:
