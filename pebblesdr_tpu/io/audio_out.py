@@ -197,15 +197,97 @@ class PacedOutput(AudioOutput):
         self.inner.stop()
 
 
+class PortAudioOutput(AudioOutput):
+    """Native soundcard sink via ctypes on the system PortAudio — the
+    AudioPA backend (pebblelib/audiopa.cpp StartOutput/SendToOutput
+    capability) without vendoring the library.
+
+    Uses the blocking-write API: Pa_OpenDefaultStream(float32, `channels`)
+    + Pa_WriteStream per send.  Pa_WriteStream returning
+    paOutputUnderflowed increments `underruns` (the same accounting
+    PacedOutput keeps for the pipe sinks).  Raises a clear RuntimeError at
+    start() when no libportaudio is installed — headless TPU hosts keep
+    using wav/pipe/null."""
+
+    _PA_FLOAT32 = 0x00000001
+    _PA_OUTPUT_UNDERFLOWED = -9980  # paOutputUnderflowed
+
+    def __init__(self, device: str = "default",
+                 frames_per_buffer: int = 1024):
+        self.device = device
+        self.frames_per_buffer = frames_per_buffer
+        self.underruns = 0
+        self._pa = None
+        self._stream = None
+
+    @staticmethod
+    def _load():
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("portaudio")
+        if not name:
+            raise RuntimeError(
+                "no libportaudio on this host — use --audio-out FILE.wav or "
+                "pipe: (aplay/ffplay) instead of device:")
+        return ctypes.CDLL(name)
+
+    def start(self, rate: int, channels: int = 1) -> None:
+        import ctypes
+
+        pa = self._load()
+        err = pa.Pa_Initialize()
+        if err:
+            raise RuntimeError(f"Pa_Initialize failed ({err})")
+        self._pa = pa
+        self.rate, self.channels = rate, channels
+        stream = ctypes.c_void_p()
+        err = pa.Pa_OpenDefaultStream(
+            ctypes.byref(stream), 0, channels, self._PA_FLOAT32,
+            ctypes.c_double(rate), self.frames_per_buffer, None, None)
+        if err:
+            pa.Pa_Terminate()
+            self._pa = None
+            raise RuntimeError(f"Pa_OpenDefaultStream failed ({err})")
+        self._stream = stream
+        pa.Pa_StartStream(stream)
+
+    def send(self, audio, gain=1.0, mute=False) -> None:
+        import ctypes
+
+        a = np.asarray(audio, np.float32) * (0.0 if mute else gain)
+        if a.ndim == 2:  # [channels, n] -> interleaved frames
+            a = np.ascontiguousarray(a.T)
+        frames = a.shape[0] if a.ndim == 2 else a.shape[-1]
+        buf = np.ascontiguousarray(a, np.float32)
+        err = self._pa.Pa_WriteStream(
+            self._stream, buf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_ulong(frames))
+        if err == self._PA_OUTPUT_UNDERFLOWED:
+            self.underruns += 1
+
+    def stop(self) -> None:
+        if self._stream is not None:
+            self._pa.Pa_StopStream(self._stream)
+            self._pa.Pa_CloseStream(self._stream)
+            self._stream = None
+        if self._pa is not None:
+            self._pa.Pa_Terminate()
+            self._pa = None
+
+
 def factory(kind: str = "null", paced: bool = False, **kwargs) -> AudioOutput:
-    """Audio::Factory analog: 'null' | 'wav' | 'pipe' (+paced=True to wrap
-    in the real-time pacing consumer)."""
+    """Audio::Factory analog: 'null' | 'wav' | 'pipe' | 'device' (+paced=True
+    to wrap in the real-time pacing consumer).  'device' is the native
+    PortAudio soundcard sink (audiopa.cpp capability)."""
     if kind == "null":
         out = NullOutput()
     elif kind == "wav":
         out = WavOutput(**kwargs)
     elif kind == "pipe":
         out = PipeOutput(**kwargs)
+    elif kind == "device":
+        out = PortAudioOutput(**kwargs)
     else:
         raise ValueError(kind)
     return PacedOutput(out) if paced else out

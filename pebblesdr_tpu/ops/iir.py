@@ -241,18 +241,20 @@ def biquad_apply(state: jax.Array, x: jax.Array, coef: BiquadCoef):
     # zero-state response + zero-state chunk-end state, both MXU matmuls
     w_zs = jnp.matmul(xc, tt, precision=_PREC)          # [C, K, L]
     d = jnp.matmul(xc, p_end, precision=_PREC)          # [C, K, 2]
-    # cross-chunk handoff: t_k = M^L t_{k-1} + d_k, t_{-1} = state
-    d = d.at[:, 0, :].add(jnp.einsum("ij,cj->ci", a_l, state,
-                                     precision=_PREC))
+    # cross-chunk handoff: t_k = M^L t_{k-1} + d_k, t_{-1} = state.
+    # This tiny 2x2 recurrence runs at HIGHEST precision: its error
+    # compounds multiplicatively across the K chunks of a long stream
+    # (high-Q poles near |z|=1 amplify it), and the [2,2] einsums are
+    # negligible FLOPs next to the [C, K, L] MXU matmuls above
+    hp = jax.lax.Precision.HIGHEST
+    d = d.at[:, 0, :].add(jnp.einsum("ij,cj->ci", a_l, state, precision=hp))
     mats = jnp.broadcast_to(a_l, (c, k, 2, 2))
 
     def combine(l, r):
         ml, bl = l
         mr, br = r
-        return (jnp.einsum("...ij,...jk->...ik", mr, ml,
-                           precision=_PREC),
-                jnp.einsum("...ij,...j->...i", mr, bl,
-                           precision=_PREC) + br)
+        return (jnp.einsum("...ij,...jk->...ik", mr, ml, precision=hp),
+                jnp.einsum("...ij,...j->...i", mr, bl, precision=hp) + br)
 
     _, t_end = jax.lax.associative_scan(combine, (mats, d), axis=1)  # [C,K,2]
     v_in = jnp.concatenate([state[:, None, :], t_end[:, :-1, :]], axis=1)

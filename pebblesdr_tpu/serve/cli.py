@@ -290,7 +290,11 @@ def main(argv=None):
     p.add_argument("--blocks-per-dispatch", type=int, default=8,
                    help="blocks batched into one step_many dispatch "
                         "(amortizes per-dispatch and transfer latency)")
-    p.add_argument("--audio-out", default=None, help="write demod audio wav")
+    p.add_argument("--audio-out", default=None,
+                   help="demod audio sink: a .wav path, 'device[:name]' for "
+                        "the native PortAudio soundcard (live, paced, with "
+                        "underrun counters — audiopa.cpp analog), or "
+                        "'pipe[:command]' to stream PCM into a player")
     p.add_argument("--iq-record", default=None, help="record the input IQ to wav")
     p.add_argument("--pace", action="store_true", help="real-time pacing")
     p.add_argument("--noise-db", type=float, default=None)
@@ -433,6 +437,23 @@ def main(argv=None):
         supervisor = StreamSupervisor(rx, params,
                                       checkpoint_path=args.checkpoint,
                                       checkpoint_every=args.checkpoint_every)
+    # live audio sink ('device:' = native PortAudio, 'pipe:' = PCM player),
+    # wrapped in the paced consumer so latency/underruns are accounted
+    live_audio = None
+    if args.audio_out and (args.audio_out.startswith("device")
+                           or args.audio_out.startswith("pipe")):
+        from pebblesdr_tpu.io import audio_out as ao
+
+        a_kind, _, a_rest = args.audio_out.partition(":")
+        a_kw = {}
+        if a_kind == "device" and a_rest and a_rest != "default":
+            a_kw["device"] = a_rest
+        if a_kind == "pipe" and a_rest:
+            a_kw["command"] = a_rest.split()
+        live_audio = ao.factory(a_kind, paced=True, **a_kw)
+        stereo = mode == modes_mod.DemodMode.FMS
+        live_audio.start(cfg.audio_rate, channels=2 if stereo else 1)
+
     audio_chunks = []
     perform = Perform()
     rec = [] if args.iq_record else None
@@ -503,6 +524,9 @@ def main(argv=None):
             # return at enqueue time on networked backends
             audio_np = np.asarray(out["audio"])[:k_real]  # [K, C, (2,) M]
         audio_chunks.extend(audio_np)
+        if live_audio is not None:
+            for a_blk in audio_np:      # [C, M] or [C, 2, M]; play channel 0
+                live_audio.send(a_blk[0])
         n_done += k_real
         if supervisor is not None:
             for _ in range(k_real):
@@ -582,6 +606,15 @@ def main(argv=None):
         metrics["control_events"] = controls.events
         metrics["tune_hz"] = controls.tune
         metrics["final_mode"] = rx.cfg.mode.value
+    if live_audio is not None:
+        live_audio.stop()
+        inner = getattr(live_audio, "inner", live_audio)
+        metrics["audio_sink"] = {
+            "kind": args.audio_out,
+            "underruns": (getattr(live_audio, "underruns", 0)
+                          + getattr(inner, "underruns", 0)),
+            "overruns": getattr(live_audio, "overruns", 0),
+        }
     if supervisor is not None:
         metrics["health"] = supervisor.report()
     if bs_display is not None:
@@ -609,7 +642,7 @@ def main(argv=None):
                         extra={"blocks": len(audio_chunks)})
         print(f"state checkpointed to {args.checkpoint}", file=sys.stderr)
 
-    if args.audio_out:
+    if args.audio_out and live_audio is None:
         a0 = audio[0]  # first channel ([2, M] if stereo)
         wav.write_audio_wav(args.audio_out, a0, cfg.audio_rate)
         print(f"audio written to {args.audio_out}", file=sys.stderr)

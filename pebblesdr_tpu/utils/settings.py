@@ -105,9 +105,21 @@ def data_path(name: str) -> str:
                         "data", name)
 
 
+USER_STATIONS = "~/.pebblesdr_tpu/stations.csv"
+
+
 def load_stations() -> list[Preset]:
-    """The shipped shortwave/utility station DB (eibi.csv capability)."""
-    return load_presets_csv(data_path("stations.csv"))
+    """The station DB (eibi.csv capability): the shipped curated list plus,
+    when present, the user DB at $PEBBLESDR_STATIONS or ~/.pebblesdr_tpu/
+    stations.csv — where tools/fetch_eibi.py writes the full converted EiBi
+    schedule (the reference ships a 555 kB snapshot; we fetch the CURRENT
+    season instead of vendoring a stale one)."""
+    presets = load_presets_csv(data_path("stations.csv"))
+    user = os.environ.get("PEBBLESDR_STATIONS",
+                          os.path.expanduser(USER_STATIONS))
+    if os.path.exists(user):
+        presets = presets + load_presets_csv(user)
+    return presets
 
 
 def load_memory() -> list[Preset]:

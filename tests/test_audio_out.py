@@ -58,3 +58,47 @@ class TestPacedOutput:
         out.send(np.zeros(480, np.float32))
         out.stop()
         assert out.inner.samples_sent >= 480
+
+
+class TestPortAudioOutput:
+    def test_factory_builds_device_sink(self):
+        out = audio_out.factory("device")
+        assert isinstance(out, audio_out.PortAudioOutput)
+
+    def test_device_sink(self):
+        """With libportaudio installed: open/write/close the default stream.
+        Without (headless TPU hosts): a clear RuntimeError naming the
+        alternatives — never a silent no-op."""
+        import ctypes.util
+
+        out = audio_out.PortAudioOutput()
+        if ctypes.util.find_library("portaudio"):
+            out.start(48000)
+            out.send(np.zeros(4800, np.float32))
+            out.stop()
+        else:
+            import pytest
+
+            with pytest.raises(RuntimeError, match="libportaudio"):
+                out.start(48000)
+
+
+class TestCliLiveSink:
+    def test_pipe_sink_streams_pcm(self, tmp_path, capsys):
+        """--audio-out pipe:<cmd>: the CLI streams float32 PCM through the
+        paced consumer into the command's stdin (player analog)."""
+        import json
+
+        from pebblesdr_tpu.serve.cli import main
+
+        sink = tmp_path / "pcm.raw"
+        rc = main(["--synthetic", "am", "--mode", "AM", "--tune", "250000",
+                   "--seconds", "0.3", "--json",
+                   "--audio-out", f"pipe:dd of={sink} status=none"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "audio_sink" in metrics
+        data = np.frombuffer(sink.read_bytes(), "<f4")
+        # the paced sink emitted ~0.3 s of 48 kHz PCM (incl. pacing silence)
+        assert len(data) > 4800
+        assert np.abs(data).max() > 0.01

@@ -197,6 +197,62 @@ class TestSettings:
         assert back[1].hi_hz == 7_300_000.0
 
 
+class TestEibiTooling:
+    EIBI = (
+        "kHz:75;Time(UTC):93;Days:59;ITU:49;Station:201;Lng:49;Target:62;"
+        "Remarks\n"
+        "9500;0000-2400;;USA;Test Broadcaster;E;NA;\n"
+        "9750;0600-0700;Mo-Fr;G;BBC Test;E;Eu;\n"
+        "6070;1200-1300;;D;Deutsche Probe;G;Eu;\n"
+        "bogus;line;;;;\n")
+
+    def test_convert_local_schedule(self, tmp_path, monkeypatch, capsys):
+        import sys as _sys
+
+        _sys.path.insert(0, "tools")
+        import fetch_eibi
+
+        src = tmp_path / "sked-a26.csv"
+        src.write_text(self.EIBI, encoding="latin-1")
+        out = tmp_path / "stations.csv"
+        rc = fetch_eibi.main(["--input", str(src), "--out", str(out)])
+        assert rc == 0
+        from pebblesdr_tpu.utils import settings as st
+
+        back = st.load_presets_csv(str(out))
+        assert len(back) == 3
+        assert {p.name for p in back} == {"Test Broadcaster", "BBC Test",
+                                          "Deutsche Probe"}
+        assert any(p.freq_hz == 9_500_000.0 for p in back)
+
+        # language filter
+        out2 = tmp_path / "english.csv"
+        rc = fetch_eibi.main(["--input", str(src), "--out", str(out2),
+                              "--langs", "E"])
+        assert rc == 0
+        assert len(st.load_presets_csv(str(out2))) == 2
+
+        # the user DB path feeds load_stations() / --stations db directly
+        monkeypatch.setenv("PEBBLESDR_STATIONS", str(out))
+        allst = st.load_stations()
+        assert any(p.name == "BBC Test" for p in allst)
+        near = st.stations_near(allst, 9_600_000.0, 400_000.0)
+        # shipped curated rows may share the 31 m band; ours must be there
+        assert {"Test Broadcaster", "BBC Test"} <= {p.name for p in near}
+        assert "Deutsche Probe" not in {p.name for p in near}
+
+    def test_season_code(self):
+        import datetime
+        import sys as _sys
+
+        _sys.path.insert(0, "tools")
+        import fetch_eibi
+
+        assert fetch_eibi.current_season(datetime.date(2026, 8, 21)) == "a26"
+        assert fetch_eibi.current_season(datetime.date(2026, 12, 1)) == "b26"
+        assert fetch_eibi.current_season(datetime.date(2027, 2, 1)) == "b26"
+
+
 class TestHealth:
     def test_monitor_tracks_drops_and_rtf(self):
         import time as _time

@@ -104,7 +104,8 @@ def main():
                 dts.append(time.perf_counter() - t0)
         dt = min(dts)
         blk_ms = dt / (STEPS * K) * 1e3
-        print(f"{name:24s} block {blk_ms:.4f} ms   (compile {comp:.0f}s, "
+        # `comp` times 3 warm-up steps + a device sync, not just compilation
+        print(f"{name:24s} block {blk_ms:.4f} ms   (warmup {comp:.0f}s, "
               f"windows {['%.2f' % d for d in dts]})")
         return blk_ms
 
