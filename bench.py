@@ -88,6 +88,7 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
                          channels=channels, mode=mode,
                          rds=(mode_name == "wfm_rds"),
                          wfm_hq=(mode_name == "wfm_hq"),
+                         enable_noise_blanker=(mode_name == "am_nb"),
                          agc_stride=int(os.environ.get("BENCH_AGC_STRIDE", "16")))
     rx = Receiver(cfg)
     # complex64 cannot cross the axon host<->device boundary: build state
@@ -123,8 +124,8 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
     # lanes by the TPU's (8, 128) tiling, so the unfolded entry would make
     # every front-end pass move 128/2C times the logical bytes.  Feeders
     # build this layout for free; here one host-side reorder does it.
-    from pebblesdr_tpu.ops.pallas_kernels import fold_plane_np, pick_fold
-    fold = pick_fold(channels, blocks)
+    from pebblesdr_tpu.ops.pallas_kernels import fold_plane_np
+    fold = rx.pick_fold(blocks)  # NB forces fold=1 (no group seams)
     if fold > 1 and rx.batched_capable:
         # one logical block tiled K times is IDENTICAL in every lane group,
         # so the folded dispatch buffer is the block-plane widened to 2GC
@@ -326,6 +327,39 @@ def bench_quality() -> dict:
     row["rds_bler_20db"] = round(dec.block_errors / max(1, total), 3)
     row["rds_ps_decoded"] = (g.ps_name == "PEBBLES ")
     row["rds_snr_db"] = 20.0
+
+    # --- AGC: parallel (windowed-max hang) vs sample-exact scan on a
+    # steady-carrier dropout (the hang-defining fixture; VERDICT r3 item 7):
+    # max 25 ms RMS envelope delta after convergence, in dB
+    from pebblesdr_tpu.ops import agc as agc_mod
+    fs_a = 8000.0
+    n_a = int(fs_a * 4.5)
+    ta = np.arange(n_a) / fs_a
+    env = np.ones(n_a)
+    env[int(3.5 * fs_a):int(4.0 * fs_a)] = 0.01
+    rng_a = np.random.default_rng(5)
+    xa = ((env * np.exp(2j * np.pi * 500.0 * ta)
+           + 2e-3 * (rng_a.standard_normal(n_a)
+                     + 1j * rng_a.standard_normal(n_a)))
+          .astype(np.complex64))[None]
+    xa = xa[:, :(n_a // 2048) * 2048]
+    outs_a = {}
+    for alg in ("parallel", "scan"):
+        cfg_a = agc_mod.AGCConfig.make(fs_a, mode="long", threshold_db=-40.0,
+                                       algorithm=alg)
+        st_a = agc_mod.agc_init(cfg_a, 1)
+        ys = []
+        for k in range(xa.shape[-1] // 2048):
+            st_a, y = agc_mod.agc_apply(cfg_a, st_a,
+                                        jnp.asarray(xa[:, k*2048:(k+1)*2048]))
+            ys.append(np.asarray(y)[0])
+        outs_a[alg] = np.concatenate(ys)
+    seg = int(0.025 * fs_a)
+    n_seg = len(outs_a["scan"]) // seg
+    rms = {a: np.sqrt(np.mean(np.abs(v[:n_seg * seg].reshape(n_seg, seg))
+                              ** 2, axis=1)) for a, v in outs_a.items()}
+    d_db = 20 * np.log10((rms["parallel"] + 1e-9) / (rms["scan"] + 1e-9))
+    row["agc_hang_par_vs_scan_db"] = round(float(np.max(np.abs(d_db[8:]))), 2)
     return row
 
 
@@ -416,6 +450,10 @@ def main():
         rows.append(_row_subprocess("am", 16, 2 * BLOCKS,
                                     max(16, STEPS // 2)))
         rows.append(_row_subprocess("wfm", 16, 2 * BLOCKS,
+                                    max(16, STEPS // 2)))
+        # NB-on flagship: the in-kernel noise blanker must cost <= 15% over
+        # the NB-off am row (VERDICT r3 item 4 done-criterion)
+        rows.append(_row_subprocess("am_nb", CHANNELS, BLOCKS,
                                     max(16, STEPS // 2)))
         # batched bank tail: one straight-line graph per dispatch; K=64
         # amortizes the fixed dispatch cost best on the tunnel

@@ -66,24 +66,60 @@ def apply(state: jax.Array, x: jax.Array, mask: jax.Array):
     return x, filtered[:, b:].astype(jnp.complex64)
 
 
-def apply_many(state: jax.Array, x_cat: jax.Array, mask: jax.Array, block: int):
-    """K overlap-save rounds in ONE batched FFT — bit-identical to K
-    sequential apply() calls on consecutive blocks.
+SEG_MULT = 8  # dispatch-path FFT segment length, in blocks (power of two)
+
+
+def apply_many(state: jax.Array, x_cat: jax.Array, mask: jax.Array,
+               block: int, seg_mult: int = SEG_MULT):
+    """K overlap-save rounds in ONE batched FFT — equal to K sequential
+    apply() calls on consecutive blocks (to FFT rounding, ~1e-7).
 
     x_cat: [C, K*block] (K consecutive blocks concatenated in time),
     state: [C, block] previous block.  Returns (new_state, y [C, K*block]).
     The batched form exists so a multi-block dispatch pays the op-launch
     overhead once instead of K times (lax.scan tail ops dominate the
-    demod-rate cost on a network-attached TPU)."""
+    demod-rate cost on a network-attached TPU).
+
+    seg_mult > 1 additionally LENGTHENS the overlap-save segments: FFT size
+    L = seg_mult*B, each segment emitting T = L - B samples, so the
+    dispatch does ~K/(seg_mult-1) FFTs of L instead of K FFTs of 2B —
+    fewer total points (N·logN wins) and ~1.6x less FFT traffic at the
+    default 8.  The filter is identical: the 2B-bin runtime mask converts
+    to the L-bin mask by ifft -> (B+1 taps) -> fft, two tiny transforms per
+    dispatch.  The sequential-equivalence property is unchanged — segment
+    s's outputs are the SAME linear convolution samples, just grouped
+    differently (the 50%-overlap pairing is the seg_mult=2 special case)."""
     c, l = x_cat.shape
     k = l // block
     ext = jnp.concatenate([state, x_cat], axis=-1)     # [C, (K+1)*B]
-    # windows[k] = ext[:, k*B:(k+2)*B] -> [C, K, 2B].  The 50%-overlap
-    # window stack is TWO contiguous reshapes + one concat (window k is the
-    # pair of whole blocks (k, k+1)) — not a K-long unrolled slice+stack,
-    # which costs O(K) ops, a [K, C, ·] relayout on each side of the FFT,
-    # and made the dispatch cost scale with K (measured: K=128 ran SLOWER
-    # per block than K=64 through the old form).
+    b = block
+    if seg_mult > 2 and k >= seg_mult:
+        t = (seg_mult - 1) * b                         # outputs per segment
+        n_seg = -(-l // t)
+        # buffer must reach (n_seg+1)*t so BOTH reshapes below are whole-
+        # chunk (windows only read up to n_seg*t + b; the zero padding
+        # beyond feeds discarded outputs)
+        need = (n_seg + 1) * t
+        if need > ext.shape[-1]:
+            ext_p = jnp.pad(ext, ((0, 0), (0, need - ext.shape[-1])))
+        else:
+            ext_p = ext
+        # windows[s] = ext[:, s*T : s*T + T + B]: two contiguous reshapes
+        # + one concat (same trick as the 50% pairing, generalized)
+        lo = ext_p[:, :n_seg * t].reshape(c, n_seg, t)
+        hi = ext_p[:, t:t + n_seg * t].reshape(c, n_seg, t)[:, :, :b]
+        wins = jnp.concatenate([lo, hi], axis=-1)      # [C, S, T+B]
+        taps = jnp.fft.ifft(mask)[:b + 1]              # exact by construction
+        mask_l = jnp.fft.fft(taps, n=t + b)
+        spec = jnp.fft.fft(wins, axis=-1)
+        filtered = jnp.fft.ifft(spec * mask_l[None, None, :], axis=-1)
+        y = filtered[:, :, b:].reshape(c, n_seg * t)[:, :l]
+        return ext[:, -b:], y.astype(jnp.complex64)
+    # seg_mult == 2: the classic 50%-overlap pairing (window k = blocks
+    # (k, k+1)) — not a K-long unrolled slice+stack, which costs O(K) ops,
+    # a [K, C, ·] relayout on each side of the FFT, and made the dispatch
+    # cost scale with K (measured: K=128 ran SLOWER per block than K=64
+    # through the old form)
     lo = ext[:, :l].reshape(c, k, block)               # blocks 0..K-1
     hi = ext[:, block:].reshape(c, k, block)           # blocks 1..K
     wins = jnp.concatenate([lo, hi], axis=-1)          # [C, K, 2B]

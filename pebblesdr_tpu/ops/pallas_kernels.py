@@ -117,7 +117,8 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
 
 
 def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
-                  raw_rows, factor, m_tile, disc_gain, interpret, *refs):
+                  raw_rows, factor, m_tile, disc_gain, interpret,
+                  iqbal, nb_mode, nb_thr, nb_bw, nb_alpha_c, *refs):
     """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
     c is the packed HALF-width.  For the plain layout that is the channel
@@ -145,17 +146,29 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     [C, N] channel-major relayout of the composite disappears from the
     WFM tail entirely.
     """
+    # ref unpacking follows the in_specs/out_specs assembly order in
+    # fused_front_packed: optional stages contribute refs only when enabled
+    refs = list(refs)
+    (x_ref, phase_ref, fhi_ref, flo_ref,
+     fr1_ref, fi1_ref, fi2_ref, fr2_ref,
+     wth_ref, wtl_ref, dc_in_ref, tail_in_ref) = refs[:12]
+    pos = 12
+    if iqbal:
+        s1_ref, s2_ref = refs[pos:pos + 2]
+        pos += 2
+    if nb_mode:
+        nb_avg_in_ref, nb_tail_in_ref = refs[pos:pos + 2]
+        pos += 2
     if disc_gain:
-        (x_ref, phase_ref, fhi_ref, flo_ref,
-         fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-         wth_ref, wtl_ref, dc_in_ref, tail_in_ref, disc_in_ref,
-         y_ref, dc_out_ref, tail_out_ref, raw_ref, disc_ref,
-         dlast_ref) = refs
-    else:
-        (x_ref, phase_ref, fhi_ref, flo_ref,
-         fr1_ref, fi1_ref, fi2_ref, fr2_ref,
-         wth_ref, wtl_ref, dc_in_ref, tail_in_ref,
-         y_ref, dc_out_ref, tail_out_ref, raw_ref) = refs
+        disc_in_ref = refs[pos]
+        pos += 1
+    y_ref, dc_out_ref, tail_out_ref, raw_ref = refs[pos:pos + 4]
+    pos += 4
+    if nb_mode:
+        nb_avg_out_ref, nb_tail_out_ref = refs[pos:pos + 2]
+        pos += 2
+    if disc_gain:
+        disc_ref, dlast_ref = refs[pos:pos + 2]
     s = pl.program_id(0)
     first = s == 0
     xx = x_ref[:, :]
@@ -177,6 +190,52 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     dc_out_ref[0:1, :] = m
     mm = jnp.concatenate(ms, axis=0)[:, None, :]
     z = (x3 - mm).reshape(sub_block, 2 * c)
+
+    def _swap(v):
+        if interpret:  # pltpu.roll is Mosaic-only
+            return jnp.concatenate([v[:, c:], v[:, :c]], axis=1)
+        return pltpu.roll(v, c, 1)
+
+    # ---- static IQ balance (iqbalance.cpp:65-75), packed 2x2 lane mix:
+    # re' = gain*re, im' = im + phase*re  ==  z*S1 + swap(z)*S2 with
+    # S1 = [gain | 1], S2 = [0 | phase] — runtime params, no recompile ------
+    if iqbal:
+        z = z * s1_ref[0:1, :] + _swap(z) * s2_ref[0:1, :]
+
+    # ---- noise blanker (noiseblanker.cpp:45-98), chunked-EWMA semantics
+    # (scanops.noise_blanker_chunked is the exact twin): piecewise-constant
+    # magnitude average per DC_CHUNK, spikes vs the chunk-entry average,
+    # CAUSAL blank_width dilation with a carried spike tail ----------------
+    if nb_mode:
+        zsw_nb = _swap(z)
+        mag = jnp.sqrt(z * z + zsw_nb * zsw_nb)       # per-lane |channel|
+        mag3 = mag.reshape(nchunk, DC_CHUNK, 2 * c)
+        means_nb = jnp.mean(mag3, axis=1)             # [nchunk, 2C]
+        m_nb = jnp.where(first, nb_avg_in_ref[0:1, :], nb_avg_out_ref[0:1, :])
+        avg_rows = []
+        for k in range(nchunk):
+            avg_rows.append(m_nb)                     # average ENTERING k
+            m_nb = nb_alpha_c * m_nb + (1.0 - nb_alpha_c) * means_nb[k:k + 1, :]
+        nb_avg_out_ref[0:1, :] = m_nb
+        avg_s = jnp.concatenate(avg_rows, axis=0)[:, None, :]  # [nchunk,1,2C]
+        spike = (mag3 > nb_thr * jnp.maximum(avg_s, 1e-9)).reshape(
+            sub_block, 2 * c).astype(jnp.float32)
+        t_rows = nb_tail_in_ref.shape[0]              # 8 >= nb_bw - 1
+        tl_nb = jnp.where(first, nb_tail_in_ref[:, :], nb_tail_out_ref[:, :])
+        ext_nb = jnp.concatenate([tl_nb[t_rows - (nb_bw - 1):, :], spike],
+                                 axis=0)              # [bw-1 + sub, 2C]
+        widened = ext_nb[nb_bw - 1:, :]
+        for sh in range(1, nb_bw):
+            widened = jnp.maximum(
+                widened, ext_nb[nb_bw - 1 - sh: nb_bw - 1 - sh + sub_block, :])
+        nb_tail_out_ref[:, :] = spike[sub_block - t_rows:, :]
+        if nb_mode == 1:   # NB1: blank
+            z = jnp.where(widened > 0.0, 0.0, z)
+        else:              # NB2: substitute the running average level
+            avg_full = jnp.broadcast_to(
+                avg_s, (nchunk, DC_CHUNK, 2 * c)).reshape(sub_block, 2 * c)
+            sub_v = z * (avg_full / jnp.maximum(mag, 1e-12))
+            z = jnp.where(widened > 0.0, sub_v, z)
 
     # ---- NCO mix, fully packed: osc = conj phasor, factorized coarse x fine;
     # yr = zr*or + zi*oi ; yi = zi*or - zr*oi  ==  y = z*A + roll(z, C)*B
@@ -388,6 +447,11 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
                        disc_gain: float = 0.0,
                        h_np: np.ndarray | None = None,
                        disc_last: jax.Array | None = None,
+                       iq_gain: jax.Array | None = None,
+                       iq_phase: jax.Array | None = None,
+                       nb: tuple | None = None,
+                       nb_avg: jax.Array | None = None,
+                       nb_tail: jax.Array | None = None,
                        interpret: bool = False):
     """Whole front end in one pallas_call, lane-packed layout.
 
@@ -419,11 +483,20 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     g>0 derive their seed from the prologue's extended post-mix strip with
     one dot against h_np (the composed response).
 
+    iq_gain/iq_phase (scalars) enable the static IQ-balance lane mix after
+    the DC blocker (iqbalance.cpp:65-75) — runtime params, no recompile.
+
+    nb = (threshold, blank_width, alpha, mode) enables the in-kernel noise
+    blanker (mode 'blank'|'average'; exact twin of
+    scanops.noise_blanker_chunked), with carried state nb_avg [1, 2C] and
+    nb_tail [8, 2C] (trailing spike flags).  NB requires fold == 1 (its
+    nonlinear state has no closed-form group seams).
+
     Returns (y_pk, dc', tail', phase' [C], raw [K, raw_rows, 2C]
-    [, disc, disc_last']) with K = N/n_block; dc'/tail'/raw/disc_last' are
-    always in the UNFOLDED [*, 2C] layout.  y_pk is [N/factor, 2C] for
-    fold=1, else [N/(fold*factor), 2*fold*C] in the folded layout — decode
-    with unpack_to_complex(y_pk, fold=fold).
+    [, nb_avg', nb_tail'] [, disc, disc_last']) with K = N/n_block;
+    dc'/tail'/raw/disc_last' are always in the UNFOLDED [*, 2C] layout.
+    y_pk is [N/factor, 2C] for fold=1, else [N/(fold*factor), 2*fold*C] in
+    the folded layout — decode with unpack_to_complex(y_pk, fold=fold).
     """
     seg, c2e = x_pk.shape
     ce = c2e // 2                      # packed half-width seen by the kernel
@@ -491,9 +564,20 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     else:
         wt_rows, wt_cols = m_sub, d_rows + sub_block
 
+    iqbal = iq_gain is not None
+    nb_mode = 0
+    if nb is not None:
+        assert fold == 1, "in-kernel noise blanker requires fold == 1"
+        nb_thr, nb_bw, nb_alpha, nb_mode_s = nb
+        nb_mode = 1 if nb_mode_s == "blank" else 2
+        nb_a_c = float((1.0 - nb_alpha) ** DC_CHUNK)
+    else:
+        nb_thr, nb_bw, nb_a_c = 0.0, 0, 0.0
     kern = functools.partial(_front_kernel, sub_block, ce, d_rows, a_c,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
-                             float(disc_gain), interpret)
+                             float(disc_gain), interpret,
+                             iqbal, nb_mode, float(nb_thr), int(nb_bw),
+                             nb_a_c)
     in_specs = [
         pl.BlockSpec((sub_block, c2e), lambda s: (s, 0)),
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),
@@ -523,6 +607,25 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     wt_hi, wt_lo = _split_bf16(wt)
     args = [x_pk, ph2[None, :], fhi2[None, :], flo2[None, :],
             fr, fi, fi2_t, fr2_t, wt_hi, wt_lo, dc_in, tail_in]
+    if iqbal:
+        g = jnp.asarray(iq_gain, jnp.float32)
+        p_ = jnp.asarray(iq_phase, jnp.float32)
+        ones = jnp.ones((ce,), jnp.float32)
+        s1 = jnp.concatenate([g * ones, ones])[None, :]
+        s2 = jnp.concatenate([0.0 * ones, p_ * ones])[None, :]
+        args += [s1, s2]
+        in_specs += [pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+                     pl.BlockSpec((1, c2e), lambda s: (0, 0))]
+    if nb_mode:
+        assert nb_avg is not None and nb_tail is not None
+        t_rows = nb_tail.shape[0]
+        args += [nb_avg, nb_tail]
+        in_specs += [pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+                     pl.BlockSpec((t_rows, c2e), lambda s: (0, 0))]
+        out_shapes += [jax.ShapeDtypeStruct((1, c2e), jnp.float32),
+                       jax.ShapeDtypeStruct((t_rows, c2e), jnp.float32)]
+        out_specs += [pl.BlockSpec((1, c2e), lambda s: (0, 0)),
+                      pl.BlockSpec((t_rows, c2e), lambda s: (0, 0))]
     if disc_gain:
         assert disc_last is not None
         if fold > 1:
@@ -560,10 +663,14 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         out_shape=out_shapes, interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
     )(*args)
+    outs = list(outs)
+    y, dc2, tail2, raw = outs[:4]
+    opos = 4
+    if nb_mode:
+        nb_avg2, nb_tail2 = outs[opos:opos + 2]
+        opos += 2
     if disc_gain:
-        y, dc2, tail2, raw, disc, dlast = outs
-    else:
-        y, dc2, tail2, raw = outs
+        disc, dlast = outs[opos:opos + 2]
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
     if fold > 1:
         # carried dc/tail = the LAST group's lanes; raw unfolds to the
@@ -576,13 +683,16 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         r5 = raw.reshape(k_blocks_g, raw_rows, 2, fold, c)
         raw = jnp.transpose(r5, (3, 0, 1, 2, 4)).reshape(
             fold * k_blocks_g, raw_rows, c2)
+    ret = [y, dc2, tail2, phase2, raw]
+    if nb_mode:
+        ret += [nb_avg2, nb_tail2]
     if disc_gain:
         if fold > 1:
             gl = (fold - 1) * c
             dlast = jnp.concatenate(
                 [dlast[:, gl:gl + c], dlast[:, ce + gl:ce + gl + c]], axis=1)
-        return y, dc2, tail2, phase2, raw, disc, dlast
-    return y, dc2, tail2, phase2, raw
+        ret += [disc, dlast]
+    return tuple(ret)
 
 
 def pack_planes(xr_t: jax.Array, xi_t: jax.Array) -> jax.Array:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pebblesdr_tpu.core.block import pytree_dataclass
 from pebblesdr_tpu.ops.iir import first_order_apply
@@ -66,6 +67,73 @@ def noise_blanker(state: NoiseBlankerState, x: jax.Array,
         sub = (avg / jnp.maximum(mag, 1e-12)) * x
         y = jnp.where(widened, sub.astype(x.dtype), x)
     return NoiseBlankerState(mag_avg=avg_last), y.astype(jnp.complex64)
+
+
+@pytree_dataclass
+class NoiseBlankerChunkedState:
+    mag_avg: jax.Array     # [C] chunked-EWMA of |x| (updates per chunk)
+    spike_tail: jax.Array  # [C, blank_width-1] f32 trailing spike flags
+
+
+def noise_blanker_chunked_init(channels: int, blank_width: int = 7
+                               ) -> NoiseBlankerChunkedState:
+    return NoiseBlankerChunkedState(
+        mag_avg=jnp.zeros((channels,), jnp.float32),
+        spike_tail=jnp.zeros((channels, blank_width - 1), jnp.float32))
+
+
+def noise_blanker_chunked(state: NoiseBlankerChunkedState, x: jax.Array,
+                          threshold: float = 3.3, blank_width: int = 7,
+                          alpha: float = 0.001, chunk: int = 512,
+                          mode: str = "blank"):
+    """The fused-front noise blanker semantics (the twin the Pallas kernel
+    implements bit-for-bit; see pallas_kernels._front_kernel):
+
+      * the magnitude average is piecewise-constant per `chunk` samples and
+        EWMA-updated from chunk means — the same chunked-EWMA recast the DC
+        blocker uses (dc_removal_chunked), so no per-sample recurrence;
+        samples in chunk j compare against the average as of the END of
+        chunk j-1 (the average a streaming detector would have);
+      * blanking is CAUSAL: a spike blanks itself and the next
+        blank_width-1 samples (the reference's delay-line + countdown is
+        likewise causal, noiseblanker.cpp:45-76; the staged noise_blanker's
+        centered dilation is the one deviation between the two forms);
+      * cross-block continuity via the carried spike tail.
+
+    x: [C, N] complex64, N % chunk == 0.  Returns (state', y)."""
+    c, n = x.shape
+    nchunk = n // chunk
+    mag = jnp.abs(x)
+    means = jnp.mean(mag.reshape(c, nchunk, chunk), axis=2)      # [C, J]
+    a_c = (1.0 - alpha) ** chunk
+    # closed-form chunked EWMA (same as the front kernel's DC recurrence)
+    jj = np.arange(nchunk)
+    lmat = np.where(jj[:, None] >= jj[None, :],
+                    (1.0 - a_c) * a_c ** (jj[:, None] - jj[None, :]), 0.0)
+    with jax.ensure_compile_time_eval():
+        lmat_d = jnp.asarray(lmat.astype(np.float32))
+        seed_d = jnp.asarray((a_c ** (jj + 1)).astype(np.float32))
+    avgs = (jnp.einsum("jk,ck->cj", lmat_d, means,
+                       precision=jax.lax.Precision.HIGHEST)
+            + seed_d[None, :] * state.mag_avg[:, None])          # [C, J]
+    # chunk j's samples use the average entering the chunk (end of j-1)
+    avg_in = jnp.concatenate([state.mag_avg[:, None], avgs[:, :-1]], axis=1)
+    avg_s = jnp.repeat(avg_in, chunk, axis=1)                    # [C, N]
+    spike = (mag > threshold * jnp.maximum(avg_s, 1e-9)
+             ).astype(jnp.float32)
+    ext = jnp.concatenate([state.spike_tail, spike], axis=1)
+    widened = ext[:, blank_width - 1:] > 0.0
+    for s in range(1, blank_width):
+        widened = widened | (ext[:, blank_width - 1 - s:
+                                 ext.shape[1] - s] > 0.0)
+    if mode == "blank":
+        y = jnp.where(widened, 0.0 + 0.0j, x)
+    else:  # NB2 average substitution
+        sub = (avg_s / jnp.maximum(mag, 1e-12)) * x
+        y = jnp.where(widened, sub.astype(x.dtype), x)
+    return (NoiseBlankerChunkedState(mag_avg=avgs[:, -1],
+                                     spike_tail=spike[:, -(blank_width - 1):]),
+            y.astype(jnp.complex64))
 
 
 # ------------------------------------------------------------- IQ balance

@@ -74,8 +74,16 @@ def _shifted_power(xw: jax.Array) -> jax.Array:
     # ~f32 accuracy at 3 MXU passes (HIGHEST's 6 passes doubled the
     # whole-chain block time for no further measurable floor gain).
     p = jax.lax.Precision.HIGH
-    sr = jnp.matmul(xr, fr, precision=p) - jnp.matmul(xi, fi, precision=p)
-    si = jnp.matmul(xr, fi, precision=p) + jnp.matmul(xi, fr, precision=p)
+    # Karatsuba complex product: 3 MXU products instead of 4 (the zoomed
+    # transform runs EVERY block for the S-meter/squelch — 25% of the
+    # dispatch's dominant tail matmul FLOPs).  si = t3 - t1 - t2 with
+    # t3 = (xr+xi)(fr+fi); the cancellation stays within the bf16_3x
+    # error budget (floor re-verified by tools/tpu_parity.py).
+    t1 = jnp.matmul(xr, fr, precision=p)
+    t2 = jnp.matmul(xi, fi, precision=p)
+    t3 = jnp.matmul(xr + xi, fr + fi, precision=p)
+    sr = t1 - t2
+    si = t3 - t1 - t2
     return sr * sr + si * si
 
 

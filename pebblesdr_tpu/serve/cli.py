@@ -505,11 +505,7 @@ def main(argv=None):
         # that is physically dense on the TPU (8, 128) tiling; the
         # Receiver auto-detects it by lane width).  Built directly here:
         # the fold costs nothing beyond the plane assembly itself.
-        fold = 1
-        if rx.batched_capable:
-            from pebblesdr_tpu.ops.pallas_kernels import pick_fold
-
-            fold = pick_fold(args.channels, kdisp)
+        fold = rx.pick_fold(kdisp) if rx.batched_capable else 1
         seg_n = kdisp * args.frames // fold
         halves = []
         for part in ("real", "imag"):

@@ -35,6 +35,75 @@ class TestPallasChainParity:
             audios[use_pallas] = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(audios[True], audios[False], atol=2e-4)
 
+    def test_nb_iqbal_chain_keeps_pallas_and_matches(self):
+        """enable_noise_blanker / static IQ balance no longer drop the fused
+        front (VERDICT r3 item 4): the chain keeps use_pallas and matches
+        the staged path, spikes actually blanked."""
+        t = np.arange(4 * N) / FS
+        iq = np.broadcast_to(
+            ((1 + 0.7 * np.cos(2 * np.pi * 800 * t)) / 2
+             * np.exp(2j * np.pi * 200_000 * t)).astype(np.complex64),
+            (C, 4 * N)).copy()
+        rng = np.random.default_rng(3)
+        spikes = rng.choice(4 * N, 40, replace=False)
+        iq[:, spikes] += 12.0 - 12.0j
+
+        audios = {}
+        for use_pallas in (False, True):
+            cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                                 channels=C, mode=DemodMode.AM,
+                                 agc_mode="off", use_pallas=use_pallas,
+                                 enable_noise_blanker=True,
+                                 enable_iq_balance=True)
+            rx = Receiver(cfg)
+            assert rx.use_pallas == use_pallas  # NB no longer disables it
+            state = rx.init_state()
+            params = rx.default_params(200_000.0)
+            import dataclasses
+            params = dataclasses.replace(
+                params, iq_gain=jnp.asarray(1.04, jnp.float32),
+                iq_phase=jnp.asarray(0.015, jnp.float32))
+            outs = []
+            for i in range(4):
+                state, out = rx.step(state, params,
+                                     jnp.asarray(iq[:, i * N:(i + 1) * N]))
+                outs.append(np.asarray(out["audio"]))
+            audios[use_pallas] = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(audios[True], audios[False], atol=2e-4)
+        # and the blanker worked: with NB on (alone — the IQ-balance gain
+        # intentionally scales the audio, so it must stay out of this
+        # comparison), the audio is much closer to the CLEAN (spike-free)
+        # chain output than a NB-off run is
+        iq_clean = np.broadcast_to(
+            ((1 + 0.7 * np.cos(2 * np.pi * 800 * t)) / 2
+             * np.exp(2j * np.pi * 200_000 * t)).astype(np.complex64),
+            (C, 4 * N)).copy()
+        res = {}
+        for name, nb_on, sig in (("clean", False, iq_clean),
+                                 ("spiky", False, iq),
+                                 ("nb", True, iq)):
+            cfg2 = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                                  channels=C, mode=DemodMode.AM,
+                                  agc_mode="off", use_pallas=True,
+                                  enable_noise_blanker=nb_on)
+            rx = Receiver(cfg2)
+            params = rx.default_params(200_000.0)
+            state = rx.init_state()
+            outs = []
+            for i in range(4):
+                state, out = rx.step(state, params,
+                                     jnp.asarray(sig[:, i * N:(i + 1) * N]))
+                outs.append(np.asarray(out["audio"]))
+            res[name] = np.concatenate(outs, axis=-1)
+        # skip block 0: the blanker's magnitude average initializes at zero,
+        # so its first chunk blanks until the average learns (startup only)
+        m = res["nb"].shape[-1] // 4
+        err_nb = np.sqrt(np.mean((res["nb"][:, m:]
+                                  - res["clean"][:, m:]) ** 2))
+        err_off = np.sqrt(np.mean((res["spiky"][:, m:]
+                                   - res["clean"][:, m:]) ** 2))
+        assert err_nb < 0.5 * err_off, (err_nb, err_off)
+
 
 class TestWfmTailKernel:
     def test_wfm_kernel_matches_xla_tail(self):

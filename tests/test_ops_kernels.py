@@ -266,6 +266,32 @@ class TestIIR:
         np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_scan),
                                    atol=5e-3)
 
+    def test_fastfir_segmented_apply_many_matches_sequential(self):
+        # the seg_mult>2 long-segment overlap-save (fewer, larger FFTs per
+        # dispatch) == K sequential apply() calls, including the runtime
+        # mask -> taps -> long-mask conversion, for K both above and below
+        # the segment multiple (padding path)
+        fs, block = 64000, 1024
+        mask = jnp.asarray(fastfir.design_mask(-3000.0, 3000.0, fs, block))
+        rng = np.random.default_rng(13)
+        for k in (12, 5):
+            x = (rng.normal(size=(3, k * block))
+                 + 1j * rng.normal(size=(3, k * block))).astype(np.complex64)
+            st = fastfir.state_init(3, block)
+            ref = []
+            for i in range(k):
+                st, y = fastfir.apply(st, jnp.asarray(
+                    x[:, i * block:(i + 1) * block]), mask)
+                ref.append(np.asarray(y))
+            ref = np.concatenate(ref, axis=1)
+            st8 = fastfir.state_init(3, block)
+            st8, y8 = fastfir.apply_many(st8, jnp.asarray(x), mask, block,
+                                         seg_mult=8)
+            scale = np.abs(ref).max()
+            assert np.abs(np.asarray(y8) - ref).max() / scale < 1e-5
+            np.testing.assert_allclose(np.asarray(st8), np.asarray(st),
+                                       atol=1e-6)
+
     def test_biquad_long_stream_high_q_vs_scipy(self):
         # advisor r3: per-chunk error in the cross-chunk 2x2 handoff
         # compounds multiplicatively over many chunks for high-Q poles —

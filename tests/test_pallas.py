@@ -62,6 +62,80 @@ class TestFusedFrontPlanes:
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 3e-5
 
+    @pytest.mark.parametrize("nb_mode", ["blank", "average"])
+    def test_nb_and_iqbalance_in_kernel(self, nb_mode):
+        """In-kernel noise blanker + static IQ balance (VERDICT r3 item 4)
+        vs the staged chunked twins, streaming across 3 calls."""
+        from pebblesdr_tpu.ops import iir, scanops
+
+        fs = 2_048_000
+        plan = decimator.build_plan(fs, 30_000)
+        f = plan.factor
+        h = decimator.compose_response(plan)
+        d = len(h) - 1
+        d_rows = ((d + 7) // 8) * 8
+        sub = 2048
+        wt = jnp.asarray(np.ascontiguousarray(
+            pk.build_composed_w(h, f, sub, d_rows - d).T))
+
+        c, n, blocks = 4, 8192, 3
+        rng = np.random.default_rng(2)
+        xs = []
+        for _ in range(blocks):
+            b = (0.1 * (rng.normal(size=(c, n)) + 1j * rng.normal(size=(c, n)))
+                 ).astype(np.complex64)
+            # impulse spikes the blanker must catch (incl. near sub-block
+            # boundaries to exercise the carried spike tail)
+            for pos in (100, sub - 2, sub + 1, n - 3):
+                b[:, pos] += 8.0 + 8.0j
+            xs.append(b)
+        splits = [mixer.split_freq(250_000.0, fs)] * c
+        hi = jnp.asarray(np.array([s[0] for s in splits]))
+        lo = jnp.asarray(np.array([s[1] for s in splits]))
+        gain, phase = 1.05, 0.02
+        nb_params = (3.3, 7, 0.001, nb_mode)
+
+        dc = jnp.zeros((c,), jnp.complex64)
+        nbs = scanops.noise_blanker_chunked_init(c)
+        ms = mixer.mixer_init(c)
+        ds = decimator.state_init(plan, c)
+        refs = []
+        for b in xs:
+            dc, y = iir.dc_removal_chunked(dc, jnp.asarray(b), alpha=0.9999)
+            y = scanops.iq_balance(y, gain, phase)
+            nbs, y = scanops.noise_blanker_chunked(
+                nbs, y, threshold=3.3, blank_width=7, alpha=0.001,
+                mode=nb_mode)
+            ms, y = mixer.mix(ms, y, hi, lo)
+            ds, y = decimator.apply(plan, ds, y)
+            refs.append(np.asarray(y))
+        ref = np.concatenate(refs, -1)
+
+        dc_pk = jnp.zeros((1, 2 * c), jnp.float32)
+        ph = jnp.zeros((c,), jnp.float32)
+        tail = jnp.zeros((d_rows, 2 * c), jnp.float32)
+        nb_avg = jnp.zeros((1, 2 * c), jnp.float32)
+        nb_tail = jnp.zeros((8, 2 * c), jnp.float32)
+        outs = []
+        for b in xs:
+            x_pk = jnp.asarray(
+                np.concatenate([b.real.T, b.imag.T], axis=-1).copy())
+            (y_pk, dc_pk, tail, ph, _, nb_avg, nb_tail) = \
+                pk.fused_front_packed(
+                    x_pk, dc_pk, ph, hi, lo, tail, wt, f, d_rows, 0.9999,
+                    sub_block=sub, iq_gain=jnp.float32(gain),
+                    iq_phase=jnp.float32(phase), nb=nb_params,
+                    nb_avg=nb_avg, nb_tail=nb_tail, interpret=True)
+            y = np.asarray(y_pk)
+            outs.append(y[:, :c].T + 1j * y[:, c:].T)
+        got = np.concatenate(outs, -1)
+
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 3e-5
+        # the carried NB average must agree too (both lane halves)
+        np.testing.assert_allclose(np.asarray(nb_avg)[0, :c],
+                                   np.asarray(nbs.mag_avg), atol=1e-6)
+
     @pytest.mark.parametrize("protect", [400_000, 200_000])
     def test_tiled_band_dot_small_factors(self, protect):
         """Small decimation factors take the lane-stacked shared-band dot
