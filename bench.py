@@ -447,10 +447,11 @@ def main():
         # folded dispatch is lighter, so K=64 wins there)
         rows.append(_row_subprocess("am", 256, max(8, BLOCKS // 2),
                                     max(16, STEPS // 2)))
-        rows.append(_row_subprocess("am", 16, 2 * BLOCKS,
-                                    max(16, STEPS // 2)))
-        rows.append(_row_subprocess("wfm", 16, 2 * BLOCKS,
-                                    max(16, STEPS // 2)))
+        # full steps on the 16ch rows: the ~25 ms fixed fill/drain per
+        # window biases the short-window numbers high (r03's am_16ch
+        # window_spread 1.62 was exactly this)
+        rows.append(_row_subprocess("am", 16, 2 * BLOCKS, STEPS))
+        rows.append(_row_subprocess("wfm", 16, 2 * BLOCKS, STEPS))
         # NB-on flagship: the in-kernel noise blanker must cost <= 15% over
         # the NB-off am row (VERDICT r3 item 4 done-criterion)
         rows.append(_row_subprocess("am_nb", CHANNELS, BLOCKS,

@@ -338,7 +338,7 @@ class Receiver:
             return None
         if self.use_pallas:
             return (jnp.zeros((1, 2 * c), jnp.float32),
-                    jnp.zeros((8, 2 * c), jnp.float32))
+                    jnp.zeros((16, 2 * c), jnp.float32))
         return scanops.noise_blanker_chunked_init(c, self._nb_params[1])
 
     def init_state(self) -> ReceiverState:

@@ -206,10 +206,21 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     # (scanops.noise_blanker_chunked is the exact twin): piecewise-constant
     # magnitude average per DC_CHUNK, spikes vs the chunk-entry average,
     # CAUSAL blank_width dilation with a carried spike tail ----------------
+    # the half-swapped plane: used by the noise blanker's magnitude AND the
+    # complex mix below — ONE roll serves both (the NB mask is half-
+    # symmetric, so blanking commutes with the mix and applies to the
+    # mixed product at the end; see below)
+    zsw = _swap(z)
+    nb_w = None
+    nb_scale = None
     if nb_mode:
-        zsw_nb = _swap(z)
-        mag = jnp.sqrt(z * z + zsw_nb * zsw_nb)       # per-lane |channel|
-        mag3 = mag.reshape(nchunk, DC_CHUNK, 2 * c)
+        # POWER-domain detection (scanops.noise_blanker_chunked twin): the
+        # tracked average is the RMS (EWMA of |x|^2) and the spike test is
+        # |x|^2 > thr^2 * avg2 — algebraically |x| > thr*RMS, which skips
+        # the full-rate sqrt pass entirely (NB1; NB2's substitution pays
+        # one rsqrt on the selected samples' scale)
+        mag2 = z * z + zsw * zsw                      # per-lane |channel|^2
+        mag3 = mag2.reshape(nchunk, DC_CHUNK, 2 * c)
         means_nb = jnp.mean(mag3, axis=1)             # [nchunk, 2C]
         m_nb = jnp.where(first, nb_avg_in_ref[0:1, :], nb_avg_out_ref[0:1, :])
         avg_rows = []
@@ -218,24 +229,41 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
             m_nb = nb_alpha_c * m_nb + (1.0 - nb_alpha_c) * means_nb[k:k + 1, :]
         nb_avg_out_ref[0:1, :] = m_nb
         avg_s = jnp.concatenate(avg_rows, axis=0)[:, None, :]  # [nchunk,1,2C]
-        spike = (mag3 > nb_thr * jnp.maximum(avg_s, 1e-9)).reshape(
+        thr2 = nb_thr * nb_thr
+        spike = (mag3 > thr2 * jnp.maximum(avg_s, 1e-18)).reshape(
             sub_block, 2 * c).astype(jnp.float32)
-        t_rows = nb_tail_in_ref.shape[0]              # 8 >= nb_bw - 1
+        t_rows = nb_tail_in_ref.shape[0]              # 16 (tile-aligned)
+        assert t_rows > (nb_bw - 1) and t_rows % 8 == 0
         tl_nb = jnp.where(first, nb_tail_in_ref[:, :], nb_tail_out_ref[:, :])
-        ext_nb = jnp.concatenate([tl_nb[t_rows - (nb_bw - 1):, :], spike],
-                                 axis=0)              # [bw-1 + sub, 2C]
-        widened = ext_nb[nb_bw - 1:, :]
-        for sh in range(1, nb_bw):
-            widened = jnp.maximum(
-                widened, ext_nb[nb_bw - 1 - sh: nb_bw - 1 - sh + sub_block, :])
+        # causal width-bw dilation as LOG-STEP rolls on the tile-aligned
+        # extended buffer (f32 0/1 flags — Mosaic's rotate only supports
+        # 32-bit data).  Sublane rolls wrap, but the contamination indices
+        # stay < t_rows (total shift <= bw-1 < 16) — entirely inside the
+        # prepended tail rows we slice off, and the final [t_rows:] slice
+        # is tile-aligned (no relayout).
+        ext_nb = jnp.concatenate([tl_nb, spike], axis=0)  # [16 + sub, 2C]
+        shifts = []
+        cum = 0
+        sh = 1
+        while cum < nb_bw - 1:
+            sh = min(sh, nb_bw - 1 - cum)
+            shifts.append(sh)
+            cum += sh
+            sh = cum + 1
+        w = ext_nb
+        for sh in shifts:
+            if interpret:
+                w = jnp.maximum(w, jnp.roll(w, sh, axis=0))
+            else:
+                w = jnp.maximum(w, pltpu.roll(w, sh, 0))
+        nb_w = w[t_rows:, :]
         nb_tail_out_ref[:, :] = spike[sub_block - t_rows:, :]
-        if nb_mode == 1:   # NB1: blank
-            z = jnp.where(widened > 0.0, 0.0, z)
-        else:              # NB2: substitute the running average level
+        if nb_mode != 1:   # NB2: substitute at the running RMS level —
+            # the real per-sample scale commutes with the complex rotation,
+            # so it too applies to the MIXED product (one fused pass)
             avg_full = jnp.broadcast_to(
                 avg_s, (nchunk, DC_CHUNK, 2 * c)).reshape(sub_block, 2 * c)
-            sub_v = z * (avg_full / jnp.maximum(mag, 1e-12))
-            z = jnp.where(widened > 0.0, sub_v, z)
+            nb_scale = jnp.sqrt(avg_full / jnp.maximum(mag2, 1e-24))
 
     # ---- NCO mix, fully packed: osc = conj phasor, factorized coarse x fine;
     # yr = zr*or + zi*oi ; yi = zi*or - zr*oi  ==  y = z*A + roll(z, C)*B
@@ -257,13 +285,19 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     fr2 = fr2_ref[:, :]
     a_ = cr2[:, None, :] * fr1[None, :, :] - ci2[:, None, :] * fi1[None, :, :]
     b_ = cr2[:, None, :] * fi2[None, :, :] + ci2[:, None, :] * fr2[None, :, :]
-    if interpret:  # pltpu.roll is Mosaic-only
-        zsw = jnp.concatenate([z[:, c:], z[:, :c]], axis=1)
-    else:
-        zsw = pltpu.roll(z, c, 1)             # [im | re]
     z3 = z.reshape(nq, 128, 2 * c)
-    zs3 = zsw.reshape(nq, 128, 2 * c)
-    ypk = (z3 * a_ + zs3 * b_).reshape(sub_block, 2 * c)
+    zs3 = zsw.reshape(nq, 128, 2 * c)         # [im | re], rolled above
+    ypk = z3 * a_ + zs3 * b_
+    if nb_w is not None:
+        # blanking/substitution applied to the MIXED product (exactly
+        # commutes: the mask is half-symmetric and NB2's scale is real)
+        w3 = nb_w.reshape(nq, 128, 2 * c)
+        if nb_scale is None:
+            ypk = jnp.where(w3 > 0, 0.0, ypk)
+        else:
+            ypk = jnp.where(w3 > 0, ypk * nb_scale.reshape(nq, 128, 2 * c),
+                            ypk)
+    ypk = ypk.reshape(sub_block, 2 * c)
 
     # ---- composed-FIR decimation: packed MXU dot(s).  The dense Toeplitz
     # block is banded (band = D+1 of d_rows + sub rows); at small decimation
@@ -488,9 +522,10 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
 
     nb = (threshold, blank_width, alpha, mode) enables the in-kernel noise
     blanker (mode 'blank'|'average'; exact twin of
-    scanops.noise_blanker_chunked), with carried state nb_avg [1, 2C] and
-    nb_tail [8, 2C] (trailing spike flags).  NB requires fold == 1 (its
-    nonlinear state has no closed-form group seams).
+    scanops.noise_blanker_chunked — POWER-domain RMS detection), with
+    carried state nb_avg [1, 2C] (the |x|^2 EWMA) and nb_tail [16, 2C]
+    (trailing spike flags; 16 rows = the bf16 dilation tile height).  NB
+    requires fold == 1 (its nonlinear state has no closed-form group seams).
 
     Returns (y_pk, dc', tail', phase' [C], raw [K, raw_rows, 2C]
     [, nb_avg', nb_tail'] [, disc, disc_last']) with K = N/n_block;

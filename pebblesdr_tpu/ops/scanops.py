@@ -89,7 +89,13 @@ def noise_blanker_chunked(state: NoiseBlankerChunkedState, x: jax.Array,
     """The fused-front noise blanker semantics (the twin the Pallas kernel
     implements bit-for-bit; see pallas_kernels._front_kernel):
 
-      * the magnitude average is piecewise-constant per `chunk` samples and
+      * POWER-domain detection: the tracked average is the EWMA of |x|^2
+        (an RMS envelope) and the spike test |x|^2 > threshold^2 * avg2 —
+        algebraically |x| > threshold*RMS.  (Deviation from the reference's
+        mean-|x| average, noiseblanker.cpp:45-60: RMS >= mean, so detection
+        is marginally more conservative on impulsive floors — and the
+        full-rate sqrt pass disappears from the kernel);
+      * the average is piecewise-constant per `chunk` samples and
         EWMA-updated from chunk means — the same chunked-EWMA recast the DC
         blocker uses (dc_removal_chunked), so no per-sample recurrence;
         samples in chunk j compare against the average as of the END of
@@ -100,11 +106,12 @@ def noise_blanker_chunked(state: NoiseBlankerChunkedState, x: jax.Array,
         centered dilation is the one deviation between the two forms);
       * cross-block continuity via the carried spike tail.
 
-    x: [C, N] complex64, N % chunk == 0.  Returns (state', y)."""
+    x: [C, N] complex64, N % chunk == 0.  Returns (state', y).
+    state.mag_avg carries the POWER (|x|^2) EWMA."""
     c, n = x.shape
     nchunk = n // chunk
-    mag = jnp.abs(x)
-    means = jnp.mean(mag.reshape(c, nchunk, chunk), axis=2)      # [C, J]
+    mag2 = x.real * x.real + x.imag * x.imag
+    means = jnp.mean(mag2.reshape(c, nchunk, chunk), axis=2)     # [C, J]
     a_c = (1.0 - alpha) ** chunk
     # closed-form chunked EWMA (same as the front kernel's DC recurrence)
     jj = np.arange(nchunk)
@@ -119,7 +126,7 @@ def noise_blanker_chunked(state: NoiseBlankerChunkedState, x: jax.Array,
     # chunk j's samples use the average entering the chunk (end of j-1)
     avg_in = jnp.concatenate([state.mag_avg[:, None], avgs[:, :-1]], axis=1)
     avg_s = jnp.repeat(avg_in, chunk, axis=1)                    # [C, N]
-    spike = (mag > threshold * jnp.maximum(avg_s, 1e-9)
+    spike = (mag2 > threshold * threshold * jnp.maximum(avg_s, 1e-18)
              ).astype(jnp.float32)
     ext = jnp.concatenate([state.spike_tail, spike], axis=1)
     widened = ext[:, blank_width - 1:] > 0.0
@@ -128,8 +135,8 @@ def noise_blanker_chunked(state: NoiseBlankerChunkedState, x: jax.Array,
                                  ext.shape[1] - s] > 0.0)
     if mode == "blank":
         y = jnp.where(widened, 0.0 + 0.0j, x)
-    else:  # NB2 average substitution
-        sub = (avg_s / jnp.maximum(mag, 1e-12)) * x
+    else:  # NB2: substitute the running RMS level
+        sub = x * jnp.sqrt(avg_s / jnp.maximum(mag2, 1e-24))
         y = jnp.where(widened, sub.astype(x.dtype), x)
     return (NoiseBlankerChunkedState(mag_avg=avgs[:, -1],
                                      spike_tail=spike[:, -(blank_width - 1):]),

@@ -115,7 +115,7 @@ class TestFusedFrontPlanes:
         ph = jnp.zeros((c,), jnp.float32)
         tail = jnp.zeros((d_rows, 2 * c), jnp.float32)
         nb_avg = jnp.zeros((1, 2 * c), jnp.float32)
-        nb_tail = jnp.zeros((8, 2 * c), jnp.float32)
+        nb_tail = jnp.zeros((16, 2 * c), jnp.float32)
         outs = []
         for b in xs:
             x_pk = jnp.asarray(
