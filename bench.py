@@ -452,10 +452,9 @@ def main():
         # window_spread 1.62 was exactly this)
         rows.append(_row_subprocess("am", 16, 2 * BLOCKS, STEPS))
         rows.append(_row_subprocess("wfm", 16, 2 * BLOCKS, STEPS))
-        # NB-on flagship: the in-kernel noise blanker must cost <= 15% over
-        # the NB-off am row (VERDICT r3 item 4 done-criterion)
-        rows.append(_row_subprocess("am_nb", CHANNELS, BLOCKS,
-                                    max(16, STEPS // 2)))
+        # NB-on flagship (in-kernel noise blanker); full steps so the
+        # fill/drain bias matches the NB-off row it is compared against
+        rows.append(_row_subprocess("am_nb", CHANNELS, BLOCKS, STEPS))
         # batched bank tail: one straight-line graph per dispatch; K=64
         # amortizes the fixed dispatch cost best on the tunnel
         rows.append(_row_subprocess("pfb", blocks=2 * BLOCKS,

@@ -59,6 +59,26 @@ class TestCli:
             server.stop()
 
 
+class TestCliNewFlags:
+    def test_noise_blanker_flag(self, capsys):
+        rc = main(["--synthetic", "am", "--mode", "AM", "--tune", "250000",
+                   "--seconds", "0.2", "--noise-blanker", "--json"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["audio_rms"] > 0.05
+
+    def test_wfm_hq_flag(self, capsys):
+        rc = main(["--synthetic", "am", "--mode", "FM-Stereo",
+                   "--tune", "250000", "--seconds", "0.15", "--wfm-hq",
+                   "--json"])
+        assert rc == 0 or rc is None
+
+    def test_ctcss_flag_requires_fmn(self, capsys):
+        with pytest.raises(ValueError):
+            main(["--synthetic", "am", "--mode", "AM", "--tune", "250000",
+                  "--seconds", "0.1", "--ctcss", "123.0", "--json"])
+
+
 class TestCliDecode:
     def test_cw_decode_end_to_end(self, capsys):
         """--synthetic morse --decode cw: MorseGen source -> chain taps ->
