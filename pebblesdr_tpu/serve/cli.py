@@ -334,8 +334,12 @@ def main(argv=None):
                         "second waterfall (HPSDR EP4; the reference's "
                         "processBandscopeData -> SpectrumWidget path, "
                         "receiver.cpp:1010-1025)")
-    p.add_argument("--decode", choices=["cw", "rtty"], default=None,
-                   help="run a digital modem on the channel and print text")
+    p.add_argument("--decode", choices=["cw", "rtty", "wwv", "dtmf"],
+                   default=None,
+                   help="run a digital modem on the channel and print text: "
+                        "cw/rtty demodulate the pre-detector channel taps; "
+                        "wwv (AM mode) decodes the NIST time code and dtmf "
+                        "(FMN mode) dial digits from the demodulated audio")
     p.add_argument("--rds", action="store_true",
                    help="decode RDS (FM-Stereo mode) and print PS/RadioText")
     p.add_argument("--checkpoint", default=None,
@@ -371,7 +375,8 @@ def main(argv=None):
         iqbal = "auto" if args.iq_balance.lower() == "auto" else True
     cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=args.frames,
                          channels=args.channels, mode=mode,
-                         agc_mode=args.agc, taps=args.decode is not None,
+                         agc_mode=args.agc,
+                         taps=args.decode in ("cw", "rtty"),
                          rds=args.rds, enable_iq_balance=iqbal,
                          wfm_hq=args.wfm_hq, ctcss_tone=args.ctcss,
                          enable_noise_blanker=(
@@ -397,6 +402,18 @@ def main(argv=None):
 
         modem = RttyModem(rx.demod_rate)
         decoder = RttyDecoder(frames_per_bit=modem.frames_per_bit)
+    audio_modem = audio_decoder = None
+    if args.decode == "wwv":
+        from pebblesdr_tpu.modem.wwv import WwvDecoder, WwvModem
+
+        audio_modem = WwvModem(cfg.audio_rate)
+        audio_decoder = WwvDecoder()
+    elif args.decode == "dtmf":
+        from pebblesdr_tpu.modem.dtmf import DtmfDecoder, DtmfModem
+
+        audio_modem = DtmfModem(cfg.audio_rate)
+        audio_decoder = DtmfDecoder()
+    audio_mbuf = np.zeros(0, np.float32)
     modem_buf = np.zeros((args.channels, 0), np.complex64)
     display = None
     if args.display:
@@ -597,6 +614,18 @@ def main(argv=None):
                 text = decoder.feed(np.asarray(marks)[0])
                 if text:
                     print(text, end="", flush=True)
+        if audio_modem is not None:
+            # wwv/dtmf decode the demodulated AUDIO (channel 0), like a
+            # listener patched into the speaker feed
+            a_cat = np.concatenate(
+                [np.asarray(a[0], np.float32).reshape(-1)
+                 for a in audio_np], axis=-1)
+            audio_mbuf = np.concatenate([audio_mbuf, a_cat])
+            n_use = (len(audio_mbuf) // audio_modem.frame) * audio_modem.frame
+            if n_use:
+                chunk, audio_mbuf = audio_mbuf[:n_use], audio_mbuf[n_use:]
+                pw = audio_modem.detect(jnp.asarray(chunk[None]))
+                audio_decoder.feed(np.asarray(pw)[0])
         if rds_block is not None and "rds_soft" in out:
             for soft_k in np.asarray(out["rds_soft"])[:k_real]:
                 rds_block.feed_symbols(soft_k[0])
@@ -651,6 +680,16 @@ def main(argv=None):
     if modem is not None:
         print()  # newline after streamed decode text
         metrics["decoded_text"] = decoder.text
+    if audio_decoder is not None:
+        if args.decode == "wwv":
+            fr = audio_decoder.frame
+            metrics["decoded_time"] = None if fr is None else {
+                "hours": fr.hours, "minutes": fr.minutes,
+                "day_of_year": fr.day_of_year, "year": fr.year,
+                "dst1": fr.dst1, "dst2": fr.dst2, "leap": fr.leap,
+                "dut1": fr.dut1}
+        else:
+            metrics["decoded_digits"] = audio_decoder.digits
     if rds_groups is not None:
         metrics["rds"] = {
             "pi": f"0x{rds_groups.pi:04X}", "ps": rds_groups.ps_name,

@@ -105,6 +105,55 @@ class TestPallasChainParity:
         assert err_nb < 0.5 * err_off, (err_nb, err_off)
 
 
+class TestNbWithWfm:
+    def test_wfm_stereo_nb_batched_matches_sequential(self):
+        """NB coexists with the WFM in-kernel discriminator (both optional
+        ref groups active in one pallas_call): batched step_many == K
+        sequential steps, NB-on, stereo."""
+        import functools
+
+        import jax
+
+        t = np.arange(3 * N) / FS
+        a = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+        th = 2 * np.pi * 19000.0 * t
+        comp = 0.45 * a + 0.1 * np.sin(th) + 0.45 * a * np.sin(2 * th)
+        phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 200_000.0 * t + phase))
+              ).astype(np.complex64)
+        rng = np.random.default_rng(4)
+        iq[rng.choice(3 * N, 25, replace=False)] += 10.0 + 10.0j
+        iq = iq[None, :] * np.ones((2, 1), np.float32)
+        x_pk = np.concatenate([iq.real.astype(np.float32).T,
+                               iq.imag.astype(np.float32).T], axis=1)
+
+        from pebblesdr_tpu.demod.modes import DemodMode as DM
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=2,
+                             mode=DM.FMS, use_pallas=True,
+                             enable_noise_blanker=True)
+        rx = Receiver(cfg)
+        assert rx.use_pallas and rx.batched_capable
+        assert rx.pick_fold(4) == 1   # NB disables the time-fold
+        params = rx.default_params(200_000.0)
+
+        st = rx.init_state()
+        step = jax.jit(functools.partial(rx._step_impl, spectra=False))
+        seq = []
+        for k in range(3):
+            st, o = step(st, params, jnp.asarray(x_pk[k * N:(k + 1) * N]))
+            seq.append(np.asarray(o["audio"]))
+        audio_seq = np.concatenate(seq, axis=-1)
+
+        st2 = rx.init_state()
+        st2, ob = jax.jit(functools.partial(rx._step_many_impl,
+                                            spectra=False))(
+            st2, params, jnp.asarray(x_pk))
+        audio_b = np.moveaxis(np.asarray(ob["audio"]), 0, -2).reshape(
+            audio_seq.shape)
+        scale = max(np.abs(audio_seq).max(), 1e-6)
+        assert np.abs(audio_seq - audio_b).max() / scale < 2e-3
+
+
 class TestWfmTailKernel:
     def test_wfm_kernel_matches_xla_tail(self):
         """The fused Pallas stereo tail (demux + decimating LP,

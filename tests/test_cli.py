@@ -79,6 +79,46 @@ class TestCliNewFlags:
                   "--seconds", "0.1", "--ctcss", "123.0", "--json"])
 
 
+class TestCliAudioDecode:
+    def test_dtmf_decode_end_to_end(self, tmp_path, capsys):
+        """--decode dtmf: FM wav -> chain -> audio -> DtmfModem -> digits
+        (the dial-string path at the app-shell surface)."""
+        from pebblesdr_tpu.io import wav
+        from pebblesdr_tpu.modem import dtmf as dtmf_mod
+
+        fs = 256_000
+        dial = dtmf_mod.encode_dtmf("911", 48000.0, tone_ms=80, gap_ms=80)
+        seconds = 2.2
+        n = int(fs * seconds)
+        afull = np.zeros(int(seconds * 48000) + 1, np.float32)
+        afull[2000:2000 + len(dial)] = dial
+        a_dev = np.interp(np.arange(n) / fs,
+                          np.arange(len(afull)) / 48000.0, afull)
+        ph = 2 * np.pi * np.cumsum(3000.0 * a_dev) / fs
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 30_000.0 * np.arange(n) / fs
+                                 + ph))).astype(np.complex64)
+        p = str(tmp_path / "dtmf.wav")
+        wav.write_iq_wav(p, iq, fs, center_freq_hz=30_000.0,
+                         demod_mode="FMN")
+        # run shorter than the file: the FileSource loops, and a second
+        # pass would decode the dial twice
+        rc = main(["--wav", p, "--mode", "FMN", "--tune", "30000",
+                   "--sample-rate", str(fs), "--frames", "32768",
+                   "--seconds", "1.5", "--decode", "dtmf", "--json"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["decoded_digits"] == "911"
+
+    def test_wwv_decode_smoke(self, capsys):
+        # too short to see a full minute — the surface must still run and
+        # report no decode rather than fail
+        rc = main(["--synthetic", "am", "--mode", "AM", "--tune", "250000",
+                   "--seconds", "0.2", "--decode", "wwv", "--json"])
+        assert rc == 0 or rc is None
+        metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert metrics["decoded_time"] is None
+
+
 class TestCliDecode:
     def test_cw_decode_end_to_end(self, capsys):
         """--synthetic morse --decode cw: MorseGen source -> chain taps ->
