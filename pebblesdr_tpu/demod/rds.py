@@ -60,6 +60,19 @@ class RdsConfig:
     # composite rate rides the MXU; "staged" keeps the per-stage form
     h_composed: np.ndarray = static_field(default=None)
     composed: bool = static_field(default=True)
+    # PREMIX (round 4): fold the -57 kHz mix INTO the decimation taps.
+    # The input is then the RAW REAL composite [C, N] — no composite-rate
+    # oscillator, no complex-baseband materialization, and the banded
+    # matmul reads C real rows instead of 2C (mixed re/im) rows:
+    #   y[m] = e^{-j2pi f mD/fs} * sum_j (h[j] e^{+j2pi f j/fs}) x[mD-j]
+    # so taps split into (h cos, h sin) real sets applied in ONE paired
+    # banded matmul (fir_apply_real_signal_pair), and the residual twiddle
+    # runs at the 16 kHz output rate with the EXACT per-sample advance
+    # f/16000 mod 1 (= 9/16 for the 57 kHz subcarrier: drift-free).
+    premix: bool = static_field(default=True)
+    h_mix_re: np.ndarray = static_field(default=None)
+    h_mix_im: np.ndarray = static_field(default=None)
+    mix_adv16: float = static_field(default=0.0)
 
     @staticmethod
     def make(composite_rate: float, block: int,
@@ -87,11 +100,17 @@ class RdsConfig:
         while ell > SPS and n19 % ell:
             ell //= 2
         assert ell >= SPS and n19 % ell == 0  # n19 % SPS == 0 checked above
+        h = decimator.compose_response(plan)
+        jj = np.arange(len(h), dtype=np.float64)
+        th = 2.0 * np.pi * (RDS_CARRIER_HZ / composite_rate) * jj
         return RdsConfig(composite_rate=composite_rate, plan=plan, rs_plan=rs,
                          pll=cfg_pll, mf_taps=mf, n_sym=n19 // SPS, alg=alg,
                          costas_open=pll.make_costas_open_config(19000.0),
-                         chunk19=ell,
-                         h_composed=decimator.compose_response(plan))
+                         chunk19=ell, h_composed=h,
+                         h_mix_re=(h * np.cos(th)).astype(np.float32),
+                         h_mix_im=(h * np.sin(th)).astype(np.float32),
+                         mix_adv16=float(np.mod(RDS_CARRIER_HZ / 16000.0,
+                                                1.0)))
 
 
 @pytree_dataclass
@@ -101,22 +120,33 @@ class RdsState:
     pll: pll.PLLState
     mf_tail: jax.Array
     phase_acc: jax.Array   # [C, SPS] EWMA of |mf| per symbol phase (timing)
+    mix_phase: jax.Array = None  # [C] premix twiddle phase at the 16 kHz grid
 
 
 def rds_init(cfg: RdsConfig, channels: int) -> RdsState:
+    if cfg.premix:
+        decim0 = jnp.zeros((channels, len(cfg.h_composed) - 1), jnp.float32)
+    elif cfg.composed:
+        decim0 = jnp.zeros((2 * channels, len(cfg.h_composed) - 1),
+                           jnp.float32)
+    else:
+        decim0 = decimator.state_init(cfg.plan, channels)
     return RdsState(
-        decim=(jnp.zeros((2 * channels, len(cfg.h_composed) - 1), jnp.float32)
-               if cfg.composed else decimator.state_init(cfg.plan, channels)),
+        decim=decim0,
         resamp=resampler.state_init(cfg.rs_plan, channels, jnp.complex64),
         pll=(pll.costas_open_init(channels) if cfg.alg == "open"
              else pll.pll_init(cfg.pll, channels)),
         mf_tail=fir.fir_tail_init(channels, len(cfg.mf_taps), jnp.float32),
         phase_acc=jnp.zeros((channels, SPS), jnp.float32),
+        mix_phase=jnp.zeros((channels,), jnp.float32),
     )
 
 
 def rds_process(cfg: RdsConfig, state: RdsState, rds_baseband: jax.Array):
-    """rds_baseband: [C, N] complex64 (composite already mixed by -57 kHz).
+    """rds_baseband: with cfg.premix (default) the RAW REAL composite
+    [C, N] float32 (the WFM discriminator output — no mixing upstream);
+    legacy complex [C, N] input (already mixed by -57 kHz) is also
+    accepted for cfg.premix=False configs.
 
     N may span K concatenated logical blocks (the batched step_many path):
     every stage is streaming-exact on the concatenated stream (decimator
@@ -129,7 +159,24 @@ def rds_process(cfg: RdsConfig, state: RdsState, rds_baseband: jax.Array):
     timing_phase [C] int32) — sign(soft) are the biphase symbols; host does
     the rest (RdsBlockDecoder).
     """
-    if cfg.composed:
+    new_mix_phase = state.mix_phase
+    if cfg.premix and not jnp.iscomplexobj(rds_baseband):
+        # complex-tap decimation of the REAL composite + 16 kHz twiddle
+        # (config comment above: one paired banded matmul over C real rows)
+        ya, yb, st_d = fir.fir_apply_real_signal_pair(
+            rds_baseband, state.decim, cfg.h_mix_re, cfg.h_mix_im,
+            decim=cfg.plan.factor)
+        n16 = ya.shape[-1]
+        m = jnp.arange(n16, dtype=jnp.float32)[None, :]
+        ph = jnp.mod(state.mix_phase[:, None]
+                     + m * jnp.float32(cfg.mix_adv16), 1.0)
+        tw_c = jnp.cos(2.0 * np.pi * ph)
+        tw_s = jnp.sin(2.0 * np.pi * ph)
+        # (ya + j yb) * e^{-j 2pi ph}
+        x = jax.lax.complex(ya * tw_c + yb * tw_s, yb * tw_c - ya * tw_s)
+        new_mix_phase = jnp.mod(
+            state.mix_phase + n16 * jnp.float32(cfg.mix_adv16), 1.0)
+    elif cfg.composed:
         # whole cascade as one real banded matmul on stacked [2C, N] rows
         c_in = rds_baseband.shape[0]
         xr = jnp.concatenate([rds_baseband.real, rds_baseband.imag], axis=0)
@@ -155,7 +202,7 @@ def rds_process(cfg: RdsConfig, state: RdsState, rds_baseband: jax.Array):
     best = jnp.argmax(acc, axis=-1)                                      # [C]
     soft = jnp.take_along_axis(sym, best[:, None, None], axis=-1)[..., 0]
     new_state = RdsState(decim=st_d, resamp=st_r, pll=st_p, mf_tail=mf_tail,
-                         phase_acc=acc)
+                         phase_acc=acc, mix_phase=new_mix_phase)
     return new_state, soft, best.astype(jnp.int32)
 
 

@@ -294,19 +294,12 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
     rds_bb = None
     rds_mix_state = state.rds_mixer
     if cfg.rds_tap:
-        # RDS consumes the composite channel-major; one (half-traffic, f32)
-        # transpose of the discriminator plane
-        raw_cm = jnp.transpose(raw_t.reshape(mseg, fold, c), (2, 1, 0)
+        # RDS premixes the -57 kHz shift INTO its decimation taps
+        # (rds.RdsConfig.premix): ship the RAW REAL composite channel-major
+        # — one (half-traffic, f32) transpose of the discriminator plane,
+        # no composite-rate oscillator, no complex baseband
+        rds_bb = jnp.transpose(raw_t.reshape(mseg, fold, c), (2, 1, 0)
                                ).reshape(c, n)
-        hi, lo = mixer.split_freq(RDS_HZ, cfg.sample_rate)
-        hi_v = jnp.broadcast_to(jnp.asarray(hi, jnp.float32),
-                                state.rds_mixer.phase.shape)
-        lo_v = jnp.broadcast_to(jnp.asarray(lo, jnp.float32),
-                                state.rds_mixer.phase.shape)
-        osc = mixer.oscillator(state.rds_mixer.phase, n, hi_v, lo_v)
-        rds_bb = jax.lax.complex(raw_cm * osc.real, raw_cm * osc.imag)
-        rds_mix_state = mixer.MixerState(phase=jnp.mod(
-            state.rds_mixer.phase + jnp.mod(n * hi_v, 1.0) + n * lo_v, 1.0))
 
     new_state = WFMState(
         last=new_last, pilot_bq=state.pilot_bq, pilot_pll=pll_state,
@@ -490,19 +483,9 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     rds_bb = None
     rds_mix_state = state.rds_mixer
     if cfg.rds_tap:
-        # the composite is REAL: mix -57 kHz as two real multiplies against
-        # the oscillator planes instead of a complex x complex product
-        # (raw * e^{-j\theta} = (raw cos, -raw sin))
-        hi, lo = mixer.split_freq(RDS_HZ, fs)
-        nn = raw.shape[-1]
-        hi_v = jnp.broadcast_to(jnp.asarray(hi, jnp.float32),
-                                state.rds_mixer.phase.shape)
-        lo_v = jnp.broadcast_to(jnp.asarray(lo, jnp.float32),
-                                state.rds_mixer.phase.shape)
-        osc = mixer.oscillator(state.rds_mixer.phase, nn, hi_v, lo_v)
-        rds_bb = jax.lax.complex(raw * osc.real, raw * osc.imag)
-        rds_mix_state = mixer.MixerState(phase=jnp.mod(
-            state.rds_mixer.phase + jnp.mod(nn * hi_v, 1.0) + nn * lo_v, 1.0))
+        # RDS premixes the -57 kHz shift INTO its decimation taps
+        # (rds.RdsConfig.premix): ship the RAW REAL composite directly
+        rds_bb = raw
 
     new_state = WFMState(
         last=new_last, pilot_bq=bq_state, pilot_pll=pll_state, pilot_level=level,

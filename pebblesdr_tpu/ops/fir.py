@@ -278,5 +278,51 @@ def fir_apply_real_signal(x: jax.Array, taps: jax.Array, tail: jax.Array,
     return y, new_tail
 
 
+def fir_apply_real_signal_pair(x: jax.Array, tail: jax.Array,
+                               taps_a_np: np.ndarray, taps_b_np: np.ndarray,
+                               decim: int = 1):
+    """TWO static-tap FIRs over the same real stream in ONE banded matmul.
+
+    The window stack (the dominant traffic for long streams) is built once
+    and multiplied against [B_a | B_b] — the complex-tap decimation case
+    (a real composite filtered by re/im tap sets) pays one pass over the
+    input instead of two.  x: [C, N] float32; taps equal length.
+    Returns (y_a [C, N//decim], y_b, new_tail)."""
+    t = len(taps_a_np)
+    assert len(taps_b_np) == t
+    xx = jnp.concatenate([tail, x], axis=-1)
+    c, n = x.shape
+    m = n // decim
+    seg = _banded_seg(n, t, decim)
+    key = (taps_a_np.tobytes(), taps_b_np.tobytes(), seg or n, decim)
+    if key not in _banded_cache:
+        ln = seg or n
+        b2 = np.concatenate(
+            [np.asarray(banded_fir_matrix(np.asarray(taps_a_np, np.float32),
+                                          ln, decim)),
+             np.asarray(banded_fir_matrix(np.asarray(taps_b_np, np.float32),
+                                          ln, decim))], axis=1)
+        with jax.ensure_compile_time_eval():
+            _banded_cache[key] = jnp.asarray(b2)
+    b = _banded_cache[key]
+    if seg:
+        k = n // seg
+        base = xx[:, :n].reshape(c, k, seg)
+        if t > 1:
+            carry = x.reshape(c, k, seg)[:, :, seg - (t - 1):]
+            wins = jnp.concatenate([base, carry], axis=-1)
+        else:
+            wins = base
+        y = jnp.matmul(wins, b, precision=_PREC)   # [C, K, 2*seg//decim]
+        ms = seg // decim
+        y_a = y[:, :, :ms].reshape(c, m)
+        y_b = y[:, :, ms:].reshape(c, m)
+    else:
+        y = jnp.matmul(xx, b, precision=_PREC)     # [C, 2M]
+        y_a, y_b = y[:, :m], y[:, m:]
+    new_tail = xx[:, -(t - 1):] if t > 1 else jnp.zeros((c, 0), x.dtype)
+    return y_a, y_b, new_tail
+
+
 def fir_tail_init(channels: int, ntaps: int, dtype=jnp.complex64) -> jax.Array:
     return jnp.zeros((channels, max(ntaps - 1, 0)), dtype)
