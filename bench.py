@@ -100,6 +100,12 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
         np.broadcast_to(iq.real.astype(np.float32)[:, None], (frames, channels)),
         np.broadcast_to(iq.imag.astype(np.float32)[:, None], (frames, channels)),
     ], axis=1)
+    if os.environ.get("BENCH_I16") or mode_name.endswith("_i16"):
+        # i16 entry planes (native-ADC container, in-kernel dequant):
+        # halves the front's input DMA bytes — wins where the entry read
+        # dominates (the 256ch shape: +7%); ~neutral at 64ch
+        plane = np.clip(np.round(plane * 32768.0), -32768,
+                        32767).astype(np.int16)
 
     import functools
 
@@ -446,6 +452,10 @@ def main():
         # 16ch (time-folded entry planes; 2x blocks per dispatch — the
         # folded dispatch is lighter, so K=64 wins there)
         rows.append(_row_subprocess("am", 256, max(8, BLOCKS // 2),
+                                    max(16, STEPS // 2)))
+        # same shape with int16 entry planes (native-ADC container,
+        # dequantized in-kernel): the input-DMA-bound row's fast path
+        rows.append(_row_subprocess("am_i16", 256, max(8, BLOCKS // 2),
                                     max(16, STEPS // 2)))
         # full steps on the 16ch rows: the ~25 ms fixed fill/drain per
         # window biases the short-window numbers high (r03's am_16ch

@@ -445,9 +445,11 @@ class Receiver:
 
     def step(self, state: ReceiverState, params: RxParams, iq: jax.Array,
              spectra: bool = True):
-        """One block: iq [frames_per_buffer, 2C] float32 lane-packed plane
-        (re lanes then im lanes — the TPU fast path), [2, frames_per_buffer,
-        C] float32 plane pair, or [C, frames_per_buffer] complex64.
+        """One block: iq [frames_per_buffer, 2C] float32 OR int16 lane-packed
+        plane (re lanes then im lanes — the TPU fast path; int16 is the
+        native-ADC container, dequantized in-kernel at 1/32768 so the entry
+        DMA moves half the bytes), [2, frames_per_buffer, C] float32 plane
+        pair, or [C, frames_per_buffer] complex64.
 
         spectra=False skips the display spectra (the reference likewise
         computes them at updatesPerSecond, not per block —
@@ -467,7 +469,8 @@ class Receiver:
     def step_many(self, state: ReceiverState, params: RxParams, iq: jax.Array,
                   spectra: bool = True):
         """Process K blocks in ONE dispatch: iq [K*frames_per_buffer, 2C]
-        float32 lane-packed planes (the zero-copy TPU fast path; [K, N, 2C],
+        float32 OR int16 lane-packed planes (the zero-copy TPU fast path;
+        int16 = native-ADC container, dequantized in-kernel; [K, N, 2C],
         (re, im) pairs, [K, 2, N, C] stacks and [K, C, N] complex64 are also
         accepted, at the cost of one device-side pack).
 
@@ -560,8 +563,8 @@ class Receiver:
             x_pk = jnp.concatenate([iq[:, 0], iq[:, 1]], axis=-1)
         elif iq.ndim == 4 and iq.shape[0] == 2:      # [2, K, N, C]
             x_pk = jnp.concatenate([iq[0], iq[1]], axis=-1)
-        elif jnp.issubdtype(iq.dtype, jnp.floating):  # packed already
-            x_pk = iq
+        elif not jnp.iscomplexobj(iq):               # packed already
+            x_pk = iq                                # (f32 or i16 plane)
         else:                                        # [K, C, N] complex64
             x_pk = jnp.concatenate(
                 [jnp.moveaxis(iq.real, 1, 2), jnp.moveaxis(iq.imag, 1, 2)],
@@ -571,7 +574,7 @@ class Receiver:
         # physically dense on the (8, 128) tiling).  Detected by lane width.
         fold_in = 1
         c2 = 2 * self.cfg.channels
-        if (x_pk.ndim == 2 and jnp.issubdtype(x_pk.dtype, jnp.floating)
+        if (x_pk.ndim == 2 and not jnp.iscomplexobj(x_pk)
                 and x_pk.shape[-1] != c2):
             if x_pk.shape[-1] % c2:
                 raise ValueError(f"lane width {x_pk.shape[-1]} is neither "
@@ -898,13 +901,18 @@ class Receiver:
         # here, one copy), or [C, N] complex64 (classic).
         if iq.ndim == 3:
             x_pk = jnp.concatenate([iq[0], iq[1]], axis=-1)
-        elif iq.ndim == 2 and jnp.issubdtype(iq.dtype, jnp.floating):
-            x_pk = iq
+        elif iq.ndim == 2 and not jnp.iscomplexobj(iq):
+            x_pk = iq                    # f32 or i16 packed plane
         else:
             x_pk = None  # complex input; pack lazily only if needed
+        in_scale = (1.0 / 32768.0 if x_pk is not None
+                    and jnp.issubdtype(x_pk.dtype, jnp.integer) else 0.0)
         nb = cfg.spectrum_bins
         if x_pk is None:
             raw_tail = iq[:, -nb:]
+        elif in_scale:
+            tf = x_pk[-nb:].astype(jnp.float32) * in_scale
+            raw_tail = jax.lax.complex(tf[:, :c].T, tf[:, c:].T)
         else:
             raw_tail = jax.lax.complex(x_pk[-nb:, :c].T, x_pk[-nb:, c:].T)
 
@@ -944,8 +952,13 @@ class Receiver:
             iqbal_state = state.iqbal
         else:
             iqbal_state = state.iqbal
-            iq_cn = (jax.lax.complex(x_pk[:, :c].T, x_pk[:, c:].T)
-                     if x_pk is not None else iq)
+            if x_pk is not None and in_scale:
+                xf = x_pk.astype(jnp.float32) * in_scale
+                iq_cn = jax.lax.complex(xf[:, :c].T, xf[:, c:].T)
+            elif x_pk is not None:
+                iq_cn = jax.lax.complex(x_pk[:, :c].T, x_pk[:, c:].T)
+            else:
+                iq_cn = iq
             if cfg.enable_dc_removal:
                 dc, x = iir.dc_removal_chunked(state.dc, iq_cn, alpha=0.9999)
             else:

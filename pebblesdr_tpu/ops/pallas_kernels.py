@@ -118,7 +118,8 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
 
 def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
                   raw_rows, factor, m_tile, disc_gain, interpret,
-                  iqbal, nb_mode, nb_thr, nb_bw, nb_alpha_c, *refs):
+                  iqbal, nb_mode, nb_thr, nb_bw, nb_alpha_c, in_scale,
+                  *refs):
     """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
     c is the packed HALF-width.  For the plain layout that is the channel
@@ -172,6 +173,13 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     s = pl.program_id(0)
     first = s == 0
     xx = x_ref[:, :]
+    if in_scale:
+        # i16 ENTRY PLANES: the input DMA (the kernel's dominant HBM read)
+        # moves native-ADC int16 — half the f32 bytes, full 96 dB dynamic
+        # range (bf16's 8-bit mantissa would cap ~48 dB); dequantize once
+        # in VMEM.  Everything downstream (incl. the raw display export)
+        # stays f32.
+        xx = xx.astype(jnp.float32) * in_scale
 
     @pl.when(s % nsub_blk == nsub_blk - 1)
     def _():
@@ -377,7 +385,8 @@ def fold_plane_np(plane: np.ndarray, fold: int) -> np.ndarray:
 
 
 def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
-                   dc_alpha, d_rows, extra_rows: int = 0):
+                   dc_alpha, d_rows, extra_rows: int = 0,
+                   in_scale: float = 0.0):
     """Closed-form group seams for the time-folded input layout.
 
     x_f: [seg, 2*fold*C] folded plane (lane group g = time segment g).
@@ -402,7 +411,12 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
     c = gc // fold
     ncg = seg // DC_CHUNK
     a_c = float(dc_alpha) ** DC_CHUNK
-    means = jnp.mean(x_f.reshape(ncg, DC_CHUNK, c2e), axis=1)   # [ncg, 2GC]
+    # i16 entry: the mean reduces the int plane directly (i16 HBM reads);
+    # scale lands on the tiny chunk-mean/boundary-row arrays only
+    means = jnp.mean(x_f.reshape(ncg, DC_CHUNK, c2e).astype(jnp.float32),
+                     axis=1)                                    # [ncg, 2GC]
+    if in_scale:
+        means = means * in_scale
     m_re = means[:, :gc].reshape(ncg, fold, c)                  # [j, g', c]
     m_im = means[:, gc:].reshape(ncg, fold, c)
 
@@ -431,7 +445,9 @@ def _fold_prologue(x_f, dc, phase0, f_hi, f_lo, tail, fold,
     #     last (d_rows + extra_rows) rows of group g-1
     nrows = d_rows + extra_rows
     r0 = seg - nrows
-    rows = jax.lax.slice(x_f, (r0, 0), (seg, c2e))              # [nrows, 2GC]
+    rows = jax.lax.slice(x_f, (r0, 0), (seg, c2e)).astype(jnp.float32)
+    if in_scale:
+        rows = rows * in_scale                                  # [nrows, 2GC]
     jlo = r0 // DC_CHUNK
     nj = ncg - jlo
     wj = np.zeros((nj, ncg), np.float64)
@@ -538,6 +554,10 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
     c = ce // fold                     # logical channel count
     c2 = 2 * c
     n = seg * fold                     # logical sample count
+    # i16 entry planes (native ADC container): dequantized in-kernel so the
+    # input DMA moves half the bytes; full-scale int16 == 1.0
+    in_scale = (1.0 / 32768.0
+                if jnp.issubdtype(x_pk.dtype, jnp.integer) else 0.0)
     assert seg % sub_block == 0 and sub_block % DC_CHUNK == 0
     if not n_block:
         n_block = seg
@@ -563,7 +583,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         flo_half = jnp.tile(jnp.asarray(f_lo, jnp.float32), fold)
         dc_in, tail_in, strip = _fold_prologue(
             x_pk, dc, phase0, f_hi, f_lo, tail, fold, dc_alpha, d_rows,
-            extra_rows=factor if disc_gain else 0)
+            extra_rows=factor if disc_gain else 0, in_scale=in_scale)
     else:
         ph_half = jnp.asarray(phase0, jnp.float32)
         fhi_half = jnp.asarray(f_hi, jnp.float32)
@@ -612,7 +632,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
                              float(disc_gain), interpret,
                              iqbal, nb_mode, float(nb_thr), int(nb_bw),
-                             nb_a_c)
+                             nb_a_c, in_scale)
     in_specs = [
         pl.BlockSpec((sub_block, c2e), lambda s: (s, 0)),
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),

@@ -50,7 +50,8 @@ def load():
     lib.ring_overruns.restype = ctypes.c_uint64
     lib.ring_overruns.argtypes = [ctypes.c_void_p]
     for name in ("decode_u8", "decode_i8", "decode_i16", "decode_u16",
-                 "decode_f32"):
+                 "decode_f32", "deint_i16", "deint_i8_to_i16",
+                 "deint_u8_to_i16"):
         fn = getattr(lib, name)
         fn.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                        ctypes.c_void_p, ctypes.c_int]
@@ -154,6 +155,45 @@ def decode_iq_planes(raw: bytes | np.ndarray, fmt: str,
         x = x / 32768.0
     elif fmt == "u16":
         x = (x - 32768.0) / 32768.0
+    i, q = x[0::2], x[1::2]
+    if swap_iq:
+        i, q = q, i
+    return np.stack([i, q])
+
+
+_DEINT16 = {"i16": "deint_i16", "i8": "deint_i8_to_i16",
+            "u8": "deint_u8_to_i16"}
+
+
+def deint_iq_planes_i16(raw: bytes | np.ndarray, fmt: str,
+                        swap_iq: bool = False) -> np.ndarray:
+    """Interleaved integer wire bytes -> [2, n] INT16 (re, im) planes.
+
+    The native-container fast path: the chain accepts i16 entry planes and
+    dequantizes in-kernel (pallas_kernels), so the host never converts to
+    float and ships half the bytes.  i8/u8 rescale to full-scale i16
+    (lossless << 8); fmt must be one of i16/i8/u8."""
+    if fmt not in _DEINT16:
+        raise ValueError(f"no i16 passthrough for wire format {fmt!r}")
+    arr = np.frombuffer(raw, dtype=_DTYPES[fmt]) if isinstance(raw, (bytes, bytearray)) \
+        else np.ascontiguousarray(raw, dtype=_DTYPES[fmt])
+    n = arr.size // 2
+    lib = load()
+    if lib is not None:
+        out = np.empty((2, n), np.int16)
+        getattr(lib, _DEINT16[fmt])(
+            arr.ctypes.data_as(ctypes.c_void_p), n,
+            out[0].ctypes.data_as(ctypes.c_void_p),
+            out[1].ctypes.data_as(ctypes.c_void_p),
+            1 if swap_iq else 0)
+        return out
+    # numpy fallback
+    if fmt == "i16":
+        x = arr.astype(np.int16)
+    elif fmt == "i8":
+        x = (arr.astype(np.int16) << 8)
+    else:  # u8
+        x = ((arr.astype(np.int16) - 128) << 8)
     i, q = x[0::2], x[1::2]
     if swap_iq:
         i, q = q, i

@@ -161,6 +161,55 @@ void decode_f32(const float* in, size_t n, float* re, float* im, int swap_iq) {
     DECODE_LOOP(in[2 * k], in[2 * k + 1])
 }
 
+// i16 PASSTHROUGH deinterleave: int16 wire -> int16 re/im planes (no float
+// conversion — the TPU chain accepts i16 entry planes and dequantizes
+// in-kernel, so the host ships half the bytes and skips this conversion).
+// i8/u8/u16 wire formats rescale to full-scale i16 (lossless for i8: <<8).
+void deint_i16(const int16_t* in, size_t n, int16_t* re, int16_t* im,
+               int swap_iq) {
+    if (swap_iq) {
+        for (size_t k = 0; k < n; ++k) {
+            re[k] = in[2 * k + 1];
+            im[k] = in[2 * k];
+        }
+    } else {
+        for (size_t k = 0; k < n; ++k) {
+            re[k] = in[2 * k];
+            im[k] = in[2 * k + 1];
+        }
+    }
+}
+
+void deint_i8_to_i16(const int8_t* in, size_t n, int16_t* re, int16_t* im,
+                     int swap_iq) {
+    if (swap_iq) {
+        for (size_t k = 0; k < n; ++k) {
+            re[k] = (int16_t)(in[2 * k + 1] << 8);
+            im[k] = (int16_t)(in[2 * k] << 8);
+        }
+    } else {
+        for (size_t k = 0; k < n; ++k) {
+            re[k] = (int16_t)(in[2 * k] << 8);
+            im[k] = (int16_t)(in[2 * k + 1] << 8);
+        }
+    }
+}
+
+void deint_u8_to_i16(const uint8_t* in, size_t n, int16_t* re, int16_t* im,
+                     int swap_iq) {
+    if (swap_iq) {
+        for (size_t k = 0; k < n; ++k) {
+            re[k] = (int16_t)(((int)in[2 * k + 1] - 128) << 8);
+            im[k] = (int16_t)(((int)in[2 * k] - 128) << 8);
+        }
+    } else {
+        for (size_t k = 0; k < n; ++k) {
+            re[k] = (int16_t)(((int)in[2 * k] - 128) << 8);
+            im[k] = (int16_t)(((int)in[2 * k + 1] - 128) << 8);
+        }
+    }
+}
+
 // Audio encode: float32 [-1,1] mono/stereo planes -> interleaved int16 PCM.
 void encode_pcm16(const float* const* chans, size_t n_chan, size_t n,
                   int16_t* out) {

@@ -194,6 +194,48 @@ def test_batched_time_fold_matches_sequential(mode, hq):
             assert d < 1e-4, (name, d)
 
 
+def test_i16_entry_planes_match_f32():
+    """int16 lane-packed entry (the native-ADC container, dequantized
+    in-kernel) == the f32 plane of the SAME dequantized values, bit-close,
+    on both the batched and the sequential path — including the time-fold
+    (prologue reads the int plane directly)."""
+    import functools
+
+    kf = 4
+    t = np.arange(kf * N) / FS
+    env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+    iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
+    iq = iq[None, :] * np.ones((C, 1), np.float32)
+    x_pk_f = np.concatenate([iq.real.astype(np.float32).T,
+                             iq.imag.astype(np.float32).T], axis=1)
+    x_i16 = np.clip(np.round(x_pk_f * 32768.0), -32768, 32767).astype(np.int16)
+    x_deq = x_i16.astype(np.float32) / 32768.0   # what the kernel dequantizes
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=DemodMode.AM, use_pallas=True, agc_mode="off")
+    rx = Receiver(cfg)
+    params = rx.default_params(250_000.0)
+    step_many = jax.jit(functools.partial(rx._step_many_impl, spectra=True))
+
+    st_f = rx.init_state()
+    st_f, of = step_many(st_f, params, jnp.asarray(x_deq))
+    st_i = rx.init_state()
+    st_i, oi = step_many(st_i, params, jnp.asarray(x_i16))
+    np.testing.assert_allclose(np.asarray(oi["audio"]),
+                               np.asarray(of["audio"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oi["spectrum"]),
+                               np.asarray(of["spectrum"]), atol=1e-3)
+
+    # sequential single-block path accepts i16 too
+    st1 = rx.init_state()
+    step1 = jax.jit(functools.partial(rx._step_impl, spectra=False))
+    st1, o1 = step1(st1, params, jnp.asarray(x_i16[:N]))
+    st2 = rx.init_state()
+    st2, o2 = step1(st2, params, jnp.asarray(x_deq[:N]))
+    np.testing.assert_allclose(np.asarray(o1["audio"]),
+                               np.asarray(o2["audio"]), atol=1e-6)
+
+
 def test_batched_falls_back_for_scan_modes():
     """Configs the batched graph cannot serve (here: WFM with the legacy
     per-sample Costas RDS carrier) must take the scan path even when batched

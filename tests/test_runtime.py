@@ -85,6 +85,32 @@ class TestNativeDecode:
         np.testing.assert_allclose(planes[0] * 32768.0, [-200, -400])
         np.testing.assert_allclose(planes[1] * 32768.0, [100, 300])
 
+    @pytest.mark.parametrize("fmt", ["i16", "i8", "u8"])
+    def test_i16_passthrough_deinterleave(self, fmt):
+        """deint_iq_planes_i16: integer wire -> INT16 planes (the native
+        container the chain's i16 entry path dequantizes in-kernel) — must
+        match the float decoder after in-kernel-style dequant."""
+        rng = np.random.default_rng(1)
+        n = 1000
+        if fmt == "i16":
+            raw = rng.integers(-32768, 32768, 2 * n, dtype=np.int16)
+        elif fmt == "i8":
+            raw = rng.integers(-128, 128, 2 * n, dtype=np.int8)
+        else:
+            raw = rng.integers(0, 256, 2 * n, dtype=np.uint8)
+        planes = runtime.deint_iq_planes_i16(raw.tobytes(), fmt)
+        assert planes.dtype == np.int16 and planes.shape == (2, n)
+        ref = runtime.decode_iq_planes(raw.tobytes(), fmt)
+        np.testing.assert_allclose(planes.astype(np.float32) / 32768.0,
+                                   ref, atol=1e-6)
+        # swap variant
+        sw = runtime.deint_iq_planes_i16(raw.tobytes(), fmt, swap_iq=True)
+        np.testing.assert_array_equal(sw[0], planes[1])
+
+    def test_i16_passthrough_rejects_float(self):
+        with pytest.raises(ValueError):
+            runtime.deint_iq_planes_i16(b"\x00" * 8, "f32")
+
 
 class TestNativeUdpPump:
     def _send(self, port, seq, payload_i16):
