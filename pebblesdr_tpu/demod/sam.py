@@ -119,7 +119,8 @@ def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array,
         pll_state, phases, _ = pll.pll_run(cfg.pll, state.pll, x)
     base = x * jnp.exp(-1j * phases.astype(jnp.complex64))
     taps_c = jnp.asarray(cfg.hilbert_taps, jnp.complex64)
-    hi, tail = fir.fir_apply_complex(base, taps_c, state.hilbert_tail)
+    hi, tail = fir.fir_apply_complex(base, taps_c, state.hilbert_tail,
+                                     taps_np=cfg.hilbert_taps)
     # align base with hi: the linear-phase Hilbert FIR delays by (T-1)/2
     n = base.shape[-1]
     full = jnp.concatenate([state.align, base], axis=-1)

@@ -167,12 +167,30 @@ def fir_apply(x: jax.Array, taps: jax.Array, tail: jax.Array, decim: int = 1):
     return y, new_tail
 
 
-def fir_apply_complex(x: jax.Array, taps_c: jax.Array, tail: jax.Array, decim: int = 1):
+def fir_apply_complex(x: jax.Array, taps_c: jax.Array, tail: jax.Array,
+                      decim: int = 1,
+                      taps_np: np.ndarray | None = None):
     """Streaming FIR with complex taps (Hilbert / shifted bandpass).
 
-    (xr + j xi) * (hr + j hi): one conv with a [2out, 2in, T] real filter bank.
+    Pass taps_np (static numpy complex) to take the banded-matmul MXU fast
+    path: the complex product needs each real input row against BOTH tap
+    sets, which is exactly fir_apply_real_signal_pair on the stacked
+    [re; im] rows — ONE window stack, one matmul (XLA's conv lowering for
+    ~10^2-tap kernels over [C, ~10^4] is ~7x slower on TPU).
+    Fallback: one conv with a [2out, 2in, T] real filter bank.
     """
     c, n = x.shape
+    if taps_np is not None and decim == 1:
+        h = np.asarray(taps_np)
+        rows = jnp.concatenate([x.real, x.imag], axis=0)        # [2C, N]
+        tail2 = jnp.concatenate([tail.real, tail.imag], axis=0)
+        ya, yb, tail_rows = fir_apply_real_signal_pair(
+            rows, tail2, h.real.astype(np.float32),
+            h.imag.astype(np.float32))
+        # (xr + j xi)(hr + j hi): re = xr*hr - xi*hi, im = xr*hi + xi*hr
+        y = jax.lax.complex(ya[:c] - yb[c:], yb[:c] + ya[c:])
+        new_tail = jax.lax.complex(tail_rows[:c], tail_rows[c:])
+        return y.astype(jnp.complex64), new_tail.astype(tail.dtype)
     t = taps_c.shape[0]
     xx = jnp.concatenate([tail, x], axis=-1)
     lhs = jnp.stack([xx.real, xx.imag], axis=1)  # [C, 2, L]

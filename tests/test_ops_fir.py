@@ -56,6 +56,27 @@ class TestFirApply:
         p_neg = float(jnp.mean(jnp.abs(yn[:, 100:]) ** 2))
         assert 10 * np.log10(p_pos / p_neg) > 50
 
+    def test_complex_taps_banded_fast_path_matches_conv(self):
+        # taps_np engages the paired banded-matmul path; must equal the conv
+        # lowering, streaming, including the carried complex tail
+        taps = fir.design_hilbert(61, 1000.0, 1800.0, 8000.0)
+        rng = np.random.default_rng(6)
+        x = (rng.normal(size=(3, 4096))
+             + 1j * rng.normal(size=(3, 4096))).astype(np.complex64)
+        t_conv = fir.fir_tail_init(3, len(taps))
+        t_fast = fir.fir_tail_init(3, len(taps))
+        outs_c, outs_f = [], []
+        for i in range(0, 4096, 1024):
+            blk = jnp.asarray(x[:, i:i + 1024])
+            yc, t_conv = fir.fir_apply_complex(
+                blk, jnp.asarray(taps, jnp.complex64), t_conv)
+            yf, t_fast = fir.fir_apply_complex(
+                blk, jnp.asarray(taps, jnp.complex64), t_fast, taps_np=taps)
+            outs_c.append(np.asarray(yc))
+            outs_f.append(np.asarray(yf))
+        np.testing.assert_allclose(np.concatenate(outs_f, -1),
+                                   np.concatenate(outs_c, -1), atol=2e-5)
+
 
 class TestHalfbandDesign:
     @pytest.mark.parametrize("ntaps,wpass", decimator.HALFBAND_SPECS[1:])
