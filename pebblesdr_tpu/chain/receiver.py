@@ -523,9 +523,12 @@ class Receiver:
     def batched_capable(self) -> bool:
         """True when step_many runs the straight-line batched graph (and may
         therefore consume TIME-FOLDED input planes)."""
+        # ANF no longer forces the scan path: the batched tail runs the
+        # block-LMS with one weight update per logical block (vs per 16
+        # samples scanned) — the same averaged-gradient algorithm at a
+        # coarser cadence; see _tail_many
         return bool(self.cfg.batched_many and self.use_pallas
                     and self.batched_mode_ok
-                    and not self.cfg.enable_anf
                     and self.cfg.spectrum_bins <= self._front_sub)
 
     def _step_many_impl(self, state, params, iq, spectra=True):
@@ -702,7 +705,7 @@ class Receiver:
                                        spectra, tm=tm)
         new_state = ReceiverState(
             mixer=mix_state, decim=decim_state, dc=dc,
-            nb=nb_state, anf=state.anf, iqbal=state.iqbal, **tail_st)
+            nb=nb_state, iqbal=state.iqbal, **tail_st)
         return new_state, out
 
     def _tail_many(self, state: ReceiverState, params: RxParams, k: int,
@@ -814,6 +817,7 @@ class Receiver:
                     self.wfm_cfg, state.demod, x_cat, n_block=blk)
             out["pilot_locked"] = wout["pilot_locked"].T      # [K, C]
             ff_state, agc_state = state.fastfir, state.agc
+            anf_state = state.anf
             if cfg.rds:
                 # the scan-free RDS subchain (decimate -> resample -> squared
                 # open-loop carrier -> matched filter) is streaming-exact on
@@ -843,6 +847,15 @@ class Receiver:
             rds_state = state.rds
             mask = jax.lax.complex(params.bp_mask[0], params.bp_mask[1])
             ff_state, xt = fastfir.apply_many(state.fastfir, x_cat, mask, blk)
+            if cfg.enable_anf:
+                # block-LMS at one update per logical block: K scan steps
+                # per dispatch instead of K*blk/16 (the adaptation per
+                # SAMPLE matches the scan path's averaged gradient; the
+                # notch converges at the same rate, at block granularity)
+                anf_state, xt = scanops.anf(state.anf, xt,
+                                            update_every=blk)
+            else:
+                anf_state = state.anf
             agc_state, xt = agc.agc_apply(self.agc_cfg, state.agc, xt)
             if m == DemodMode.AM:
                 demod_state, audio = am_mod.am_demod(self.am_cfg, state.demod,
@@ -885,7 +898,7 @@ class Receiver:
             fastfir=ff_state, agc=agc_state, demod=demod_state,
             resamp=resamp_state, spec_full=spec_full_state,
             spec_zoom=spec_zoom_state, rds=rds_state,
-            squelch=squelch_open[-1], ctcss=ctcss_state)
+            squelch=squelch_open[-1], ctcss=ctcss_state, anf=anf_state)
         return tail_st, out
 
     def _step_impl(self, state: ReceiverState, params: RxParams, iq: jax.Array,

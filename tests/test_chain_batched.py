@@ -236,6 +236,47 @@ def test_i16_entry_planes_match_f32():
                                np.asarray(o2["audio"]), atol=1e-6)
 
 
+def test_anf_on_batched_path():
+    """enable_anf no longer forces the scan path: the batched tail runs
+    block-LMS at one update per logical block.  Streaming-exact across
+    dispatches, and the notch actually adapts (nonzero weights, tonal
+    output preserved)."""
+    import functools
+
+    kf = 4
+    t = np.arange(2 * kf * N) / FS
+    env = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2
+    iq = (0.5 * env * np.exp(2j * np.pi * 250_000.0 * t)).astype(np.complex64)
+    rng = np.random.default_rng(9)
+    iq = iq + 0.01 * (rng.standard_normal(len(t))
+                      + 1j * rng.standard_normal(len(t))).astype(np.complex64)
+    iq = iq[None, :] * np.ones((C, 1), np.float32)
+    x_pk = np.concatenate([iq.real.astype(np.float32).T,
+                           iq.imag.astype(np.float32).T], axis=1)
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=DemodMode.AM, use_pallas=True, agc_mode="off",
+                         enable_anf=True)
+    rx = Receiver(cfg)
+    assert rx.batched_capable          # ANF no longer disables it
+    params = rx.default_params(250_000.0)
+    step = jax.jit(functools.partial(rx._step_many_impl, spectra=False))
+
+    st = rx.init_state()
+    st, o1 = step(st, params, jnp.asarray(x_pk[:kf * N]))
+    st, o2 = step(st, params, jnp.asarray(x_pk[kf * N:]))
+    once = np.concatenate([np.asarray(o1["audio"]),
+                           np.asarray(o2["audio"])], axis=0)
+
+    st2 = rx.init_state()
+    st2, ob = jax.jit(functools.partial(rx._step_many_impl, spectra=False))(
+        st2, params, jnp.asarray(x_pk))
+    np.testing.assert_allclose(np.asarray(ob["audio"]), once, atol=1e-5)
+    # weights adapted toward the periodic component
+    assert float(jnp.max(jnp.abs(st.anf.weights))) > 1e-3
+    assert np.all(np.isfinite(once))
+
+
 def test_batched_falls_back_for_scan_modes():
     """Configs the batched graph cannot serve (here: WFM with the legacy
     per-sample Costas RDS carrier) must take the scan path even when batched
