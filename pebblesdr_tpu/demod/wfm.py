@@ -26,7 +26,6 @@ from pebblesdr_tpu.core.block import pytree_dataclass, static_field
 from pebblesdr_tpu.ops import fir, iir, mixer, pll
 
 PILOT_HZ = 19000.0
-RDS_HZ = 57000.0
 
 
 @pytree_dataclass
@@ -118,7 +117,6 @@ class WFMState:
     lp_tail_lmr: jax.Array   # [C, T-1]
     notch_l: jax.Array       # [C, 2]
     notch_r: jax.Array       # [C, 2]
-    rds_mixer: mixer.MixerState
 
 
 def _tail_d_rows(cfg: WFMConfig) -> int:
@@ -173,7 +171,6 @@ def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
         lp_tail_lmr=tail_s,
         notch_l=iir.biquad_state_init(channels),
         notch_r=iir.biquad_state_init(channels),
-        rds_mixer=mixer.mixer_init(channels),
     )
 
 
@@ -292,7 +289,6 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
     left, right = lr[:c], lr[c:]
 
     rds_bb = None
-    rds_mix_state = state.rds_mixer
     if cfg.rds_tap:
         # RDS premixes the -57 kHz shift INTO its decimation taps
         # (rds.RdsConfig.premix): ship the RAW REAL composite channel-major
@@ -306,7 +302,7 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
         pilot_level=level, deemph_l=d_lr[:c], deemph_r=d_lr[c:],
         lp_tail_mono=tail_m, lp_tail_lmr=state.lp_tail_lmr,
         notch_l=notch_lr[:c], notch_r=notch_lr[c:],
-        rds_mixer=rds_mix_state)
+)
     out = {"left": left, "right": right, "pilot_locked": locked,
            "rds_baseband": rds_bb}
     return new_state, out
@@ -481,7 +477,6 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
         dr = state.deemph_r
 
     rds_bb = None
-    rds_mix_state = state.rds_mixer
     if cfg.rds_tap:
         # RDS premixes the -57 kHz shift INTO its decimation taps
         # (rds.RdsConfig.premix): ship the RAW REAL composite directly
@@ -490,7 +485,7 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     new_state = WFMState(
         last=new_last, pilot_bq=bq_state, pilot_pll=pll_state, pilot_level=level,
         deemph_l=dl, deemph_r=dr, lp_tail_mono=tail_m, lp_tail_lmr=tail_s,
-        notch_l=notch_l, notch_r=notch_r, rds_mixer=rds_mix_state,
+        notch_l=notch_l, notch_r=notch_r,
     )
     out = {"left": left, "right": right, "pilot_locked": locked,
            "rds_baseband": rds_bb}
