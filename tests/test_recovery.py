@@ -122,3 +122,70 @@ class TestKillAndResume:
             sup2.block_done(state2)
             np.testing.assert_array_equal(np.asarray(out["audio"])[0],
                                           ref[seq])
+
+    def test_resume_bit_exact_round4_states(self, tmp_path):
+        """Round-4 carry state (in-kernel NB avg/spike-tail, CTCSS coherent
+        EWMA, ANF weights, RDS premix twiddle phase) must checkpoint/resume
+        bit-exactly mid-stream."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+        from pebblesdr_tpu.utils import checkpoint as ckpt
+
+        fs, n = 2_048_000, 32768
+        cfg = ReceiverConfig(sample_rate=fs, frames_per_buffer=n,
+                             channels=2, mode=DemodMode.FMN,
+                             enable_noise_blanker=True, enable_anf=True,
+                             ctcss_tone=123.0, use_pallas=True)
+        rx = Receiver(cfg)
+        params = rx.default_params(300_000.0)
+        t = np.arange(8 * n) / fs
+        dev = 2500.0 * np.sin(2 * np.pi * 1000.0 * t) \
+            + 500.0 * np.sin(2 * np.pi * 123.0 * t)
+        ph = 2 * np.pi * np.cumsum(dev) / fs
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + ph))
+              ).astype(np.complex64)
+        iq[5000::100000] += 8.0 + 8.0j
+        iq2 = iq[None, :] * np.ones((2, 1), np.float32)
+
+        st = rx.init_state()
+        outs = []
+        for b in range(8):
+            if b == 4:
+                path = str(tmp_path / "mid.npz")
+                ckpt.save_state(path, st)
+            st, o = rx.step(st, params, jnp.asarray(iq2[:, b*n:(b+1)*n]),
+                            spectra=False)
+            outs.append(np.asarray(o["audio"]))
+
+        st2, _ = ckpt.load_state(path, rx.init_state())
+        for b in range(4, 8):
+            st2, o2 = rx.step(st2, params, jnp.asarray(iq2[:, b*n:(b+1)*n]),
+                              spectra=False)
+            np.testing.assert_array_equal(np.asarray(o2["audio"]), outs[b])
+
+        # and the RDS premix twiddle phase (FMS + rds)
+        cfg_w = ReceiverConfig(sample_rate=fs, frames_per_buffer=n,
+                               channels=1, mode=DemodMode.FMS, rds=True,
+                               use_pallas=True)
+        rxw = Receiver(cfg_w)
+        pw = rxw.default_params(300_000.0)
+        comp = 0.3 * np.sin(2 * np.pi * 1000.0 * t) \
+            + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+        phw = 2 * np.pi * np.cumsum(75000.0 * comp) / fs
+        iqw = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + phw))
+               ).astype(np.complex64)[None]
+        stw = rxw.init_state()
+        outs_w = []
+        for b in range(6):
+            if b == 3:
+                pathw = str(tmp_path / "wfm.npz")
+                ckpt.save_state(pathw, stw)
+            stw, ow = rxw.step(stw, pw, jnp.asarray(iqw[:, b*n:(b+1)*n]),
+                               spectra=False)
+            outs_w.append(np.asarray(ow["rds_soft"]))
+        stw2, _ = ckpt.load_state(pathw, rxw.init_state())
+        for b in range(3, 6):
+            stw2, ow2 = rxw.step(stw2, pw, jnp.asarray(iqw[:, b*n:(b+1)*n]),
+                                 spectra=False)
+            np.testing.assert_array_equal(np.asarray(ow2["rds_soft"]),
+                                          outs_w[b])
