@@ -464,7 +464,9 @@ def main(argv=None):
                                                  TtyKeys)
 
         controls = ControlSurface(rx, params, tune,
-                                  squelch_db=args.squelch, gain=args.gain)
+                                  squelch_db=args.squelch, gain=args.gain,
+                                  source=source,
+                                  center_hz=source.info.center_freq_hz)
         key_source = (ScriptedKeys(args.keys) if args.keys is not None
                       else TtyKeys().__enter__())
 

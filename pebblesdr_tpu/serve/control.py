@@ -119,10 +119,20 @@ class ControlSurface:
     demod pipeline in the reference too)."""
 
     def __init__(self, rx: Receiver, params, tune_hz: float,
-                 squelch_db: float | None = None, gain: float = 1.0):
+                 squelch_db: float | None = None, gain: float = 1.0,
+                 source=None, center_hz: float = 0.0):
         self.rx = rx
         self.params = params
         self.tune = float(tune_hz)
+        # device-LO handoff (receiver.cpp:604-637 capability): when arrow
+        # tuning pushes the mixer offset past ~45% of the capture width and
+        # the source can retune its hardware LO (set_center_freq), shift
+        # the LO and re-center the mixer — continuous tuning across the
+        # whole band instead of clipping at the capture edge
+        self.source = source if (source is not None
+                                 and hasattr(source, "set_center_freq")) \
+            else None
+        self.center_hz = float(center_hz)
         self.step = 1000.0
         self.mode = rx.cfg.mode
         self.agc = rx.cfg.agc_mode or rx.info.agc_mode
@@ -178,8 +188,15 @@ class ControlSurface:
             return "QUIT"
         if key in ("left", "right"):
             self.tune += self.step if key == "right" else -self.step
-            limit = self.rx.cfg.sample_rate / 2
-            self.tune = float(np.clip(self.tune, -limit, limit))
+            fs = self.rx.cfg.sample_rate
+            if self.source is not None and abs(self.tune) > 0.45 * fs:
+                # hand the offset to the device LO; mixer returns to center
+                self.center_hz += self.tune
+                self.source.set_center_freq(self.center_hz)
+                self.tune = 0.0
+                self.params = self.rx.retune(self.params, 0.0)
+                return f"LO {self.center_hz / 1e6:.6f} MHz"
+            self.tune = float(np.clip(self.tune, -fs / 2, fs / 2))
             self.params = self.rx.retune(self.params, self.tune)
             return f"TUNE {self.tune / 1e3:.3f} kHz"
         if key in ("up", "down"):

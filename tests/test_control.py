@@ -84,6 +84,35 @@ class TestControlSurface:
         assert ev.startswith("AGC ")
         assert s.take_reset()
 
+    def test_device_lo_handoff(self):
+        # tuning past 45% of the capture width with a hardware-retunable
+        # source hands the offset to the device LO and re-centers the
+        # mixer (receiver.cpp:604-637 capability)
+        class FakeRadio:
+            def __init__(self):
+                self.lo = []
+
+            def set_center_freq(self, hz):
+                self.lo.append(hz)
+
+        radio = FakeRadio()
+        rx = Receiver(ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                                     mode=DemodMode.AM))
+        s = ControlSurface(rx, rx.default_params(900_000.0), 900_000.0,
+                           source=radio, center_hz=100_000_000.0)
+        s.step = 100_000.0
+        ev = s.handle("right")          # 900k + 100k = 1.0 MHz > 0.45*fs
+        assert ev.startswith("LO ")
+        assert radio.lo == [101_000_000.0]
+        assert s.tune == 0.0
+        # a plain source (no set_center_freq) just clips at the edge
+        s2 = ControlSurface(rx, rx.default_params(900_000.0), 900_000.0,
+                            source=object(), center_hz=0.0)
+        s2.step = 1_000_000.0
+        ev2 = s2.handle("right")
+        assert ev2.startswith("TUNE")
+        assert abs(s2.tune) <= FS / 2
+
     def test_retune_moves_off_station_mid_stream(self):
         # the actual RF effect: stepping the SAME compiled executable with
         # surface-updated params moves off a station between blocks
