@@ -55,6 +55,11 @@ class Ghpsdr3Client:
     def set_frequency(self, hz: float) -> None:
         self.command(f"setfrequency {int(hz)}")
 
+    # uniform hardware-retune surface (what the live control's device-LO
+    # handoff probes for; rtl_tcp/SDR-IP/HPSDR spell it this way)
+    def set_center_freq(self, hz: float) -> None:
+        self.set_frequency(hz)
+
     def set_mode(self, mode: str) -> None:
         self.command(f"setmode {MODES.get(mode.upper(), 6)}")
 
