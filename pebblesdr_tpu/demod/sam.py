@@ -128,8 +128,13 @@ def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array,
     new_align = full[:, n:]
     mono_raw = base_d.real                    # lo + hi
     hi_minus_lo = (2.0 * hi - base_d).real    # hi - lo (still carries carrier)
-    dc, mono = iir.dc_removal_apply(state.dc, mono_raw, alpha=0.999)
-    dc_r, right = iir.dc_removal_apply(state.dc_r, hi_minus_lo, alpha=0.999)
+    # one stacked DC pass for both outputs (the wfm deemph pattern)
+    c = mono_raw.shape[0]
+    dc2, both = iir.dc_removal_apply(
+        jnp.concatenate([state.dc, state.dc_r], axis=0),
+        jnp.concatenate([mono_raw, hi_minus_lo], axis=0), alpha=0.999)
+    dc, dc_r = dc2[:c], dc2[c:]
+    mono, right = both[:c], both[c:]
     left = mono
     return (SAMState(pll=pll_state, track=track_state, dc=dc, dc_r=dc_r,
                      hilbert_tail=tail, align=new_align, aim=aim),
