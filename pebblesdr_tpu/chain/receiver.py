@@ -113,6 +113,12 @@ class ReceiverConfig:
     #                                       stays opt-in there.
     db_offset: float = 0.0                # display calibration offset applied
     #                                       to both spectra (settings.h dbOffset)
+    sam_sideband: str = "analytic"        # SAM sideband split: "analytic"
+    #                                       (complex Hilbert BP, ~60 dB image
+    #                                       rejection) or "rails" (the
+    #                                       reference's exact per-rail phasing
+    #                                       method, for parity vs the compiled
+    #                                       reference — tools/refharness)
     ctcss_tone: float | None = None       # FMN only: CTCSS sub-audible tone
     #                                       squelch qualifier (goertzel.h:232-
     #                                       277 tables).  The squelch opens
@@ -225,7 +231,9 @@ class Receiver:
             if m in (DemodMode.AM,):
                 self.am_cfg = am_mod.AMConfig.make(self.demod_rate, info.default_filter)
             elif m == DemodMode.SAM:
-                self.sam_cfg = sam_mod.SAMConfig.make(self.demod_rate, info.default_filter)
+                self.sam_cfg = sam_mod.SAMConfig.make(
+                    self.demod_rate, info.default_filter,
+                    sideband=cfg.sam_sideband)
             elif m == DemodMode.FMN:
                 self.nfm_cfg = nfm_mod.NFMConfig.make(self.demod_rate)
 

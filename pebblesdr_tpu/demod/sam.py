@@ -38,11 +38,24 @@ class SAMConfig:
     # the chunked type-2 loop scan (the round-2 form)
     smooth: str = static_field(default="open")
     open_track: pll.CostasOpenConfig = static_field(default=None)
+    # sideband split convention: "analytic" (default) = one complex
+    # analytic (Hilbert) bandpass on the coherent baseband — ~60+ dB image
+    # rejection (documented deviation); "rails" = the reference's EXACT
+    # phasing method (CFir::ProcessFilter filters the re rail with the
+    # in-phase BP and the im rail with the quadrature BP independently,
+    # fir.cpp ProcessFilter CPX overload; 40 dB CuteSDR Kaiser design,
+    # demod_sam.cpp InitLPFilter(0,1,40,4500,5500)+GenerateHBFilter(5000)).
+    # "rails" exists for bit-faithful parity vs the compiled reference
+    # (tools/refharness) and measures ~70+ dB against it.
+    sideband: str = static_field(default="analytic")
+    rail_taps_i: np.ndarray = static_field(default=None)
+    rail_taps_q: np.ndarray = static_field(default=None)
 
     @staticmethod
     def make(sample_rate: float, bandwidth: float = 10000.0,
              algorithm: str = "aimed",
-             smooth: str = "open") -> "SAMConfig":
+             smooth: str = "open",
+             sideband: str = "analytic") -> "SAMConfig":
         cfg = pll.make_pll_config(sample_rate, bw_hz=100.0, zeta=0.707,
                                   range_hz=1000.0, detector="atan2")
         # analytic filter 0..bandwidth/2 (demod_sam.cpp GenerateHBFilter(5000));
@@ -50,11 +63,18 @@ class SAMConfig:
         # convention; the sideband split wants hi = upper sideband as-is)
         taps = 0.5 * fir.design_hilbert(61, bandwidth / 4.0, bandwidth / 2.0,
                                         sample_rate)
+        # reference-exact rail pair: CuteSDR Kaiser LP 40 dB / 4500 / 5500,
+        # shifted +5000 Hz (demod_sam.cpp ctor), applied per-rail
+        h = fir.design_cfir_kaiser_lp(40.0, 4500.0, 5500.0, sample_rate)
+        hbi, hbq = fir.design_rail_pair(h, 5000.0, sample_rate)
         return SAMConfig(sample_rate=sample_rate, pll=cfg, hilbert_taps=taps,
                          algorithm=algorithm, smooth=smooth,
                          open_track=pll.make_costas_open_config(
                              sample_rate, range_hz=200.0, bw_hz=50.0,
-                             chunk=64, square=False))
+                             chunk=64, square=False),
+                         sideband=sideband,
+                         rail_taps_i=hbi.astype(np.float32),
+                         rail_taps_q=hbq.astype(np.float32))
 
 
 @pytree_dataclass
@@ -70,6 +90,17 @@ class SAMState:
 
 
 def sam_init(cfg: SAMConfig, channels: int) -> SAMState:
+    if cfg.sideband == "rails":
+        t = len(cfg.rail_taps_i)
+        return SAMState(
+            pll=pll.pll_init(cfg.pll, channels),
+            track=pll.costas_open_init(channels),
+            dc=jnp.zeros((channels,), jnp.float32),
+            dc_r=jnp.zeros((channels,), jnp.float32),
+            hilbert_tail=jnp.zeros((2 * channels, t - 1), jnp.float32),
+            align=jnp.zeros((channels, 0), jnp.complex64),
+            aim=jnp.zeros((channels,), jnp.float32),
+        )
     return SAMState(
         pll=pll.pll_init(cfg.pll, channels),
         track=pll.costas_open_init(channels),
@@ -118,6 +149,29 @@ def sam_demod_stereo(cfg: SAMConfig, state: SAMState, x: jax.Array,
     else:  # 'scan', or a block too short for the multi-resolution aim
         pll_state, phases, _ = pll.pll_run(cfg.pll, state.pll, x)
     base = x * jnp.exp(-1j * phases.astype(jnp.complex64))
+    if cfg.sideband == "rails":
+        # Reference-exact phasing method (demod_sam.cpp:83-112 +
+        # CFir::ProcessFilter CPX overload): DC-remove the coherent rails
+        # (DC_ALPHA 0.9999), then filter re with the in-phase BP and im
+        # with the quadrature BP INDEPENDENTLY; L = re+im, R = re-im,
+        # mono = (L+R)/2 = filtered re rail.
+        c = x.shape[0]
+        rails = jnp.concatenate([base.real, base.imag], axis=0)
+        dc2, rails = iir.dc_removal_apply(
+            jnp.concatenate([state.dc, state.dc_r], axis=0), rails,
+            alpha=0.9999)
+        y_i, y_q, tail = fir.fir_apply_real_signal_pair(
+            rails, state.hilbert_tail,
+            np.asarray(cfg.rail_taps_i), np.asarray(cfg.rail_taps_q))
+        re_f = y_i[:c]
+        im_f = y_q[c:]
+        left = re_f + im_f
+        right = re_f - im_f
+        mono = re_f
+        return (SAMState(pll=pll_state, track=track_state,
+                         dc=dc2[:c], dc_r=dc2[c:], hilbert_tail=tail,
+                         align=state.align, aim=aim),
+                mono, left, right)
     taps_c = jnp.asarray(cfg.hilbert_taps, jnp.complex64)
     hi, tail = fir.fir_apply_complex(base, taps_c, state.hilbert_tail,
                                      taps_np=cfg.hilbert_taps)

@@ -43,6 +43,49 @@ def design_lowpass_kaiser(cutoff_hz: float, sample_rate: float, atten_db: float 
     return scipy.signal.firwin(ntaps, cutoff_hz, window=("kaiser", beta), fs=sample_rate)
 
 
+def design_cfir_kaiser_lp(astop_db: float, fpass_hz: float, fstop_hz: float,
+                          sample_rate: float) -> np.ndarray:
+    """CFir::InitLPFilter's EXACT Kaiser design (fir.cpp:~InitLPFilter):
+    beta from the standard Kaiser attenuation formula, tap count from the
+    (Astop-8)/(2.285*2pi*dF) estimate, sinc at the (pass+stop)/2 6 dB
+    cutoff.  Used where reference-exact filter shapes matter (SAM rails
+    parity vs the compiled reference)."""
+    norm_pass = fpass_hz / sample_rate
+    norm_stop = fstop_hz / sample_rate
+    norm_cut = (norm_stop + norm_pass) / 2.0
+    if astop_db < 20.96:
+        beta = 0.0
+    elif astop_db >= 50.0:
+        beta = 0.1102 * (astop_db - 8.71)
+    else:
+        beta = (0.5842 * (astop_db - 20.96) ** 0.4
+                + 0.07886 * (astop_db - 20.96))
+    ntaps = int((astop_db - 8.0)
+                / (2.285 * 2.0 * np.pi * (norm_stop - norm_pass)) + 1)
+    ntaps = max(3, ntaps)
+    n = np.arange(ntaps, dtype=np.float64)
+    fc = 0.5 * (ntaps - 1)
+    x = n - fc
+    c = np.where(x == 0.0, 2.0 * norm_cut,
+                 np.sin(2.0 * np.pi * x * norm_cut)
+                 / (np.pi * np.where(x == 0.0, 1.0, x)))
+    xk = (n - (ntaps - 1) / 2.0) / ((ntaps - 1) / 2.0)
+    w = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - xk * xk))) / np.i0(beta)
+    return c * w
+
+
+def design_rail_pair(h: np.ndarray, center_hz: float,
+                     sample_rate: float) -> tuple[np.ndarray, np.ndarray]:
+    """CFir::GenerateHBFilter's rail pair: (2h cos, 2h sin) shifted by
+    center_hz.  The reference applies these INDEPENDENTLY to the re/im
+    rails (CFir::ProcessFilter CPX overload filters re with ICoef and im
+    with QCoef — the phasing method, NOT a complex convolution)."""
+    ntaps = len(h)
+    x = np.arange(ntaps, dtype=np.float64) - 0.5 * (ntaps - 1)
+    ang = 2.0 * np.pi * (center_hz / sample_rate) * x
+    return 2.0 * h * np.cos(ang), 2.0 * h * np.sin(ang)
+
+
 def design_windowed_sinc(ntaps: int, cutoff_hz: float, sample_rate: float,
                          kind: win.WindowType = win.WindowType.BLACKMAN_NUTTALL) -> np.ndarray:
     """Windowed-sinc LP, the FastFIR prototype (fastfir.cpp:231-250 semantics)."""
