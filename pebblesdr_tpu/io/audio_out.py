@@ -230,7 +230,23 @@ class PortAudioOutput(AudioOutput):
             raise RuntimeError(
                 "no libportaudio on this host — use --audio-out FILE.wav or "
                 "pipe: (aplay/ffplay) instead of device:")
-        return ctypes.CDLL(name)
+        pa = ctypes.CDLL(name)
+        # declare the ABI explicitly: PaSampleFormat and frame counts are
+        # C unsigned long (64-bit on LP64) — ctypes' default 32-bit int
+        # promotion happens to work for the current values but is brittle
+        c = ctypes
+        pa.Pa_Initialize.restype = c.c_int
+        pa.Pa_Terminate.restype = c.c_int
+        pa.Pa_OpenDefaultStream.restype = c.c_int
+        pa.Pa_OpenDefaultStream.argtypes = [
+            c.POINTER(c.c_void_p), c.c_int, c.c_int, c.c_ulong, c.c_double,
+            c.c_ulong, c.c_void_p, c.c_void_p]
+        for fn in (pa.Pa_StartStream, pa.Pa_StopStream, pa.Pa_CloseStream):
+            fn.restype = c.c_int
+            fn.argtypes = [c.c_void_p]
+        pa.Pa_WriteStream.restype = c.c_int
+        pa.Pa_WriteStream.argtypes = [c.c_void_p, c.c_void_p, c.c_ulong]
+        return pa
 
     def start(self, rate: int, channels: int = 1) -> None:
         import ctypes
@@ -243,8 +259,9 @@ class PortAudioOutput(AudioOutput):
         self.rate, self.channels = rate, channels
         stream = ctypes.c_void_p()
         err = pa.Pa_OpenDefaultStream(
-            ctypes.byref(stream), 0, channels, self._PA_FLOAT32,
-            ctypes.c_double(rate), self.frames_per_buffer, None, None)
+            ctypes.byref(stream), 0, channels,
+            ctypes.c_ulong(self._PA_FLOAT32), ctypes.c_double(rate),
+            ctypes.c_ulong(self.frames_per_buffer), None, None)
         if err:
             pa.Pa_Terminate()
             self._pa = None

@@ -184,7 +184,6 @@ class WwvDecoder:
 
     threshold: float = 0.5   # fraction of tracked pulse peak
     _powers: list = dataclasses.field(default_factory=list)
-    _consumed: int = 0       # 10 ms frames dropped from the front of _powers
     frame: WwvFrame | None = None
     # convenience mirrors of the last decoded frame
     minutes: int | None = None

@@ -168,11 +168,13 @@ def _agc_apply_parallel(cfg: AGCConfig, state: AGCState, x: jax.Array):
     release_s = RELEASE_TIMECONST if use_hang else decay_ms / 1000.0
     d = 0.43429448 / max(release_s, 1e-3) / rate_s
     dec_last, env = _decaying_max(state.decay_avg, held, d)
-    # attack smoothing with the CuteSDR rise/fall asymmetry (agc.cpp attack
-    # smoother): the switched one-pole (rise 2 ms above, fall 5 ms below) is
-    # not associative, but max(fast_pole, slow_pole) IS the same behavior —
-    # when the envelope rises the faster pole is higher (tracks up at 2 ms);
-    # when it falls the slower pole lags above (falls at 5 ms).  Two linear
+    # attack smoothing with the CuteSDR rise/fall asymmetry (agc.cpp:159-170
+    # attack smoother): the switched one-pole (rise 2 ms above, fall 5 ms
+    # below) is not associative; max(fast_pole, slow_pole) is a documented
+    # APPROXIMATION — exact on monotone envelope segments (rising: the 2 ms
+    # pole is higher; falling: the 5 ms pole lags above), but after a dip
+    # the recovering level transiently lags the switched form (measured
+    # delta in the bench quality row agc_hang_par_vs_scan_db).  Two linear
     # recurrences (associative scans) + elementwise max.
     rise_coef = _coef(ATTACK_RISE_TIMECONST, rate_s)
     fall_coef = _coef(ATTACK_FALL_TIMECONST, rate_s)

@@ -463,10 +463,17 @@ def main(argv=None):
         from pebblesdr_tpu.serve.control import (ControlSurface, ScriptedKeys,
                                                  TtyKeys)
 
+        iq_static = None
+        if args.iq_balance and args.iq_balance.lower() != "auto":
+            iq_static = tuple(float(v) for v in args.iq_balance.split(","))
+        bp_static = None
+        if args.bandpass:
+            bp_static = tuple(float(v) for v in args.bandpass.split(","))
         controls = ControlSurface(rx, params, tune,
                                   squelch_db=args.squelch, gain=args.gain,
                                   source=source,
-                                  center_hz=source.info.center_freq_hz)
+                                  center_hz=source.info.center_freq_hz,
+                                  iq_static=iq_static, bandpass=bp_static)
         key_source = (ScriptedKeys(args.keys) if args.keys is not None
                       else TtyKeys().__enter__())
 
@@ -494,7 +501,8 @@ def main(argv=None):
             a_kw["command"] = a_rest.split()
         live_audio = ao.factory(a_kind, paced=True, **a_kw)
         stereo = mode == modes_mod.DemodMode.FMS
-        live_audio.start(cfg.audio_rate, channels=2 if stereo else 1)
+        live_channels = 2 if stereo else 1
+        live_audio.start(cfg.audio_rate, channels=live_channels)
 
     audio_chunks = []
     perform = Perform()
@@ -518,6 +526,16 @@ def main(argv=None):
                 mode = rx.cfg.mode
                 state = rx.init_state()
                 audio_chunks = []  # new chain geometry: new audio segment
+                if live_audio is not None:
+                    # the live sink's frame layout is fixed at open time:
+                    # an FMS<->mono switch must reopen it at the new channel
+                    # count or Pa_WriteStream would read 2*M floats from an
+                    # M-float mono buffer (advisor r4)
+                    want = 2 if mode == modes_mod.DemodMode.FMS else 1
+                    if want != live_channels:
+                        live_audio.stop()
+                        live_audio.start(cfg.audio_rate, channels=want)
+                        live_channels = want
             params = controls.params
             tune = controls.tune
             if controls.quit:

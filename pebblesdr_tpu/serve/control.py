@@ -120,7 +120,9 @@ class ControlSurface:
 
     def __init__(self, rx: Receiver, params, tune_hz: float,
                  squelch_db: float | None = None, gain: float = 1.0,
-                 source=None, center_hz: float = 0.0):
+                 source=None, center_hz: float = 0.0,
+                 iq_static: tuple[float, float] | None = None,
+                 bandpass: tuple[float, float] | None = None):
         self.rx = rx
         self.params = params
         self.tune = float(tune_hz)
@@ -139,8 +141,13 @@ class ControlSurface:
         self.squelch_db = squelch_db
         self.gain = gain
         self.mute = False
-        self.bp_lo = rx.info.lo_cut
-        self.bp_hi = rx.info.hi_cut
+        # startup static overrides (CLI --iq-balance / --bandpass) survive
+        # mode/AGC rebuilds — default_params would silently drop them
+        # (advisor r4)
+        self.iq_static = iq_static
+        self.cli_bandpass = bandpass
+        self.bp_lo = bandpass[0] if bandpass else rx.info.lo_cut
+        self.bp_hi = bandpass[1] if bandpass else rx.info.hi_cut
         self.quit = False
         self._reset = False
         self.events: list[str] = []
@@ -160,9 +167,21 @@ class ControlSurface:
         cfg = dataclasses.replace(self.rx.cfg, mode=self.mode,
                                   agc_mode=self.agc)
         self.rx = Receiver(cfg)
-        self.bp_lo = self.rx.info.lo_cut
-        self.bp_hi = self.rx.info.hi_cut
         self.params = self.rx.default_params(self.tune)
+        if self.cli_bandpass is not None:
+            # the explicit CLI bandpass outlives rebuilds; key-driven edits
+            # reset to the new mode's default band
+            self.bp_lo, self.bp_hi = self.cli_bandpass
+            self.params = self.rx.set_bandpass(self.params, self.bp_lo,
+                                               self.bp_hi)
+        else:
+            self.bp_lo = self.rx.info.lo_cut
+            self.bp_hi = self.rx.info.hi_cut
+        if self.iq_static is not None:
+            g, ph = self.iq_static
+            self.params = dataclasses.replace(
+                self.params, iq_gain=jnp.asarray(g, jnp.float32),
+                iq_phase=jnp.asarray(ph, jnp.float32))
         self._apply_levels()
         self._reset = True
 
