@@ -62,3 +62,14 @@ register("morsegen", _src.MorseGenSource)
 register("rtl_tcp", _rtl.RtlTcpSource)
 register("sdr_ip", _sdrip.SdrIpSource)
 register("hpsdr", _hpsdr.HpsdrSource)
+
+
+def _audio_factory(**kwargs):
+    # imported lazily: the audio-IQ source only needs libportaudio when a
+    # real stream is opened (tests inject stream_factory)
+    from pebblesdr_tpu.io.audio_iq import AudioIqSource
+
+    return AudioIqSource(**kwargs)
+
+
+register("audio", _audio_factory)

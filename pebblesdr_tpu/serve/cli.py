@@ -38,6 +38,11 @@ def make_source(args) -> sources.Source:
                       "sample_rate": args.sample_rate}
         elif args.source in ("synthetic", "morsegen"):
             kwargs = {"sample_rate": args.sample_rate}
+        elif args.source == "audio":
+            # soundcard audio-IQ front end (FunCube/SoftRock class)
+            kwargs = {"sample_rate": args.sample_rate}
+            if args.center:
+                kwargs["center_freq_hz"] = args.center
         return registry.create(args.source, **kwargs)
     if args.wav:
         return sources.FileSource(args.wav, loop=True, pace=args.pace)
