@@ -1130,7 +1130,10 @@ class Receiver:
             if wout["rds_baseband"] is not None:
                 taps_out["rds_baseband"] = wout["rds_baseband"]
         if self.wfm_cfg.stereo:
-            c = cfg.channels
+            # channel count from the data, not cfg: under a shard_map'd
+            # tail (parallel.channelizer) this path sees only the local
+            # channel shard
+            c = wout["left"].shape[0]
             lr = jnp.concatenate([wout["left"], wout["right"]], axis=0)  # [2C, M]
             resamp_state, lr = resampler.apply(self.rs_plan, state.resamp, lr)
             audio = jnp.stack([lr[:c], lr[c:]], axis=1)  # [C, 2, M]

@@ -81,14 +81,7 @@ def build_sharded_step(rx: Receiver, mesh, fused: bool | None = None):
         front = _build_staged_front(rx, mesh)
     csh = NamedSharding(mesh, P("channel", None))
 
-    @jax.jit
-    def step(state: ReceiverState, params, iq):
-        new_dc, phase2, new_carry, x = front(
-            state.dc, state.mixer.phase, state.decim, iq,
-            params.tune_hi, params.tune_lo)
-        # reshard the (much smaller) decimated stream to channel-only; XLA
-        # inserts the gather over the 'time' axis here
-        x = lax.with_sharding_constraint(x, csh)
+    def tail_fn(state: ReceiverState, params, x):
         taps_out = {}
         if is_wfm(rx.cfg.mode):
             out = {}
@@ -98,6 +91,47 @@ def build_sharded_step(rx: Receiver, mesh, fused: bool | None = None):
             audio, demod_state, resamp_state, agc_state, anf_state, ff_state = (
                 rx._narrowband_path(state, params, x, taps_out))
             rds_state = state.rds
+        return (audio, demod_state, resamp_state, agc_state, anf_state,
+                ff_state, rds_state)
+
+    # The tail is a pure per-channel map, but left to GSPMD it is NOT
+    # partitioned that way: XLA's partitioner has no sharded FFT, so the
+    # FastFIR overlap-save FFT/IFFT gets ALL-GATHERED to every device and
+    # computed redundantly (measured: 6 all-gathers, ~1 MB/block on an
+    # 8-way channel mesh — the whole input volume).  Running the tail
+    # under shard_map pins every per-channel op to its local shard and
+    # makes the channel axis communication-free by construction.
+    c_total = rx.cfg.channels
+
+    def _spec_of(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == c_total):
+            return P("channel", *([None] * (leaf.ndim - 1)))
+        # WFM rails / stacked planes carry 2C or kC leading dims
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] > 0
+                and leaf.shape[0] % c_total == 0
+                and leaf.shape[0] // c_total <= 8):
+            return P("channel", *([None] * (leaf.ndim - 1)))
+        return P(*([None] * getattr(leaf, "ndim", 0)))
+
+    def sharded_tail(state, params, x):
+        in_specs = jax.tree.map(_spec_of, (state, params, x))
+        out_shape = jax.eval_shape(tail_fn, state, params, x)
+        out_specs = jax.tree.map(_spec_of, out_shape)
+        return jax.shard_map(tail_fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+            state, params, x)
+
+    @jax.jit
+    def step(state: ReceiverState, params, iq):
+        new_dc, phase2, new_carry, x = front(
+            state.dc, state.mixer.phase, state.decim, iq,
+            params.tune_hi, params.tune_lo)
+        # reshard the (much smaller) decimated stream to channel-only; XLA
+        # inserts the gather over the 'time' axis here
+        x = lax.with_sharding_constraint(x, csh)
+        (audio, demod_state, resamp_state, agc_state, anf_state,
+         ff_state, rds_state) = sharded_tail(state, params, x)
         new_state = ReceiverState(
             mixer=MixerState(phase=phase2), decim=new_carry,
             fastfir=ff_state, dc=new_dc, nb=state.nb, anf=anf_state,
