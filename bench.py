@@ -441,9 +441,10 @@ def main():
         # the flagship BASELINE config #2 shape: stereo + RDS decode, on the
         # batched fast path (scan-free squaring-loop RDS carrier)
         rows.append(_row_subprocess("wfm_rds", CHANNELS, BLOCKS, STEPS))
-        # reference-parity quality geometry (>=400k composite, ~47 dB sep)
-        rows.append(_row_subprocess("wfm_hq", CHANNELS, max(8, BLOCKS // 2),
-                                    max(16, STEPS // 2)))
+        # reference-parity quality geometry (512k discrimination, composite
+        # decimated to the tuned 256k tail) — full dispatch geometry like
+        # the other WFM rows now that the tail no longer doubles the memory
+        rows.append(_row_subprocess("wfm_hq", CHANNELS, BLOCKS, STEPS))
         # SAM is scan-free now (open-loop stage-2 smoother): full
         # blocks/dispatch amortizes the fixed cost like the other rows
         rows.append(_row_subprocess("sam", CHANNELS, BLOCKS, STEPS))

@@ -201,17 +201,27 @@ class Receiver:
         # --- demod config ----------------------------------------------------
         m = cfg.mode
         if is_wfm(m):
+            # hq geometry: the ~512k rate is needed only for ALIAS-FREE
+            # DISCRIMINATION; the demodulated composite is < 61 kHz wide, so
+            # it decimates back to the tuned ~256k tail rate right after the
+            # discriminator (WFMConfig.comp_decim) — full-separation front,
+            # tuned-geometry tail cost
+            self.wfm_comp_decim = (
+                2 if (cfg.wfm_hq and self.demod_rate >= 400_000) else 1)
+            tail_rate = self.demod_rate // self.wfm_comp_decim
+            self.wfm_tail_blk = self.blk // self.wfm_comp_decim
             # decimate the audio path inside the demod so the fractional
             # resampler runs near 64 kHz instead of composite rate
-            audio_decim = max(1, self.demod_rate // 64000)
+            audio_decim = max(1, tail_rate // 64000)
             self.wfm_cfg = wfm_mod.WFMConfig.make(
-                self.demod_rate, stereo=(m == DemodMode.FMS and cfg.stereo),
-                rds_tap=cfg.rds, audio_decim=audio_decim)
+                tail_rate, stereo=(m == DemodMode.FMS and cfg.stereo),
+                rds_tap=cfg.rds, audio_decim=audio_decim,
+                comp_decim=self.wfm_comp_decim)
             audio_src_rate = int(self.wfm_cfg.audio_rate)
-            audio_blk = self.blk // self.wfm_cfg.audio_decim
+            audio_blk = self.wfm_tail_blk // self.wfm_cfg.audio_decim
             if cfg.rds:
-                self.rds_cfg = rds_mod.RdsConfig.make(self.demod_rate,
-                                                      self.blk,
+                self.rds_cfg = rds_mod.RdsConfig.make(tail_rate,
+                                                      self.wfm_tail_blk,
                                                       alg=cfg.rds_alg)
             # batched WFM auto-resolution (see ReceiverConfig.batched_wfm):
             # ON when the pilot path is scan-free (open pilot, or mono) AND
@@ -314,7 +324,7 @@ class Receiver:
             # Eligibility — a valid kernel sub-block must exist for this
             # block geometry — is decided HERE so wfm_init's state layout
             # and the demod path always agree (tail_sub=0 -> XLA tail).
-            t_sub = wfm_mod.tail_kernel_sub(self.wfm_cfg, self.blk)
+            t_sub = wfm_mod.tail_kernel_sub(self.wfm_cfg, self.wfm_tail_blk)
             if t_sub:
                 self.wfm_cfg = dataclasses.replace(
                     self.wfm_cfg, pallas_tail=True, tail_sub=t_sub,
@@ -507,6 +517,9 @@ class Receiver:
         no closed-form group seams)."""
         if not self.batched_capable or self._nb_params is not None:
             return 1
+        if is_wfm(self.cfg.mode) and getattr(self, "wfm_comp_decim", 1) > 1:
+            # the hq composite decimator runs seam-free on unfolded planes
+            return 1
         return self._pk.pick_fold(self.cfg.channels, k_blocks)
 
     @property
@@ -671,6 +684,7 @@ class Receiver:
         use_tm = (is_wfm(cfg.mode) and self.wfm_cfg.stereo
                   and self.wfm_cfg.pallas_tail and self.wfm_cfg.tail_sub > 0)
         front_kw = {}
+        kernel_comp = False
         if use_tm:
             front_kw = dict(
                 disc_gain=self.demod_rate / (2.0 * np.pi
@@ -679,6 +693,26 @@ class Receiver:
                 disc_last=jnp.concatenate(
                     [state.demod.last.real[None, :],
                      state.demod.last.imag[None, :]], axis=1))
+            # the composite is consumed downstream only as each block's
+            # trailing zoom window — have the kernel emit just that and
+            # skip the full [N/factor, 2C] y write (~25% of the front's
+            # HBM output at factor 4); block row ranges align across lane
+            # groups, so this holds for folded planes too
+            m_sub_f = self._front_sub // self.plan.factor
+            if self.zoom_bins % m_sub_f == 0:
+                front_kw["y_tail_rows"] = self.zoom_bins
+            if self.wfm_comp_decim > 1 and fold == 1:
+                # hq: the kernel decimates the composite in VMEM and emits
+                # the half-rate plane (see WFMConfig.comp_decim)
+                kernel_comp = True
+                tc = len(self.wfm_cfg.comp_taps)
+                hr = ((tc - 1 + 7) // 8) * 8
+                hist = jnp.zeros((hr, c), jnp.float32)
+                hist = hist.at[hr - (tc - 1):, :].set(
+                    state.demod.comp_tail.T)
+                front_kw.update(
+                    comp_taps=np.asarray(self.wfm_cfg.comp_taps),
+                    comp_hist=hist)
         fr = self._pk.fused_front_packed(
             x_pk, state.dc, state.mixer.phase,
             params.tune_hi, params.tune_lo, state.decim, self._front_wt,
@@ -696,6 +730,10 @@ class Receiver:
             nb_state = state.nb
         if use_tm:
             disc_t, dlast = fr[fpos:fpos + 2]
+            comp_tail_new = None
+            if kernel_comp:
+                tc = len(self.wfm_cfg.comp_taps)
+                comp_tail_new = fr[fpos + 2][-(tc - 1):, :].T  # [C, tc-1]
             x_cat = None
         else:
             x_cat = self._pk.unpack_to_complex(y_pk, fold=fold)  # [C, K*blk]
@@ -708,7 +746,8 @@ class Receiver:
             raw_c = jax.lax.complex(
                 jnp.moveaxis(raw_pk[:, :, :c], 2, 1),
                 jnp.moveaxis(raw_pk[:, :, c:], 2, 1))           # [K, C, bins]
-        tm = (y_pk, fold, disc_t, dlast) if use_tm else None
+        tm = ((y_pk, fold, disc_t, dlast, kernel_comp, comp_tail_new)
+              if use_tm else None)
         tail_st, out = self._tail_many(state, params, k, raw_c, x_cat,
                                        spectra, tm=tm)
         new_state = ReceiverState(
@@ -734,8 +773,9 @@ class Receiver:
         blk = self.blk
         out: dict[str, Any] = {}
         use_tm = tm is not None
+        kernel_comp, comp_tail_new = False, None
         if use_tm:
-            y_pk, fold, disc_t, dlast = tm
+            (y_pk, fold, disc_t, dlast, kernel_comp, comp_tail_new) = tm
 
         # ---- full-rate spectrum per block (batched) ------------------------
         if spectra:
@@ -768,7 +808,12 @@ class Receiver:
             # composite stays packed/time-major on the tm path: unfold only
             # each block's trailing zoom window (the display/S-meter source)
             k_g = k // fold
-            y5 = y_pk.reshape(k_g, blk, 2, fold, c)[:, blk - n_z:]
+            if y_pk.ndim == 3:
+                # the kernel emitted each block's trailing zoom window
+                # directly (y_tail_rows) — no full composite plane exists
+                y5 = y_pk.reshape(k_g, n_z, 2, fold, c)
+            else:
+                y5 = y_pk.reshape(k_g, blk, 2, fold, c)[:, blk - n_z:]
             xz = jax.lax.complex(
                 jnp.transpose(y5[:, :, 0], (2, 0, 3, 1)).reshape(k, c, n_z),
                 jnp.transpose(y5[:, :, 1], (2, 0, 3, 1)).reshape(k, c, n_z))
@@ -817,7 +862,8 @@ class Receiver:
                 demod_state, wout = wfm_mod.wfm_demod_tm(
                     self.wfm_cfg, state.demod, disc_t,
                     jax.lax.complex(dlast[0, :c], dlast[0, c:]),
-                    fold=fold, n_block=blk)
+                    fold=fold, n_block=blk, pre_decimated=kernel_comp,
+                    comp_tail_new=comp_tail_new)
             else:
                 # non-tm implies no fused tail kernel (pallas_tail False),
                 # so the demod's fold parameter is moot

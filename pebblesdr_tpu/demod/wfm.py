@@ -62,14 +62,29 @@ class WFMConfig:
     # 19 kHz (computed at design time) — the notch would be a no-op
     notch_needed: bool = static_field(default=True)
 
+    # composite decimation BETWEEN the discriminator and the stereo tail:
+    # the hq geometry (receiver.cpp:211-218 parity) only needs its ~512 kHz
+    # rate for ALIAS-FREE DISCRIMINATION of the full +-200 kHz signal; the
+    # demodulated composite itself is < 61 kHz wide (mono 0-15k, pilot 19k,
+    # L-R 23-53k, RDS 57k +- 2.4k), so a relaxed halfband brings the tail
+    # back to the tuned 256 kHz geometry's cost while the separation the
+    # wide front bought is untouched.  cfg.sample_rate is the TAIL rate;
+    # the discriminator runs at sample_rate * comp_decim.
+    comp_decim: int = static_field(default=1)
+    comp_taps: np.ndarray = static_field(default=None)
+
     @property
     def audio_rate(self) -> float:
         return self.sample_rate / self.audio_decim
 
+    @property
+    def input_rate(self) -> float:
+        return self.sample_rate * self.comp_decim
+
     @staticmethod
     def make(sample_rate: float, stereo: bool = True, deemphasis_us: float = 75.0,
              audio_decim: int = 4, rds_tap: bool = False,
-             pilot_alg: str = "open") -> "WFMConfig":
+             pilot_alg: str = "open", comp_decim: int = 1) -> "WFMConfig":
         # stereo: put the LP stopband at the 19 kHz pilot so the separate
         # pilot notch becomes redundant (one fewer IIR pass; the Pallas tail
         # kernel absorbs the longer kernel in the same Toeplitz dot).  Mono
@@ -85,6 +100,22 @@ class WFMConfig:
         # demod_wfm.cpp:361-363, exists because its LP is gentler)
         h19 = np.abs(np.sum(audio_taps * np.exp(
             -2j * np.pi * PILOT_HZ / sample_rate * np.arange(len(audio_taps)))))
+        comp_taps = None
+        if comp_decim > 1:
+            # relaxed decimator for the demodulated composite: pass 0-61 kHz
+            # flat (RDS upper edge), stop everything that would alias INTO
+            # that band (>= input_rate/comp_decim - 61 kHz).  At the hq
+            # geometry (512k -> 256k) this is a ~0.12*fs-passband halfband —
+            # a handful of taps, response-asserted in tests
+            fs_in = sample_rate * comp_decim
+            import scipy.signal as _ss
+
+            pass_hz, alias_hz = 61000.0, sample_rate - 61000.0
+            ntaps = 31
+            comp_taps = _ss.remez(
+                ntaps, [0.0, pass_hz, alias_hz, 0.5 * fs_in],
+                [1.0, 0.0], weight=[1.0, 30.0], fs=fs_in)
+            comp_taps = comp_taps / comp_taps.sum()
         return WFMConfig(
             sample_rate=sample_rate, stereo=stereo, deemphasis_us=deemphasis_us,
             audio_decim=audio_decim,
@@ -102,6 +133,7 @@ class WFMConfig:
             pilot_alg=pilot_alg,
             pilot_open=pll.make_pilot_open_config(sample_rate),
             notch_needed=bool(h19 > 10.0 ** (-55.0 / 20.0)),
+            comp_decim=comp_decim, comp_taps=comp_taps,
         )
 
 
@@ -117,6 +149,8 @@ class WFMState:
     lp_tail_lmr: jax.Array   # [C, T-1]
     notch_l: jax.Array       # [C, 2]
     notch_r: jax.Array       # [C, 2]
+    comp_tail: jax.Array     # [C, Tc-1] composite-decimator history
+    #                          (comp_decim > 1 only; else [C, 0])
 
 
 def _tail_d_rows(cfg: WFMConfig) -> int:
@@ -171,6 +205,10 @@ def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
         lp_tail_lmr=tail_s,
         notch_l=iir.biquad_state_init(channels),
         notch_r=iir.biquad_state_init(channels),
+        comp_tail=jnp.zeros(
+            (channels,
+             len(cfg.comp_taps) - 1 if cfg.comp_decim > 1 else 0),
+            jnp.float32),
     )
 
 
@@ -197,7 +235,9 @@ def _ewma_rows(prev: jax.Array, p: jax.Array, a: float):
 
 
 def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
-                 new_last: jax.Array, fold: int = 1, n_block: int = 0):
+                 new_last: jax.Array, fold: int = 1, n_block: int = 0,
+                 pre_decimated: bool = False,
+                 comp_tail_new: jax.Array | None = None):
     """Batched WFM stereo tail on the TIME-MAJOR (optionally folded)
     discriminator plane from the fused front's in-kernel discriminator
     (pallas_kernels.fused_front_packed disc_gain): pilot recovery
@@ -211,6 +251,30 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
     Requires stereo + pallas_tail + tail_sub (the Receiver gates this).
     Returns (state', out) exactly like wfm_demod(n_block=...).
     """
+    comp_tail = state.comp_tail
+    if cfg.comp_decim > 1:
+        n_block = n_block // cfg.comp_decim
+        if pre_decimated:
+            # the fused front already decimated the composite IN VMEM
+            # (pallas_kernels comp_taps) and carries the FIR history itself
+            comp_tail = comp_tail_new
+        else:
+            # composite decimation in the TIME-MAJOR layout (no relayout):
+            # banded-matmul FIR along the time axis.  The Receiver picks
+            # fold=1 for comp_decim configs (hq benches at >= 64 channels);
+            # a PRE-FOLDED feeder plane is unfolded here first — one f32
+            # relayout on a correctness-only path
+            if fold > 1:
+                mseg0, gcc0 = raw_t.shape
+                c0 = gcc0 // fold
+                raw_t = jnp.transpose(raw_t.reshape(mseg0, fold, c0),
+                                      (1, 0, 2)).reshape(mseg0 * fold, c0)
+                fold = 1
+            raw_t, tail_t = fir.tm_fir_decimate(
+                raw_t, np.asarray(cfg.comp_taps), state.comp_tail.T,
+                cfg.comp_decim)
+            comp_tail = tail_t.T
+
     mseg, gcc = raw_t.shape
     c = gcc // fold
     n = mseg * fold
@@ -301,7 +365,7 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
         last=new_last, pilot_bq=state.pilot_bq, pilot_pll=pll_state,
         pilot_level=level, deemph_l=d_lr[:c], deemph_r=d_lr[c:],
         lp_tail_mono=tail_m, lp_tail_lmr=state.lp_tail_lmr,
-        notch_l=notch_lr[:c], notch_r=notch_lr[c:],
+        notch_l=notch_lr[:c], notch_r=notch_lr[c:], comp_tail=comp_tail,
 )
     out = {"left": left, "right": right, "pilot_locked": locked,
            "rds_baseband": rds_bb}
@@ -327,13 +391,23 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     pilot_locked ([C] bool, or [C, K] when n_block), rds_baseband
     [C, N] complex64 | None) where M = N // audio_decim.
     """
-    fs = cfg.sample_rate
-    disc_gain = fs / (2.0 * np.pi * cfg.max_deviation)
+    disc_gain = cfg.input_rate / (2.0 * np.pi * cfg.max_deviation)
     new_last, raw = discriminator(state.last, x, disc_gain)  # [C, N] composite
+    comp_tail = state.comp_tail
+    if cfg.comp_decim > 1:
+        # hq geometry: discriminate at input_rate, then bring the (<61 kHz
+        # wide) composite down to the tail rate — the stereo tail costs
+        # what the tuned geometry's does
+        raw, comp_tail = fir.fir_apply_real_signal(
+            raw, jnp.asarray(cfg.comp_taps, jnp.float32), state.comp_tail,
+            decim=cfg.comp_decim, taps_np=np.asarray(cfg.comp_taps))
+        if n_block:
+            n_block = n_block // cfg.comp_decim
 
     taps = jnp.asarray(cfg.audio_taps, jnp.float32)
     alpha = iir.deemphasis_alpha(cfg.deemphasis_us, cfg.audio_rate)
-    c, n = x.shape
+    c = x.shape[0]
+    n = raw.shape[-1]
     k_blocks = (n // n_block) if n_block else 1
 
     use_kernel = False
@@ -485,7 +559,7 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     new_state = WFMState(
         last=new_last, pilot_bq=bq_state, pilot_pll=pll_state, pilot_level=level,
         deemph_l=dl, deemph_r=dr, lp_tail_mono=tail_m, lp_tail_lmr=tail_s,
-        notch_l=notch_l, notch_r=notch_r,
+        notch_l=notch_l, notch_r=notch_r, comp_tail=comp_tail,
     )
     out = {"left": left, "right": right, "pilot_locked": locked,
            "rds_baseband": rds_bb}

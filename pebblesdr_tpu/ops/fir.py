@@ -33,6 +33,39 @@ from pebblesdr_tpu.core import windows as win
 
 # ---------------------------------------------------------------- design (host)
 
+def tm_fir_decimate(x_t: jax.Array, taps_np: np.ndarray, tail_t: jax.Array,
+                    decim: int, seg: int = 512):
+    """Streaming decimating FIR along axis 0 of a TIME-MAJOR plane
+    [M, C] float32 (all lanes share the taps) — used by the WFM composite
+    decimator on the batched tail, where relayout to channel-major would
+    cost two full-plane transposes.
+
+    One banded-operator einsum per segment rides the MXU (the dense
+    overcompute inside the band is negligible next to keeping the plane
+    in its layout).  tail_t: [T-1, C] carried history rows.
+    Returns (y_t [M//decim, C], new_tail_t)."""
+    t = len(taps_np)
+    m, c = x_t.shape
+    while m % seg:
+        seg //= 2
+    xx = jnp.concatenate([tail_t, x_t], axis=0)       # [M+T-1, C]
+    k = m // seg
+    b = jnp.asarray(banded_fir_matrix(np.asarray(taps_np, np.float32),
+                                      seg, decim))     # [seg+T-1, seg/decim]
+    # windows[i] = xx[i*seg : i*seg+seg+T-1] built from two reshapes
+    base = xx[:m].reshape(k, seg, c)
+    if t > 1:
+        carry = x_t.reshape(k, seg, c)[:, seg - (t - 1):, :]
+        wins = jnp.concatenate([base, carry], axis=1)  # [K, seg+T-1, C]
+    else:
+        wins = base
+    y = jnp.einsum("kuc,um->kmc", wins, b,
+                   precision=_PREC)                    # [K, seg/decim, C]
+    y_t = y.reshape(m // decim, c)
+    new_tail = xx[-(t - 1):] if t > 1 else jnp.zeros((0, c), x_t.dtype)
+    return y_t, new_tail
+
+
 def design_lowpass_kaiser(cutoff_hz: float, sample_rate: float, atten_db: float = 60.0,
                           transition_hz: float | None = None, max_taps: int = 127) -> np.ndarray:
     """Kaiser-windowed LP (CFir::InitLPFilter capability)."""

@@ -119,7 +119,7 @@ def build_composed_w(h: np.ndarray, factor: int, sub_block: int,
 def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
                   raw_rows, factor, m_tile, disc_gain, interpret,
                   iqbal, nb_mode, nb_thr, nb_bw, nb_alpha_c, in_scale,
-                  *refs):
+                  comp_decim, comp_hist_rows, y_tail, *refs):
     """One grid step: sub_block packed rows -> sub_block/F packed rows.
 
     c is the packed HALF-width.  For the plain layout that is the channel
@@ -163,6 +163,9 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
     if disc_gain:
         disc_in_ref = refs[pos]
         pos += 1
+        if comp_decim:
+            cwh_ref, cwl_ref, chist_in_ref = refs[pos:pos + 3]
+            pos += 3
     y_ref, dc_out_ref, tail_out_ref, raw_ref = refs[pos:pos + 4]
     pos += 4
     if nb_mode:
@@ -170,6 +173,8 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
         pos += 2
     if disc_gain:
         disc_ref, dlast_ref = refs[pos:pos + 2]
+        if comp_decim:
+            chist_out_ref = refs[pos + 2]
     s = pl.program_id(0)
     first = s == 0
     xx = x_ref[:, :]
@@ -336,7 +341,14 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
         yout = jnp.concatenate(
             [ystk[:, ti * 2 * c:(ti + 1) * 2 * c] for ti in range(ntiles)],
             axis=0)
-    y_ref[:, :] = yout
+    if y_tail:
+        # WFM tm path: the composite is consumed downstream ONLY as each
+        # block's trailing zoom window (display/S-meter) — emit just that
+        # (early sub-blocks overwrite slot 0 of their block's window; the
+        # covering sub-blocks land last in sequential grid order)
+        y_ref[0, :, :] = yout
+    else:
+        y_ref[:, :] = yout
     if disc_gain:
         # FM discriminator on the composite while it is still in VMEM
         yprev = jnp.concatenate(
@@ -345,8 +357,21 @@ def _front_kernel(sub_block, c, d_rows, dc_alpha_c, nchunk, nsub_blk,
         dlast_ref[0:1, :] = yout[-1:, :]
         yr, yi = yout[:, :c], yout[:, c:]
         pr, pi = yprev[:, :c], yprev[:, c:]
-        disc_ref[:, :] = _atan2(yi * pr - yr * pi,
-                                yr * pr + yi * pi) * disc_gain
+        d_full = _atan2(yi * pr - yr * pi,
+                        yr * pr + yi * pi) * disc_gain
+        if comp_decim:
+            # hq composite decimation IN VMEM (the separate XLA pass costs
+            # a full HBM round-trip of the 2x-rate plane, ~0.07 ms/block
+            # at 64ch): banded Toeplitz dot, split into the carried-history
+            # rows and the current rows (Mosaic rejects the row concat)
+            hist = jnp.where(first, chist_in_ref[:, :], chist_out_ref[:, :])
+            hr = comp_hist_rows
+            disc_ref[:, :] = (
+                _dot3(cwh_ref[:, :hr], cwl_ref[:, :hr], hist)
+                + _dot3(cwh_ref[:, hr:], cwl_ref[:, hr:], d_full))
+            chist_out_ref[:, :] = d_full[-hr:, :]
+        else:
+            disc_ref[:, :] = d_full
 
 
 def fold_plane(x_pk: jax.Array, fold: int) -> jax.Array:
@@ -497,6 +522,9 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
                        disc_gain: float = 0.0,
                        h_np: np.ndarray | None = None,
                        disc_last: jax.Array | None = None,
+                       comp_taps: np.ndarray | None = None,
+                       comp_hist: jax.Array | None = None,
+                       y_tail_rows: int = 0,
                        iq_gain: jax.Array | None = None,
                        iq_phase: jax.Array | None = None,
                        nb: tuple | None = None,
@@ -628,11 +656,28 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         nb_a_c = float((1.0 - nb_alpha) ** DC_CHUNK)
     else:
         nb_thr, nb_bw, nb_a_c = 0.0, 0, 0.0
+    comp_decim = 0
+    comp_hist_rows = 0
+    if comp_taps is not None:
+        assert disc_gain and fold == 1, \
+            "in-kernel composite decimation needs disc_gain and fold == 1"
+        assert comp_hist is not None
+        comp_decim = 2
+        tc = len(comp_taps)
+        comp_hist_rows = ((tc - 1 + 7) // 8) * 8
+        assert comp_hist.shape == (comp_hist_rows, ce)
+    if y_tail_rows:
+        # WFM tm path only: downstream consumes just the zoom windows.
+        # Works folded too — logical-block row ranges align across lane
+        # groups, so the same per-step window mapping applies
+        assert disc_gain, "y-tail emission is the WFM tm path only"
+        assert y_tail_rows % m_sub == 0 and y_tail_rows <= n_block // factor
     kern = functools.partial(_front_kernel, sub_block, ce, d_rows, a_c,
                              nchunk, nsub_blk, raw_rows, factor, m_tile,
                              float(disc_gain), interpret,
                              iqbal, nb_mode, float(nb_thr), int(nb_bw),
-                             nb_a_c, in_scale)
+                             nb_a_c, in_scale, comp_decim, comp_hist_rows,
+                             int(y_tail_rows))
     in_specs = [
         pl.BlockSpec((sub_block, c2e), lambda s: (s, 0)),
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),
@@ -647,14 +692,25 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),
         pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
     ]
+    if y_tail_rows:
+        nz_sub = y_tail_rows // m_sub
+        y_shape = jax.ShapeDtypeStruct((k_blocks_g, y_tail_rows, c2e),
+                                       jnp.float32)
+        y_spec = pl.BlockSpec(
+            (1, m_sub, c2e),
+            lambda s, _n=nsub_blk, _z=nz_sub: (
+                s // _n, jnp.maximum(s % _n - (_n - _z), 0), 0))
+    else:
+        y_shape = jax.ShapeDtypeStruct((nsub * m_sub, c2e), jnp.float32)
+        y_spec = pl.BlockSpec((m_sub, c2e), lambda s: (s, 0))
     out_shapes = [
-        jax.ShapeDtypeStruct((nsub * m_sub, c2e), jnp.float32),
+        y_shape,
         jax.ShapeDtypeStruct((1, c2e), jnp.float32),
         jax.ShapeDtypeStruct((d_rows, c2e), jnp.float32),
         jax.ShapeDtypeStruct((k_blocks_g, raw_rows, c2e), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((m_sub, c2e), lambda s: (s, 0)),
+        y_spec,
         pl.BlockSpec((1, c2e), lambda s: (0, 0)),
         pl.BlockSpec((d_rows, c2e), lambda s: (0, 0)),
         pl.BlockSpec((1, raw_rows, c2e), lambda s, _n=nsub_blk: (s // _n, 0, 0)),
@@ -704,11 +760,42 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
             disc_in = disc_last
         args.append(disc_in)                            # [1, 2ce]
         in_specs.append(pl.BlockSpec((1, c2e), lambda s: (0, 0)))
-        out_shapes.append(
-            jax.ShapeDtypeStruct((nsub * m_sub, ce), jnp.float32))
+        if comp_decim:
+            # banded comp-decim operator, zero-padded on top so the carried
+            # history block is 8-row aligned (the leading pad rows have
+            # zero weight and never influence outputs)
+            from pebblesdr_tpu.ops.fir import banded_fir_matrix as _bfm
+
+            wc0 = np.asarray(_bfm(np.asarray(comp_taps, np.float32),
+                                  m_sub, comp_decim))
+            pad = comp_hist_rows - (len(comp_taps) - 1)
+            wc = np.zeros((m_sub + comp_hist_rows, m_sub // comp_decim),
+                          np.float32)
+            wc[pad:, :] = wc0
+            with jax.ensure_compile_time_eval():
+                wc_hi, wc_lo = _split_bf16(jnp.asarray(
+                    np.ascontiguousarray(wc.T)))
+            args += [wc_hi, wc_lo, comp_hist]
+            wcr, wcc = m_sub // comp_decim, m_sub + comp_hist_rows
+            in_specs += [pl.BlockSpec((wcr, wcc), lambda s: (0, 0)),
+                         pl.BlockSpec((wcr, wcc), lambda s: (0, 0)),
+                         pl.BlockSpec((comp_hist_rows, ce),
+                                      lambda s: (0, 0))]
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (nsub * m_sub // comp_decim, ce), jnp.float32))
+            out_specs.append(pl.BlockSpec((m_sub // comp_decim, ce),
+                                          lambda s: (s, 0)))
+        else:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((nsub * m_sub, ce), jnp.float32))
+            out_specs.append(pl.BlockSpec((m_sub, ce), lambda s: (s, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((1, c2e), jnp.float32))
-        out_specs.append(pl.BlockSpec((m_sub, ce), lambda s: (s, 0)))
         out_specs.append(pl.BlockSpec((1, c2e), lambda s: (0, 0)))
+        if comp_decim:
+            out_shapes.append(jax.ShapeDtypeStruct((comp_hist_rows, ce),
+                                                   jnp.float32))
+            out_specs.append(pl.BlockSpec((comp_hist_rows, ce),
+                                          lambda s: (0, 0)))
     # raise the Mosaic scoped-VMEM limit above the 16 MB default: v5e has
     # 128 MB VMEM, and larger sub_blocks (fewer grid steps — the dominant
     # per-step fixed cost at ~3 us/step) need headroom for the pipeline's
@@ -726,6 +813,7 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
         opos += 2
     if disc_gain:
         disc, dlast = outs[opos:opos + 2]
+        chist2 = outs[opos + 2] if comp_decim else None
     phase2 = jnp.mod(phase0 + jnp.mod(n * f_hi, 1.0) + n * f_lo, 1.0)
     if fold > 1:
         # carried dc/tail = the LAST group's lanes; raw unfolds to the
@@ -747,6 +835,8 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
             dlast = jnp.concatenate(
                 [dlast[:, gl:gl + c], dlast[:, ce + gl:ce + gl + c]], axis=1)
         ret += [disc, dlast]
+        if comp_decim:
+            ret.append(chist2)
     return tuple(ret)
 
 
