@@ -42,7 +42,8 @@ class MorseModem:
     def __init__(self, sample_rate: float, tone_hz: float = 1000.0,
                  frame: int | None = None, wpm_hint: float = 20.0,
                  bandwidth_hz: float | None = None,
-                 threshold_mode: str = "peak", **ook_kwargs):
+                 threshold_mode: str = "peak", detector: str = "goertzel",
+                 **ook_kwargs):
         if frame is None:
             dot_ms = 1.2 / wpm_hint * 1e3
             frame = max(8, goertzel.choose_n(
@@ -52,22 +53,67 @@ class MorseModem:
         self.frame_rate = sample_rate / self.frame
         self.sample_rate = sample_rate
         self.tone_hz = tone_hz
+        if detector not in ("goertzel", "matched"):
+            raise ValueError(detector)
+        self.detector = detector
         lo, hi = goertzel.compare_bin_freqs(tone_hz, self.frame, sample_rate,
                                             delta_frac=1.0)
         self.basis = jnp.asarray(
             goertzel.dft_vectors([tone_hz, lo, hi], sample_rate, self.frame))
+        if detector == "matched":
+            # the reference's SECOND detector (morse.cpp:775-806 non-Goertzel
+            # path): mix the tone to baseband, matched-bandwidth LP FIR, one
+            # envelope result per bit window.  Cutoff = half the frame rate
+            # (the detection bandwidth the integration window implies); tap
+            # span ~2 frames like fldigi's cw_FIR_filter sinc
+            from pebblesdr_tpu.ops import fir as fir_mod
+
+            self.mf_taps = fir_mod.design_lowpass_kaiser(
+                self.frame_rate / 2.0, sample_rate, atten_db=40.0,
+                transition_hz=self.frame_rate / 2.0,
+                max_taps=2 * self.frame + 1).astype(np.float32)
         self.ook_cfg = goertzel.OOKConfig.make(mode=threshold_mode,
                                                **ook_kwargs)
         self._detect = jax.jit(self._detect_impl)
 
-    def init_state(self, channels: int) -> goertzel.OOKState:
-        return goertzel.ook_init(channels)
+    def init_state(self, channels: int):
+        ook = goertzel.ook_init(channels)
+        if self.detector == "matched":
+            t = len(self.mf_taps)
+            return (ook,
+                    jnp.zeros((channels,), jnp.float32),          # NCO phase
+                    jnp.zeros((2 * channels, t - 1), jnp.float32))  # FIR tail
+        return ook
 
     def detect(self, state: goertzel.OOKState, x: jax.Array):
         """x: [C, N] complex64 (N divisible by frame) -> (state', marks [C, F])."""
         return self._detect(state, x)
 
     def _detect_impl(self, state, x):
+        if self.detector == "matched":
+            from pebblesdr_tpu.ops import fir as fir_mod
+
+            ook, phase0, tail = state
+            c, n = x.shape
+            # NCO mix to baseband (carried phase keeps block continuity)
+            f0 = np.float32(self.tone_hz / self.sample_rate)
+            ramp = jnp.mod(phase0[:, None]
+                           + jnp.arange(n, dtype=jnp.float32)[None, :] * f0,
+                           1.0)
+            osc = jnp.exp(-2j * np.pi * ramp.astype(jnp.complex64))
+            y = x * osc
+            phase1 = jnp.mod(phase0 + np.float32(n) * f0, 1.0)
+            # matched-bandwidth LP, one complex result per frame (the
+            # cw_FIR_filter decimating MAC), on stacked re/im rails
+            rails = jnp.concatenate([y.real, y.imag], axis=0)
+            taps_j = jnp.asarray(self.mf_taps)
+            out, tail2 = fir_mod.fir_apply_real_signal(
+                rails, taps_j, tail, decim=self.frame,
+                taps_np=self.mf_taps)
+            p = out[:c] ** 2 + out[c:] ** 2                  # [C, F]
+            z = jnp.zeros_like(p)
+            ook2, marks = goertzel.ook_detect(self.ook_cfg, ook, p, z, z)
+            return (ook2, phase1, tail2), marks
         frames = goertzel.frame_stream(x, self.frame)
         p = goertzel.goertzel_power(frames, self.basis)
         return goertzel.ook_detect(self.ook_cfg, state,
