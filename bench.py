@@ -334,6 +334,93 @@ def bench_quality() -> dict:
     row["rds_ps_decoded"] = (g.ps_name == "PEBBLES ")
     row["rds_snr_db"] = 20.0
 
+    # --- RDS BLER vs SNR curve (VERDICT r4 item 8: not one point) ---------
+    for snr_pt in (14.0, 17.0):
+        sigma_p = np.sqrt(0.25 / 10 ** (snr_pt / 10) / 2)
+        rng_p = np.random.default_rng(11)
+        iq_p = (carrier + sigma_p * (rng_p.normal(size=len(t2))
+                                     + 1j * rng_p.normal(size=len(t2)))
+                ).astype(np.complex64)
+        st_p = rx.init_state()
+        dec_p = rds_mod.RdsBlockDecoder()
+        for i in range(nb2):
+            st_p, out = rx.step(
+                st_p, params,
+                jnp.asarray(iq_p[None, i * frames:(i + 1) * frames]),
+                spectra=False)
+            dec_p.feed_symbols(np.asarray(out["rds_soft"])[0])
+        tot_p = dec_p.blocks_ok + dec_p.block_errors
+        row[f"rds_bler_{int(snr_pt)}db"] = round(
+            dec_p.block_errors / max(1, tot_p), 3)
+
+    # --- impairment metrics (VERDICT r4 item 8; TestBench-spirit:
+    # testbench.cpp:518-542 gen + nco.cpp CW) — stereo separation under
+    # two-ray multipath, AM audio SNR under an adjacent-channel station
+    # and a -50 dB in-band CW spur ---------------------------------------
+    kb_i = 16
+    ti = t[:kb_i * frames]
+
+    def run_chain_audio(sig, mode, tune, agc="off"):
+        cfg_i = ReceiverConfig(sample_rate=FS, frames_per_buffer=frames,
+                               channels=1, mode=mode, agc_mode=agc)
+        rx_i = Receiver(cfg_i)
+        st_i = rx_i.init_state()
+        p_i = rx_i.default_params(tune)
+        outs = []
+        for i in range(kb_i):
+            st_i, o = rx_i.step(
+                st_i, p_i,
+                jnp.asarray(sig[None, i * frames:(i + 1) * frames]),
+                spectra=False)
+            outs.append(np.asarray(o["audio"]))
+        return np.concatenate(outs, -1)[0], cfg_i.audio_rate
+
+    # stereo separation through a 15 us / -10 dB two-ray channel
+    lt_i = np.sin(2 * np.pi * 700.0 * ti)
+    th_i = 2 * np.pi * 19000.0 * ti
+    comp_i = (0.45 * lt_i + 0.1 * np.sin(th_i)
+              + 0.45 * lt_i * np.sin(2 * th_i))
+    ph_i = 2 * np.pi * np.cumsum(75000.0 * comp_i) / FS
+    iq_w = 0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * ti + ph_i))
+    d_mp = int(15e-6 * FS)
+    echo = (np.concatenate([np.zeros(d_mp, complex), iq_w[:-d_mp]])
+            * 10 ** (-10 / 20) * np.exp(1j * 2.1))
+    aud, ar_w = run_chain_audio((iq_w + echo).astype(np.complex64),
+                                DemodMode.FMS, 250_000.0)
+    half = aud.shape[-1] // 2
+    al = tone_amp(aud[0, half:], 700.0, ar_w)
+    ar_ = tone_amp(aud[1, half:], 700.0, ar_w)
+    row["stereo_sep_multipath_db"] = round(
+        20 * np.log10(al / max(ar_, 1e-12)), 1)
+
+    def am_audio_snr(sig):
+        aud_a, ar_a = run_chain_audio(sig.astype(np.complex64),
+                                      DemodMode.AM, 250_000.0)
+        tail = aud_a[len(aud_a) // 2:]
+        tt = np.arange(len(tail)) / ar_a
+        a = np.stack([np.sin(2 * np.pi * 1000 * tt),
+                      np.cos(2 * np.pi * 1000 * tt), np.ones(len(tail))], 1)
+        coef, *_ = np.linalg.lstsq(a, tail, rcond=None)
+        amp = np.hypot(coef[0], coef[1])
+        resid = tail - a @ coef
+        sp = np.fft.rfft(resid)
+        fr_ = np.fft.rfftfreq(len(resid), 1 / ar_a)
+        sp[fr_ < 150] = 0
+        res = np.fft.irfft(sp, len(resid))
+        return 10 * np.log10((amp ** 2 / 2) / np.mean(res ** 2))
+
+    env_i = (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * ti)) / 2
+    base_am = 0.5 * env_i * np.exp(2j * np.pi * 250_000.0 * ti)
+    snr_clean = am_audio_snr(base_am)
+    nb_env = (1 + 0.8 * np.cos(2 * np.pi * 700.0 * ti)) / 2
+    adj = 0.05 * nb_env * np.exp(2j * np.pi * 280_000.0 * ti)
+    cw = 10 ** (-50 / 20) * 0.5 * np.exp(2j * np.pi * 252_500.0 * ti)
+    row["am_audio_snr_db"] = round(snr_clean, 1)
+    row["am_adj_channel_snr_delta_db"] = round(
+        snr_clean - am_audio_snr(base_am + adj), 2)
+    row["am_cw50_snr_delta_db"] = round(
+        snr_clean - am_audio_snr(base_am + cw), 2)
+
     # --- AGC: parallel (windowed-max hang) vs sample-exact scan on a
     # steady-carrier dropout (the hang-defining fixture; VERDICT r3 item 7):
     # max 25 ms RMS envelope delta after convergence, in dB
