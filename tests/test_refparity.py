@@ -114,6 +114,31 @@ class TestReferenceBinaryParity:
                              skip=rx.cfg.audio_rate // 2)
         assert snr > 55.0, f"SAM rails vs reference binary: {snr:.1f} dB"
 
+    @pytest.mark.parametrize("mode_s,sign", [("usb", +1), ("lsb", -1)])
+    def test_ssb_vs_reference(self, refchain_bin, tmp_path, mode_s, sign):
+        """simpleUSB/simpleLSB (re +/- im after the bandpass) through the
+        shared front end; two-tone voice-band fixture on the demodulated
+        sideband."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        t = np.arange(int(FS * 0.75)) / FS
+        iq = (0.3 * np.exp(2j * np.pi * (400_000.0 + sign * 700.0) * t)
+              + 0.2 * np.exp(2j * np.pi * (400_000.0 + sign * 1900.0) * t)
+              ).astype(np.complex64)
+        rng = np.random.default_rng(3)
+        iq += (5e-4 * (rng.standard_normal(len(t))
+                       + 1j * rng.standard_normal(len(t)))
+               ).astype(np.complex64)
+        mode = DemodMode.USB if mode_s == "usb" else DemodMode.LSB
+        got, rx = _run_chain(iq, mode, 400_000.0, agc_mode="off")
+        ref = rp.run_refchain(iq.astype(np.complex128), FS, mode_s,
+                              400_000.0, rx.info.lo_cut, rx.info.hi_cut,
+                              agc="off", audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path))
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        assert snr > 70.0, f"{mode_s.upper()} vs reference binary: {snr:.1f} dB"
+
     def test_fmn_vs_reference(self, refchain_bin, tmp_path):
         from pebblesdr_tpu.demod.modes import DemodMode
 
