@@ -11,7 +11,7 @@ Baseline: the reference's measured whole-chain time of 7.035 ms per
 single channel; vs_baseline is the speedup of our per-chip aggregate
 throughput over that number.
 
-Env knobs: BENCH_MODE=matrix|am|wfm|sam|pfb, BENCH_CHANNELS, BENCH_BLOCKS,
+Env knobs: BENCH_MODE=matrix|am|wfm|sam|pfb|quality|ab (BENCH_AB=a,b paired), BENCH_CHANNELS, BENCH_BLOCKS,
 BENCH_STEPS, BENCH_FRAMES, BENCH_AGC_STRIDE, BENCH_SPECTRA_EVERY.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "matrix"}.
@@ -72,9 +72,11 @@ def _timed_windows(run_once, sync_out, steps: int):
     return min(dts), dts
 
 
-def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
-                   frames: int = FRAMES) -> dict:
-    """One Receiver config, honest-synced.  Returns the row dict."""
+def _build_runner(mode_name: str, channels: int, blocks: int,
+                  frames: int = FRAMES):
+    """Build one config's compiled runner: returns (run_once(i)->out,
+    sync_audio(out)->float, box, compile_s).  Shared by bench_receiver and
+    the paired-A/B mode."""
     import jax
     import jax.numpy as jnp
 
@@ -160,8 +162,15 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
                               spectra=(i % spectra_every == 0))
         return out
 
-    dt, dts = _timed_windows(run_once, lambda o: float(sync(o["audio"])),
-                             steps)
+    return run_once, (lambda o: float(sync(o["audio"]))), box, compile_s
+
+
+def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
+                   frames: int = FRAMES) -> dict:
+    """One Receiver config, honest-synced.  Returns the row dict."""
+    run_once, sync_audio, _box, compile_s = _build_runner(
+        mode_name, channels, blocks, frames)
+    dt, dts = _timed_windows(run_once, sync_audio, steps)
     samples = channels * frames * blocks * steps
     msps = samples / dt / 1e6
     per_chan = samples / channels / dt
@@ -177,6 +186,42 @@ def bench_receiver(mode_name: str, channels: int, blocks: int, steps: int,
         "windows_s": [round(d, 3) for d in dts],
         "window_spread": round(max(dts) / max(min(dts), 1e-9), 2),
         "vs_baseline": round(msps / REFERENCE_MSPS, 1),
+    }
+
+
+def bench_ab(mode_a: str, mode_b: str, channels: int, blocks: int,
+             steps: int, frames: int = FRAMES) -> dict:
+    """Paired A/B on ADJACENT dispatches (VERDICT r4 weak 6): both configs
+    compiled in ONE process, measurement windows interleaved A,B,A,B,... so
+    each pair shares tunnel weather; the reported ratio's spread is the
+    honest uncertainty of a row-vs-row comparison (single-row numbers
+    carry the whole session's weather in theirs)."""
+    run_a, sync_a, _ba, _ca = _build_runner(mode_a, channels, blocks, frames)
+    run_b, sync_b, _bb, _cb = _build_runner(mode_b, channels, blocks, frames)
+    pairs = []
+    win_steps = max(8, steps // 4)
+    for _ in range(4):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(win_steps):
+            out = run_a(i)
+        sync_a(out)
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(win_steps):
+            out = run_b(i)
+        sync_b(out)
+        tb = time.perf_counter() - t0
+        pairs.append((ta, tb))
+    ratios = [tb / ta for ta, tb in pairs]
+    samples = channels * frames * blocks * win_steps
+    return {
+        "config": f"ab_{mode_a}_vs_{mode_b}_{channels}ch",
+        "a_msps": round(samples / min(p[0] for p in pairs) / 1e6, 1),
+        "b_msps": round(samples / min(p[1] for p in pairs) / 1e6, 1),
+        "b_over_a_ratio": round(float(np.median(ratios)), 4),
+        "ratio_spread": round(max(ratios) / min(ratios), 3),
+        "pairs_s": [[round(a, 3), round(b, 3)] for a, b in pairs],
     }
 
 
@@ -470,6 +515,9 @@ def run_one(mode: str) -> dict:
                          BLOCKS, STEPS)
     if mode == "quality":
         return bench_quality()
+    if mode == "ab":
+        a, b = os.environ.get("BENCH_AB", "am,am_i16").split(",")
+        return bench_ab(a.strip(), b.strip(), CHANNELS, BLOCKS, STEPS)
     return bench_receiver(mode, CHANNELS, BLOCKS, STEPS)
 
 
