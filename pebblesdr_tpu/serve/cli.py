@@ -479,6 +479,8 @@ def main(argv=None):
                                   source=source,
                                   center_hz=source.info.center_freq_hz,
                                   iq_static=iq_static, bandpass=bp_static)
+        if args.display_zoomed:
+            controls.display = "zoom"
         key_source = (ScriptedKeys(args.keys) if args.keys is not None
                       else TtyKeys().__enter__())
 
@@ -604,14 +606,24 @@ def main(argv=None):
                 supervisor.block_done(state)
         last_out = (out, k_real)
         if display is not None:
-            key = "zoomed" if args.display_zoomed else "spectrum"
-            if key in out:
-                spec = np.asarray(out[key])[k_real - 1, 0]  # latest block, ch 0
-                sm = {k: float(np.asarray(v)[k_real - 1, 0])
-                      for k, v in out["smeter"].items()}
-                span = rx.demod_rate if args.display_zoomed else fs
-                print(display.frame(spec, sm, center_hz=tune, span_hz=span),
-                      flush=True)
+            # display source: live 'z' key cycles wide/zoom/split
+            # (spectrumwidget zoom+split capability); --display-zoomed sets
+            # the startup source
+            dmode = controls.display if controls is not None else (
+                "zoom" if args.display_zoomed else "wide")
+            panes = {"wide": [("spectrum", fs)],
+                     "zoom": [("zoomed", rx.demod_rate)],
+                     "split": [("spectrum", fs),
+                               ("zoomed", rx.demod_rate)]}[dmode]
+            sm = {k: float(np.asarray(v)[k_real - 1, 0])
+                  for k, v in out["smeter"].items()}
+            for key, span in panes:
+                if key in out:
+                    spec = np.asarray(out[key])[k_real - 1, 0]  # ch 0
+                    pre = "Z " if (dmode == "split" and key == "zoomed") \
+                        else ""
+                    print(pre + display.frame(spec, sm, center_hz=tune,
+                                              span_hz=span), flush=True)
         if bs_display is not None:
             # the reference routes the second wideband spectrum straight to
             # the display (signalspectrum.cpp:115-122 setSpectrum); here the

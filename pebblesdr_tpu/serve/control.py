@@ -146,6 +146,7 @@ class ControlSurface:
         # (advisor r4)
         self.iq_static = iq_static
         self.cli_bandpass = bandpass
+        self.display = "wide"   # 'z' cycles wide -> zoom -> split
         self.bp_lo = bandpass[0] if bandpass else rx.info.lo_cut
         self.bp_hi = bandpass[1] if bandpass else rx.info.hi_cut
         self.quit = False
@@ -263,4 +264,11 @@ class ControlSurface:
             self.mute = not self.mute
             self._apply_levels()
             return f"MUTE {'on' if self.mute else 'off'}"
+        if key == "z":
+            # display-source cycle (spectrumwidget.h:18-90 zoom/split
+            # capability, terminal form): wide (device-rate) -> zoom
+            # (demod-rate) -> split (both panels)
+            cyc = ("wide", "zoom", "split")
+            self.display = cyc[(cyc.index(self.display) + 1) % len(cyc)]
+            return f"DISPLAY {self.display}"
         return None

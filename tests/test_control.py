@@ -175,3 +175,21 @@ class TestCliScriptedKeys:
         metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         # ~125 blocks requested; quit on the second dispatch
         assert metrics["blocks"] <= 2
+
+
+class TestDisplayCycle:
+    def test_z_cycles_display_sources(self):
+        """'z' cycles wide -> zoom -> split -> wide (the spectrumwidget
+        zoom/split capability, terminal form)."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.demod.modes import DemodMode
+        from pebblesdr_tpu.serve.control import ControlSurface
+
+        rx = Receiver(ReceiverConfig(sample_rate=512_000,
+                                     frames_per_buffer=8192,
+                                     mode=DemodMode.AM))
+        s = ControlSurface(rx, rx.default_params(0.0), 0.0)
+        assert s.display == "wide"
+        assert s.handle("z") == "DISPLAY zoom"
+        assert s.handle("z") == "DISPLAY split"
+        assert s.handle("z") == "DISPLAY wide"

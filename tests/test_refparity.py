@@ -83,19 +83,21 @@ class TestReferenceBinaryParity:
                              skip=rx.cfg.audio_rate // 2)
         assert snr > 55.0, f"AM vs reference binary: {snr:.1f} dB"
 
-    def test_am_agc_vs_reference(self, refchain_bin, tmp_path):
-        """AGC knee/hang arithmetic parity (agc.cpp:84-299, AGC_MED)."""
+    @pytest.mark.parametrize("agc", ["med", "fast", "slow"])
+    def test_am_agc_vs_reference(self, refchain_bin, tmp_path, agc):
+        """AGC knee/hang arithmetic parity (agc.cpp:84-299) across the
+        mode table's decay constants."""
         from pebblesdr_tpu.demod.modes import DemodMode
 
         iq = _am_fixture()
-        got, rx = _run_chain(iq, DemodMode.AM, 250_000.0, agc_mode="med")
+        got, rx = _run_chain(iq, DemodMode.AM, 250_000.0, agc_mode=agc)
         ref = rp.run_refchain(iq.astype(np.complex128), FS, "am", 250_000.0,
-                              rx.info.lo_cut, rx.info.hi_cut, agc="med",
+                              rx.info.lo_cut, rx.info.hi_cut, agc=agc,
                               agc_thresh=20, audio_rate=rx.cfg.audio_rate,
                               tmpdir=str(tmp_path))
         snr = rp.aligned_snr(ref[0], got.astype(np.float64),
                              skip=rx.cfg.audio_rate // 2)
-        assert snr > 50.0, f"AM agc=med vs reference binary: {snr:.1f} dB"
+        assert snr > 50.0, f"AM agc={agc} vs reference binary: {snr:.1f} dB"
 
     def test_sam_rails_vs_reference(self, refchain_bin, tmp_path):
         """SAM with the reference's exact per-rail phasing split
