@@ -41,7 +41,8 @@ def main():
     from pebblesdr_tpu.demod.modes import DemodMode
 
     cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
-                         mode=DemodMode.FMS, rds=True, agc_stride=16)
+                         mode=DemodMode.FMS, rds=True, agc_stride=16,
+                         wfm_hq=bool(int(os.environ.get("SOAK_HQ", "0"))))
     rx = Receiver(cfg)
     state = jax.jit(lambda: rx.init_state())()
     params = rx.default_params(250_000.0)
