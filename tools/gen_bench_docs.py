@@ -86,6 +86,15 @@ def matrix_md(speed: list[dict], quality: dict | None, rnd: str,
                      f"{quality.get('rds_snr_db', 20)} dB SNR"
                      + (", PS decoded" if quality.get("rds_ps_decoded")
                         else ""))
+        if "stereo_sep_multipath_db" in quality:
+            q.append("multipath (15us/-10dB) separation "
+                     f"{quality['stereo_sep_multipath_db']} dB")
+        if "am_adj_channel_snr_delta_db" in quality:
+            q.append("AM adjacent-channel / -50 dB CW-spur SNR cost "
+                     f"{quality['am_adj_channel_snr_delta_db']} / "
+                     f"{quality.get('am_cw50_snr_delta_db', '—')} dB")
+        if "rds_bler_14db" in quality:
+            q.append(f"RDS BLER {quality['rds_bler_14db']} @ 14 dB")
         if "agc_hang_par_vs_scan_db" in quality:
             q.append("AGC hang parallel-vs-scan envelope delta "
                      f"{quality['agc_hang_par_vs_scan_db']} dB")
