@@ -164,6 +164,48 @@ class TestReferenceBinaryParity:
                              skip=rx.cfg.audio_rate // 2)
         assert snr > 80.0, f"FMN vs reference binary: {snr:.1f} dB"
 
+    def test_goertzel_power_vs_reference(self, refchain_bin, tmp_path):
+        """Modem-layer parity: per-frame tone power of the reference's OWN
+        Goertzel (pebblelib/goertzel.cpp Lyons recurrence, compiled into
+        refchain --mode tone) vs ops.goertzel's matmul DFT on the same
+        amplitude-modulated noisy tone.  The reference consumes N+1 samples
+        per result (post-increment accounting) — frames align at that
+        stride."""
+        import subprocess
+
+        import jax.numpy as jnp
+
+        from pebblesdr_tpu.ops import goertzel as gz
+
+        fs, n, f = 8000.0, 512, 1000.0
+        t = np.arange(int(fs * 2.0)) / fs
+        rng = np.random.default_rng(0)
+        audio = (np.sin(2 * np.pi * f * t)
+                 * (0.5 + 0.4 * np.sin(2 * np.pi * 3.0 * t))
+                 + 0.05 * rng.standard_normal(len(t)))
+        raw = np.zeros(2 * len(audio))
+        raw[0::2] = audio
+        inp = str(tmp_path / "tone_in.f64")
+        outp = str(tmp_path / "tone_out.f64")
+        raw.tofile(inp)
+        subprocess.run([refchain_bin, "--mode", "tone", "--rate", str(fs),
+                        "--tone-freq", str(f), "--tone-n", str(n),
+                        "--in", inp, "--out", outp], check=True)
+        p_ref = np.fromfile(outp)
+        stride = n + 1
+        nres = min(len(p_ref), len(audio) // stride)
+        frames = np.stack([audio[k * stride:k * stride + n]
+                           for k in range(nres)])[None]
+        p_mine = np.asarray(gz.goertzel_power(
+            jnp.asarray(frames.astype(np.float32)),
+            jnp.asarray(gz.dft_vectors([f], fs, n))))[0, :, 0]
+        p_ref = p_ref[:nres]
+        s = np.sum(p_ref * p_mine) / np.sum(p_mine ** 2)
+        dev = 10 * np.log10(np.maximum(p_ref, 1e-12)
+                            / np.maximum(s * p_mine, 1e-12))
+        assert np.abs(dev).max() < 0.2, \
+            f"Goertzel power deviation {np.abs(dev).max():.3f} dB"
+
     def test_wfm_stereo_vs_reference(self, refchain_bin, tmp_path):
         """Pilot PLL + stereo demux + deemphasis parity
         (demod_wfm.cpp:255-365), reference-geometry (wfm_hq) front."""

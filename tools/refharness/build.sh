@@ -34,6 +34,9 @@ $REF/pebblelib/downconvert.cpp
 $REF/pebblelib/fastfir.cpp
 $REF/pebblelib/fractresampler.cpp
 $REF/pebblelib/delayline.cpp
+$REF/pebblelib/goertzel.cpp
+$REF/pebblelib/movingavgfilter.cpp
+$REF/pebblelib/firfilter.cpp
 $REF/application/processstep.cpp
 $REF/application/agc.cpp
 $REF/application/demod/demod_am.cpp

@@ -31,6 +31,7 @@
 #include "demod_sam.h"
 #include "demod_nfm.h"
 #include "demod_wfm.h"
+#include "goertzel.h"
 
 static void die(const char *msg) {
     fprintf(stderr, "refchain: %s\n", msg);
@@ -40,6 +41,8 @@ static void die(const char *msg) {
 int main(int argc, char **argv) {
     std::string mode = "am", inPath, outPath, rdsPath, prePath;
     double rate = 2048000.0, tune = 0.0, lo = -8000.0, hi = 8000.0;
+    double toneFreq = 1000.0;
+    int toneN = 512;
     double audioRate = 0.0; // 0 = emit at demod rate (no fractional resample)
     int frames = 2048;
     std::string agcMode = "off";
@@ -64,6 +67,8 @@ int main(int argc, char **argv) {
         else if (a == "--out") outPath = next();
         else if (a == "--rds-out") rdsPath = next();
         else if (a == "--predemod-out") prePath = next();
+        else if (a == "--tone-freq") toneFreq = atof(next());
+        else if (a == "--tone-n") toneN = atoi(next());
         else die(("unknown arg: " + a).c_str());
     }
     if (inPath.empty() || outPath.empty()) die("--in and --out required");
@@ -72,6 +77,24 @@ int main(int argc, char **argv) {
     if (!fin) die("cannot open --in");
     FILE *fout = fopen(outPath.c_str(), "wb");
     if (!fout) die("cannot open --out");
+
+    if (mode == "tone") {
+        // Reference Goertzel tone detector (pebblelib/goertzel.cpp
+        // Goertzel::setFreq/processSample): real audio in the I lane of
+        // the f64 stream; one power per N samples out.
+        Goertzel g;
+        g.setFreq((qint32)toneFreq, (quint32)toneN, (quint32)rate);
+        double v[2];
+        while (fread(v, sizeof(double), 2, fin) == 2) {
+            if (g.processSample(v[0])) {
+                double p = g.m_power;
+                fwrite(&p, sizeof(double), 1, fout);
+            }
+        }
+        fclose(fin);
+        fclose(fout);
+        return 0;
+    }
 
     const bool isWfm = (mode == "fmm" || mode == "fms");
     const quint32 protectBw = isWfm ? 200000 : 30000;
