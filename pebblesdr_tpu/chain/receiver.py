@@ -682,7 +682,14 @@ class Receiver:
         # plane while the composite is in VMEM, eliminating the [C, N]
         # composite relayout and the separate atan2 pass entirely
         use_tm = (is_wfm(cfg.mode) and self.wfm_cfg.stereo
-                  and self.wfm_cfg.pallas_tail and self.wfm_cfg.tail_sub > 0)
+                  and self.wfm_cfg.pallas_tail and self.wfm_cfg.tail_sub > 0
+                  # Mosaic rejects the in-kernel discriminator's lane-offset
+                  # slices on NARROW (sub-tile) planes ("result/input offset
+                  # mismatch") — every working geometry has full 128-lane
+                  # width (2*fold*C >= 128).  Unfolded small-channel
+                  # dispatches fall back to the XLA composite tail, which is
+                  # what they ran before the tm path existed
+                  and 2 * fold * c >= 128)
         front_kw = {}
         kernel_comp = False
         if use_tm:

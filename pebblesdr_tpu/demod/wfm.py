@@ -424,7 +424,12 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
             # kernel eligibility was decided at build time (tail_kernel_sub);
             # cfg.tail_sub divides blk, so it divides any whole-block n
             use_kernel = (cfg.pallas_tail and cfg.tail_sub > 0
-                          and n % cfg.tail_sub == 0 and n % ell == 0)
+                          and n % cfg.tail_sub == 0 and n % ell == 0
+                          # Mosaic rejects the kernel's lane-offset slices
+                          # on sub-tile-width planes; the packed [*, 2C]
+                          # layout needs the full 128 lanes (folded entries
+                          # reach this via wfm_demod_tm instead)
+                          and 2 * c >= 128)
             if use_kernel:
                 pll_state, (p0, wf, _tin), level_f = pll.pilot_open_core(
                     cfg.pilot_open, state.pilot_pll, raw, chunk=ell)
@@ -500,16 +505,34 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
             tail_m, tail_s = tail_pk, state.lp_tail_lmr
         else:
             lmr = raw * 2.0 * jnp.sin(2.0 * phases)  # L-R at baseband
+            t_len = len(cfg.audio_taps)
+            if cfg.pallas_tail:
+                # the state carries the KERNEL's packed [d_rows, 2C]
+                # time-major history (folded dispatches consume it via
+                # wfm_demod_tm); rows above T-1 are zero-weighted in the
+                # kernel's W pad, so slicing the last T-1 rows converts to
+                # the FIR layout exactly — this XLA fallback serves
+                # narrow-lane unfolded dispatches (Mosaic rejects sub-tile
+                # kernel planes) against the same state
+                d_rows_x = _tail_d_rows(cfg)
+                tm_in = state.lp_tail_mono[d_rows_x - (t_len - 1):, :c].T
+                ts_in = state.lp_tail_mono[d_rows_x - (t_len - 1):, c:].T
+            else:
+                tm_in, ts_in = state.lp_tail_mono, state.lp_tail_lmr
             # mono + L-R share the same LP: ONE stacked [2C, N] banded-matmul
             # FIR (static taps_np enables the MXU fast path; 2C rows double
             # MXU lane occupancy at small channel counts)
             both, tails = fir.fir_apply_real_signal(
                 jnp.concatenate([raw, lmr], axis=0), taps,
-                jnp.concatenate([state.lp_tail_mono, state.lp_tail_lmr],
-                                axis=0),
+                jnp.concatenate([tm_in, ts_in], axis=0),
                 decim=cfg.audio_decim, taps_np=cfg.audio_taps)
             mono_a, lmr_a = both[:c], both[c:]
             tail_m, tail_s = tails[:c], tails[c:]
+            if cfg.pallas_tail:
+                packed = jnp.zeros((d_rows_x, 2 * c), jnp.float32)
+                packed = packed.at[d_rows_x - (t_len - 1):, :c].set(tail_m.T)
+                packed = packed.at[d_rows_x - (t_len - 1):, c:].set(tail_s.T)
+                tail_m, tail_s = packed, state.lp_tail_lmr
         if n_block:
             m_all = lmr_a.shape[-1]
             lmr_a = jnp.where(

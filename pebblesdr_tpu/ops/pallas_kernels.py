@@ -632,9 +632,12 @@ def fused_front_packed(x_pk: jax.Array, dc: jax.Array, phase0: jax.Array,
 
     # output-row tile: >= 64 rows for MXU shape, and no smaller than the
     # band's own reach (d_rows/factor rows share any input row); a single
-    # dense dot when m_sub is already small (the factor-32 AM plan)
+    # dense dot when m_sub is already small (the factor-32 AM plan).
+    # Narrow (sub-tile-width) planes also take the dense dot: the tiled
+    # path's lane-concat of spans trips Mosaic ("result/input offset
+    # mismatch") below the full 128-lane width
     m_tile = m_sub
-    if m_sub > 64 and m_sub % 64 == 0:
+    if m_sub > 64 and m_sub % 64 == 0 and c2e >= 128:
         m_tile = 64
         while m_tile * factor < d_rows and m_tile < m_sub:
             m_tile *= 2

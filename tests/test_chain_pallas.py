@@ -204,3 +204,67 @@ class TestWfmTailKernel:
         iq = np.zeros((2, frames), np.complex64)
         state, out = rx.step(state, params, jnp.asarray(iq))
         assert out["audio"].shape[0] == 2
+
+
+def test_wfm_mixed_folded_unfolded_dispatches():
+    """A C<=32 WFM Receiver must serve FOLDED dispatches (fused tm tail)
+    and UNFOLDED ones (narrow-lane XLA fallback; Mosaic rejects sub-tile
+    kernel planes) against the SAME packed state, streaming-exactly: the
+    packed [d_rows, 2C] tail's pad rows are zero-weighted, so the
+    cross-layout conversion is exact (round 5)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+    from pebblesdr_tpu.demod.modes import DemodMode
+
+    FS, N, C, KF = 2_048_000, 32768, 2, 4
+    t = np.arange(KF * N) / FS
+    a = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    th = 2 * np.pi * 19000.0 * t
+    comp = 0.45 * a + 0.1 * np.sin(th) + 0.45 * a * np.sin(2 * th)
+    phase = 2 * np.pi * np.cumsum(75000.0 * comp) / FS
+    iq = (0.5 * np.exp(1j * (2 * np.pi * 250_000.0 * t + phase))
+          ).astype(np.complex64)
+    iq = iq[None, :] * np.ones((C, 1), np.float32)
+    x_pk = np.concatenate(
+        [np.ascontiguousarray(iq.real.astype(np.float32).T),
+         np.ascontiguousarray(iq.imag.astype(np.float32).T)], axis=1)
+
+    cfg = ReceiverConfig(sample_rate=FS, frames_per_buffer=N, channels=C,
+                         mode=DemodMode.FMS, use_pallas=True,
+                         batched_many=True, agc_mode="off")
+    rx = Receiver(cfg)
+    params = rx.default_params(250_000.0)
+    step = jax.jit(functools.partial(rx._step_many_impl, spectra=False))
+
+    # reference: four UNFOLDED single-block dispatches (XLA tail)
+    st = rx.init_state()
+    ref = []
+    for k in range(KF):
+        st, o = step(st, params, jnp.asarray(x_pk[k * N:(k + 1) * N]))
+        ref.append(np.asarray(o["audio"]))
+    audio_ref = np.concatenate([r.reshape(-1, *r.shape[2:]).swapaxes(0, 0)
+                                for r in ref], axis=0)
+
+    # mixed: one FOLDED 2-block dispatch (kernel tail), then two unfolded
+    # single-block dispatches, against the same carried state
+    from pebblesdr_tpu.ops import pallas_kernels as pk
+
+    st2 = rx.init_state()
+    folded = pk.fold_plane_np(x_pk[:2 * N], 2)
+    st2, o1 = step(st2, params, jnp.asarray(folded))
+    got = [np.asarray(o1["audio"])]
+    for k in (2, 3):
+        st2, o = step(st2, params, jnp.asarray(x_pk[k * N:(k + 1) * N]))
+        got.append(np.asarray(o["audio"]))
+    audio_got = np.concatenate([g.reshape(-1, *g.shape[2:])
+                                for g in got], axis=0)
+    audio_ref = np.concatenate([r.reshape(-1, *r.shape[2:])
+                                for r in ref], axis=0)
+    scale = max(np.abs(audio_ref).max(), 1e-6)
+    assert audio_got.shape == audio_ref.shape
+    assert np.abs(audio_got - audio_ref).max() / scale < 5e-3
