@@ -164,3 +164,73 @@ class TestDecimatorChain:
         st2 = decimator.state_init(plan, 1)
         _, oneshot = decimator.apply(plan, st2, jnp.asarray(x))
         np.testing.assert_allclose(stream, np.asarray(oneshot), atol=1e-5)
+
+
+class TestRound5FirDesigns:
+    def test_cfir_kaiser_matches_spec(self):
+        """design_cfir_kaiser_lp replicates CFir::InitLPFilter's exact
+        formula (fir.cpp): 6 dB point at (pass+stop)/2, >= Astop-3 dB in
+        the stopband, unity DC gain."""
+        import numpy as np
+
+        from pebblesdr_tpu.ops import fir
+
+        fs = 64000.0
+        h = fir.design_cfir_kaiser_lp(40.0, 4500.0, 5500.0, fs)
+        w = np.fft.rfftfreq(8192, 1 / fs)
+        H = np.abs(np.fft.rfft(h, 8192))
+        dc = H[0]
+        assert abs(dc - 1.0) < 0.01
+        # 6 dB cutoff at the midpoint
+        i6 = np.argmin(np.abs(H - dc / 2))
+        assert abs(w[i6] - 5000.0) < 150.0
+        # stopband (the Kaiser estimate is within ~3 dB of the spec)
+        stop = H[w > 6500.0].max()
+        assert 20 * np.log10(stop / dc) < -37.0
+
+    def test_rail_pair_is_quadrature(self):
+        """design_rail_pair's (2h cos, 2h sin) rails are 90 deg apart at
+        the shift frequency and together form the analytic BP."""
+        import numpy as np
+
+        from pebblesdr_tpu.ops import fir
+
+        fs = 64000.0
+        h = fir.design_cfir_kaiser_lp(40.0, 4500.0, 5500.0, fs)
+        hi_, hq_ = fir.design_rail_pair(h, 5000.0, fs)
+        # analytic combination must reject negative frequencies ~like the
+        # underlying LP's stopband
+        ha = hi_ + 1j * hq_
+        W = np.fft.fftfreq(8192, 1 / fs)
+        A = np.abs(np.fft.fft(ha, 8192))
+        pos = A[(W > 1000) & (W < 9000)].min()
+        neg = A[(W < -1000) & (W > -9000)].max()
+        assert 20 * np.log10(neg / pos) < -30.0
+
+    def test_tm_fir_decimate_matches_channel_major(self):
+        """tm_fir_decimate == fir_apply_real_signal on the transposed
+        stream, including the carried tail across calls."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pebblesdr_tpu.ops import fir
+
+        rng = np.random.default_rng(0)
+        taps = np.hanning(31)
+        taps = taps / taps.sum()
+        x = rng.normal(size=(4, 4096)).astype(np.float32)
+        tail = np.zeros((4, 30), np.float32)
+        y_ref, tail_ref = fir.fir_apply_real_signal(
+            jnp.asarray(x), jnp.asarray(taps, jnp.float32),
+            jnp.asarray(tail), decim=2, taps_np=taps)
+        y_tm, tail_tm = fir.tm_fir_decimate(jnp.asarray(x.T), taps,
+                                            jnp.asarray(tail.T), 2)
+        assert float(jnp.abs(y_tm.T - y_ref).max()) < 1e-5
+        assert float(jnp.abs(tail_tm.T - tail_ref).max()) < 1e-6
+        # second call continues the stream identically
+        x2 = rng.normal(size=(4, 4096)).astype(np.float32)
+        y2_ref, _ = fir.fir_apply_real_signal(
+            jnp.asarray(x2), jnp.asarray(taps, jnp.float32), tail_ref,
+            decim=2, taps_np=taps)
+        y2_tm, _ = fir.tm_fir_decimate(jnp.asarray(x2.T), taps, tail_tm, 2)
+        assert float(jnp.abs(y2_tm.T - y2_ref).max()) < 1e-5
