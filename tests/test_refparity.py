@@ -206,6 +206,108 @@ class TestReferenceBinaryParity:
         assert np.abs(dev).max() < 0.2, \
             f"Goertzel power deviation {np.abs(dev).max():.3f} dB"
 
+    @pytest.mark.parametrize("mode_s,sign", [("cwu", +1), ("cwl", -1)])
+    def test_cw_vs_reference(self, refchain_bin, tmp_path, mode_s, sign):
+        """CW modes = the reference's SSB passthrough behind the narrow CW
+        bandpass (demod.cpp:127-138 routes CWL/CWU to the same path;
+        Pebble's mode table centers the 800 Hz mask on the +/-1000 Hz CW
+        offset, demod.cpp:34-35) with the AGC_FAST preset — keyed-carrier
+        fixture exercises the knee/hang dynamics on on/off edges."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        t = np.arange(int(FS * 0.75)) / FS
+        # ~20 WPM keying (dit ~60 ms) with 5 ms raised-cosine edges
+        key_rate = 8.0
+        key = 0.5 * (1 + np.sign(np.sin(2 * np.pi * key_rate * t) + 0.3))
+        edge = int(FS * 0.005)
+        kern = 0.5 * (1 - np.cos(np.pi * np.arange(1, edge + 1) / edge))
+        key = np.convolve(key, kern / kern.sum(), mode="same")
+        iq = (0.4 * key * np.exp(2j * np.pi * (300_000.0 + sign * 1000.0) * t)
+              ).astype(np.complex64)
+        rng = np.random.default_rng(7)
+        iq += (3e-4 * (rng.standard_normal(len(t))
+                       + 1j * rng.standard_normal(len(t)))
+               ).astype(np.complex64)
+        mode = DemodMode.CWU if mode_s == "cwu" else DemodMode.CWL
+        got, rx = _run_chain(iq, mode, 300_000.0, agc_mode="fast")
+        ref = rp.run_refchain(iq.astype(np.complex128), FS,
+                              "usb" if mode_s == "cwu" else "lsb",
+                              300_000.0, rx.info.lo_cut, rx.info.hi_cut,
+                              agc="fast", agc_thresh=20,
+                              audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path))
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        print(f"{mode_s.upper()} vs reference binary: {snr:.1f} dB")
+        assert snr > 45.0, f"{mode_s.upper()} vs reference binary: {snr:.1f} dB"
+
+    def test_dsb_vs_reference(self, refchain_bin, tmp_path):
+        """DSB: the reference passes the bandpassed IQ through undemodulated
+        (Demod::processBlock default case, demod.cpp:135-138); the chain's
+        dsb_demod emits 2*re — identical up to the scale the equalizer
+        absorbs.  Suppressed-carrier two-tone fixture."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        t = np.arange(int(FS * 0.75)) / FS
+        m = (0.6 * np.cos(2 * np.pi * 900.0 * t)
+             + 0.4 * np.cos(2 * np.pi * 2100.0 * t + 0.4))
+        iq = (0.5 * m * np.exp(2j * np.pi * 250_000.0 * t)
+              ).astype(np.complex64)
+        rng = np.random.default_rng(9)
+        iq += (5e-4 * (rng.standard_normal(len(t))
+                       + 1j * rng.standard_normal(len(t)))
+               ).astype(np.complex64)
+        got, rx = _run_chain(iq, DemodMode.DSB, 250_000.0, agc_mode="off")
+        ref = rp.run_refchain(iq.astype(np.complex128), FS, "dsb", 250_000.0,
+                              rx.info.lo_cut, rx.info.hi_cut, agc="off",
+                              audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path))
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        print(f"DSB vs reference binary: {snr:.1f} dB")
+        assert snr > 55.0, f"DSB vs reference binary: {snr:.1f} dB"
+
+    def test_noise_blanker_vs_reference(self, refchain_bin, tmp_path):
+        """Device-rate spike blanker: the reference NB1 (noiseblanker.cpp:
+        45-76, mean-|x| EWMA + 7-sample countdown behind a 2-sample delay)
+        vs the chain's chunked power-EWMA + causal dilation (documented
+        deviation — scanops.noise_blanker_chunked).  Both run on the same
+        impulse-corrupted AM; parity is measured on the demodulated audio
+        (differences are localized to the differing blank windows)."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        iq = _am_fixture()
+        rng = np.random.default_rng(11)
+        pos = rng.choice(len(iq) - 16, size=120, replace=False) + 8
+        spikes = np.zeros(len(iq), np.complex64)
+        spikes[pos] = (20.0 * np.exp(2j * np.pi * rng.random(len(pos)))
+                       ).astype(np.complex64)
+        iq_spiky = iq + spikes
+        got, rx = _run_chain(iq_spiky, DemodMode.AM, 250_000.0,
+                             agc_mode="off", enable_noise_blanker=True)
+        ref = rp.run_refchain(iq_spiky.astype(np.complex128), FS, "am",
+                              250_000.0, rx.info.lo_cut, rx.info.hi_cut,
+                              agc="off", audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path), nb1=True)
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        # Functional: blanking must actually remove the impulses — compare
+        # each NB'd run against the clean-channel chain output.
+        got_clean, _ = _run_chain(iq, DemodMode.AM, 250_000.0, agc_mode="off")
+        got_spiky, _ = _run_chain(iq_spiky, DemodMode.AM, 250_000.0,
+                                  agc_mode="off")
+        base = rp.aligned_snr(got_clean.astype(np.float64),
+                              got_spiky.astype(np.float64),
+                              skip=rx.cfg.audio_rate // 2)
+        nbd = rp.aligned_snr(got_clean.astype(np.float64),
+                             got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        print(f"NB1 vs reference binary: {snr:.1f} dB; "
+              f"NB gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})")
+        assert nbd > base + 6.0, \
+            f"NB gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})"
+        assert snr > 30.0, f"NB1 vs reference binary: {snr:.1f} dB"
+
     def test_wfm_stereo_vs_reference(self, refchain_bin, tmp_path):
         """Pilot PLL + stereo demux + deemphasis parity
         (demod_wfm.cpp:255-365), reference-geometry (wfm_hq) front."""

@@ -38,6 +38,7 @@ $REF/pebblelib/goertzel.cpp
 $REF/pebblelib/movingavgfilter.cpp
 $REF/pebblelib/firfilter.cpp
 $REF/application/processstep.cpp
+$REF/application/noiseblanker.cpp
 $REF/application/agc.cpp
 $REF/application/demod/demod_am.cpp
 $REF/application/demod/demod_sam.cpp

@@ -32,6 +32,7 @@
 #include "demod_nfm.h"
 #include "demod_wfm.h"
 #include "goertzel.h"
+#include "noiseblanker.h"
 
 static void die(const char *msg) {
     fprintf(stderr, "refchain: %s\n", msg);
@@ -47,6 +48,7 @@ int main(int argc, char **argv) {
     int frames = 2048;
     std::string agcMode = "off";
     int agcThresh = 20;
+    int nb1 = 0;  // run the reference NoiseBlanker NB1 (spike blanker)
 
     for (int i = 1; i < argc; i++) {
         std::string a = argv[i];
@@ -62,6 +64,7 @@ int main(int argc, char **argv) {
         else if (a == "--hi") hi = atof(next());
         else if (a == "--agc") agcMode = next();
         else if (a == "--agc-thresh") agcThresh = atoi(next());
+        else if (a == "--nb1") nb1 = atoi(next());
         else if (a == "--audio-rate") audioRate = atof(next());
         else if (a == "--in") inPath = next();
         else if (a == "--out") outPath = next();
@@ -107,6 +110,10 @@ int main(int argc, char **argv) {
     Mixer mixer((quint32)rate, (quint32)frames);
     mixer.setFrequency(tune);
 
+    // Device-rate spike blanker, pre-mixer like receiver.cpp:822
+    NoiseBlanker nb((quint32)rate, (quint32)frames);
+    if (nb1) nb.setNbEnabled(true);
+
     CFastFIR bp;
     bp.SetupParameters(lo, hi, 0, demodRate);
 
@@ -141,7 +148,9 @@ int main(int argc, char **argv) {
             inBuf[i].real(raw[2 * i]);
             inBuf[i].imag(raw[2 * i + 1]);
         }
-        CPX *nextStep = mixer.processBlock(inBuf.data());
+        CPX *nextStep = inBuf.data();
+        if (nb1) nextStep = nb.ProcessBlock(nextStep);
+        nextStep = mixer.processBlock(nextStep);
         quint32 n = decim.process(nextStep, workBuf.data(), frames);
         for (quint32 i = 0; i < n; i++)
             sampleBuf[sampleBufLen++] = workBuf[i];
@@ -202,6 +211,11 @@ int main(int argc, char **argv) {
                     demodOut[i].real(v);
                     demodOut[i].imag(v);
                 }
+            } else if (mode == "dsb") {
+                // Demod::processBlock default case (demod.cpp:135-138):
+                // DSB/DIGx/NONE pass the bandpassed IQ through undemodulated.
+                for (quint32 i = 0; i < numStepSamples; i++)
+                    demodOut[i] = nextStep[i];
             } else {
                 die("unknown --mode");
             }
