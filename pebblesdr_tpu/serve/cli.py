@@ -605,6 +605,10 @@ def main(argv=None):
             for _ in range(k_real):
                 supervisor.block_done(state)
         last_out = (out, k_real)
+        if controls is not None and "spectrum" in out:
+            # latest wide spectrum feeds the 'p' peak-snap key (the
+            # terminal mouse-click-to-tune analog)
+            controls.note_spectrum(np.asarray(out["spectrum"])[k_real - 1, 0])
         if display is not None:
             # display source: live 'z' key cycles wide/zoom/split
             # (spectrumwidget zoom+split capability); --display-zoomed sets

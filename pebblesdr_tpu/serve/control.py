@@ -22,6 +22,8 @@ Key map (also printed by `--display ... --keys help`):
   s / S           squelch threshold +3 / -3 dB
   g / G           audio gain +3 / -3 dB
   space           mute toggle
+  p               snap-tune to the strongest wideband spectrum peak
+  z               cycle display source wide / zoom / split
   q               quit
 """
 
@@ -149,6 +151,7 @@ class ControlSurface:
         self.display = "wide"   # 'z' cycles wide -> zoom -> split
         self.bp_lo = bandpass[0] if bandpass else rx.info.lo_cut
         self.bp_hi = bandpass[1] if bandpass else rx.info.hi_cut
+        self._last_spectrum: np.ndarray | None = None  # latest wide dB row
         self.quit = False
         self._reset = False
         self.events: list[str] = []
@@ -161,6 +164,12 @@ class ControlSurface:
         """Push the surface's squelch/gain/mute into params (call once after
         construction if the CLI pre-set them)."""
         self._apply_levels()
+
+    def note_spectrum(self, db_row) -> None:
+        """Stash the latest device-rate spectrum row (channel 0, dB over
+        [-fs/2, fs/2) about the capture center) for the 'p' peak-snap key.
+        The CLI loop calls this once per dispatch."""
+        self._last_spectrum = np.asarray(db_row, np.float32).reshape(-1)
 
     # ------------------------------------------------------------- internals
 
@@ -264,6 +273,24 @@ class ControlSurface:
             self.mute = not self.mute
             self._apply_levels()
             return f"MUTE {'on' if self.mute else 'off'}"
+        if key == "p":
+            # snap-tune to the strongest peak of the latest device-rate
+            # spectrum — the terminal analog of SpectrumWidget's mouse
+            # click-to-tune (spectrumwidget.h:18-90).  The row spans
+            # [-fs/2, fs/2) about the capture center; a guard band around
+            # the current tuning excludes our own carrier so repeated 'p'
+            # walks to the next station.
+            if self._last_spectrum is None:
+                return None
+            db = np.asarray(self._last_spectrum, np.float32)
+            fs = self.rx.cfg.sample_rate
+            freqs = (np.arange(db.size) / db.size - 0.5) * fs
+            guard = max(2e3, (self.bp_hi - self.bp_lo))
+            db = np.where(np.abs(freqs - self.tune) < guard, -1e9, db)
+            self.tune = float(np.clip(freqs[int(np.argmax(db))],
+                                      -fs / 2, fs / 2))
+            self.params = self.rx.retune(self.params, self.tune)
+            return f"SNAP {self.tune / 1e3:.3f} kHz"
         if key == "z":
             # display-source cycle (spectrumwidget.h:18-90 zoom/split
             # capability, terminal form): wide (device-rate) -> zoom

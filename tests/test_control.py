@@ -193,3 +193,49 @@ class TestDisplayCycle:
         assert s.handle("z") == "DISPLAY zoom"
         assert s.handle("z") == "DISPLAY split"
         assert s.handle("z") == "DISPLAY wide"
+
+    def test_p_snaps_to_spectrum_peak(self):
+        """'p' retunes to the strongest wideband peak outside the current
+        station's guard band (SpectrumWidget click-to-tune analog): run the
+        chain on a two-station band, feed the live spectrum to the surface,
+        snap, and verify the recovered tone comes from the NEW station."""
+        import jax
+
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+
+        fs, n = 512_000, 8192
+        rx = Receiver(ReceiverConfig(sample_rate=fs, frames_per_buffer=n,
+                                     mode=DemodMode.AM, agc_mode="off"))
+        s = ControlSurface(rx, rx.default_params(50_000.0), 50_000.0)
+        assert s.handle("p") is None            # no spectrum seen yet
+
+        t = np.arange(16 * n) / fs
+        weak = 0.05 * (1 + 0.5 * np.cos(2 * np.pi * 600.0 * t)) / 2 \
+            * np.exp(2j * np.pi * 50_000.0 * t)
+        strong = 0.5 * (1 + 0.8 * np.cos(2 * np.pi * 1000.0 * t)) / 2 \
+            * np.exp(2j * np.pi * -120_000.0 * t)
+        iq = (weak + strong).astype(np.complex64)
+
+        state = jax.jit(lambda: rx.init_state())()
+        out = None
+        for i in range(4):
+            blk = iq[i * n:(i + 1) * n]
+            state, out = rx.step(state, s.params, jnp.asarray(blk)[None])
+        s.note_spectrum(np.asarray(out["spectrum"])[0])
+        ev = s.handle("p")
+        assert ev is not None and ev.startswith("SNAP ")
+        # snapped inside the strong station's channel, well off the old tune
+        assert abs(s.tune - (-120_000.0)) < 5_000.0, s.tune
+        # same compiled chain (params-only): stepping recovers the 1 kHz
+        # program of the snapped station
+        state = jax.jit(lambda: rx.init_state())()
+        audio = []
+        for i in range(16):
+            blk = iq[i * n:(i + 1) * n]
+            state, out = rx.step(state, s.params, jnp.asarray(blk)[None])
+            audio.append(np.asarray(out["audio"])[0])
+        a = np.concatenate(audio)[rx.cfg.audio_rate // 8:]
+        spec = np.abs(np.fft.rfft(a - a.mean()))
+        freqs = np.fft.rfftfreq(len(a), 1.0 / rx.cfg.audio_rate)
+        peak = freqs[int(np.argmax(spec))]
+        assert abs(peak - 1000.0) < 50.0, peak
