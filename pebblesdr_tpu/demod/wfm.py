@@ -73,6 +73,16 @@ class WFMConfig:
     comp_decim: int = static_field(default=1)
     comp_taps: np.ndarray = static_field(default=None)
 
+    # mono pre-discriminator LP: the reference mono path filters the complex
+    # composite with a 75 kHz Q=1 RBJ lowpass biquad BEFORE the discriminator
+    # (demod_wfm.cpp:166,210-212; active only when the demod rate is >=150k
+    # so the IIR stays stable), re/im rails independently like
+    # CIir::ProcessFilter's CPX overload.  The stereo path has no such
+    # filter.  Being pre-nonlinearity it is NOT equalizable after the fact —
+    # omitting it measured 61.6 dB vs the reference binary; with it the mono
+    # row joins the stereo path's 90+ dB.
+    mono_pre_lp: iir.BiquadCoef | None = static_field(default=None)
+
     @property
     def audio_rate(self) -> float:
         return self.sample_rate / self.audio_decim
@@ -100,6 +110,9 @@ class WFMConfig:
         # demod_wfm.cpp:361-363, exists because its LP is gentler)
         h19 = np.abs(np.sum(audio_taps * np.exp(
             -2j * np.pi * PILOT_HZ / sample_rate * np.arange(len(audio_taps)))))
+        fs_in = sample_rate * comp_decim
+        mono_pre_lp = (iir.design_biquad("lowpass", 75000.0, fs_in, q=1.0)
+                       if (not stereo and fs_in >= 150000.0) else None)
         comp_taps = None
         if comp_decim > 1:
             # relaxed decimator for the demodulated composite: pass 0-61 kHz
@@ -107,7 +120,6 @@ class WFMConfig:
             # that band (>= input_rate/comp_decim - 61 kHz).  At the hq
             # geometry (512k -> 256k) this is a ~0.12*fs-passband halfband —
             # a handful of taps, response-asserted in tests
-            fs_in = sample_rate * comp_decim
             import scipy.signal as _ss
 
             pass_hz, alias_hz = 61000.0, sample_rate - 61000.0
@@ -134,6 +146,7 @@ class WFMConfig:
             pilot_open=pll.make_pilot_open_config(sample_rate),
             notch_needed=bool(h19 > 10.0 ** (-55.0 / 20.0)),
             comp_decim=comp_decim, comp_taps=comp_taps,
+            mono_pre_lp=mono_pre_lp,
         )
 
 
@@ -151,6 +164,8 @@ class WFMState:
     notch_r: jax.Array       # [C, 2]
     comp_tail: jax.Array     # [C, Tc-1] composite-decimator history
     #                          (comp_decim > 1 only; else [C, 0])
+    mono_lp_bq: jax.Array    # [2C, 2] mono pre-discriminator biquad state
+    #                          (re rails then im rails; [0, 2] when unused)
 
 
 def _tail_d_rows(cfg: WFMConfig) -> int:
@@ -209,6 +224,8 @@ def wfm_init(cfg: WFMConfig, channels: int) -> WFMState:
             (channels,
              len(cfg.comp_taps) - 1 if cfg.comp_decim > 1 else 0),
             jnp.float32),
+        mono_lp_bq=iir.biquad_state_init(
+            2 * channels if cfg.mono_pre_lp is not None else 0),
     )
 
 
@@ -366,6 +383,7 @@ def wfm_demod_tm(cfg: WFMConfig, state: WFMState, raw_t: jax.Array,
         pilot_level=level, deemph_l=d_lr[:c], deemph_r=d_lr[c:],
         lp_tail_mono=tail_m, lp_tail_lmr=state.lp_tail_lmr,
         notch_l=notch_lr[:c], notch_r=notch_lr[c:], comp_tail=comp_tail,
+        mono_lp_bq=state.mono_lp_bq,
 )
     out = {"left": left, "right": right, "pilot_locked": locked,
            "rds_baseband": rds_bb}
@@ -392,6 +410,15 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
     [C, N] complex64 | None) where M = N // audio_decim.
     """
     disc_gain = cfg.input_rate / (2.0 * np.pi * cfg.max_deviation)
+    mono_bq = state.mono_lp_bq
+    if cfg.mono_pre_lp is not None:
+        # the reference mono path's 75 kHz pre-discriminator biquad
+        # (demod_wfm.cpp:210-212): one stacked [2C, N] real biquad pass
+        # over the re/im rails (CIir::ProcessFilter CPX overload semantics)
+        c0 = x.shape[0]
+        ri = jnp.concatenate([x.real, x.imag], axis=0)
+        mono_bq, ri = iir.biquad_apply(state.mono_lp_bq, ri, cfg.mono_pre_lp)
+        x = jax.lax.complex(ri[:c0], ri[c0:])
     new_last, raw = discriminator(state.last, x, disc_gain)  # [C, N] composite
     comp_tail = state.comp_tail
     if cfg.comp_decim > 1:
@@ -583,6 +610,7 @@ def wfm_demod(cfg: WFMConfig, state: WFMState, x: jax.Array,
         last=new_last, pilot_bq=bq_state, pilot_pll=pll_state, pilot_level=level,
         deemph_l=dl, deemph_r=dr, lp_tail_mono=tail_m, lp_tail_lmr=tail_s,
         notch_l=notch_l, notch_r=notch_r, comp_tail=comp_tail,
+        mono_lp_bq=mono_bq,
     )
     out = {"left": left, "right": right, "pilot_locked": locked,
            "rds_baseband": rds_bb}

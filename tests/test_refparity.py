@@ -83,7 +83,7 @@ class TestReferenceBinaryParity:
                              skip=rx.cfg.audio_rate // 2)
         assert snr > 55.0, f"AM vs reference binary: {snr:.1f} dB"
 
-    @pytest.mark.parametrize("agc", ["med", "fast", "slow"])
+    @pytest.mark.parametrize("agc", ["med", "fast", "slow", "long"])
     def test_am_agc_vs_reference(self, refchain_bin, tmp_path, agc):
         """AGC knee/hang arithmetic parity (agc.cpp:84-299) across the
         mode table's decay constants."""
@@ -307,6 +307,29 @@ class TestReferenceBinaryParity:
         assert nbd > base + 6.0, \
             f"NB gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})"
         assert snr > 30.0, f"NB1 vs reference binary: {snr:.1f} dB"
+
+    def test_wfm_mono_vs_reference(self, refchain_bin, tmp_path):
+        """FM-Mono: discriminator + mono LP + deemphasis
+        (demod_wfm.cpp:processDataMono), reference-geometry (wfm_hq)
+        front — no pilot/demux in play, so this isolates the
+        discriminator+deemphasis arithmetic."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        t = np.arange(int(FS * 0.75)) / FS
+        prog = (0.7 * np.sin(2 * np.pi * 1000.0 * t)
+                + 0.3 * np.sin(2 * np.pi * 3400.0 * t + 0.6))
+        phm = 2 * np.pi * np.cumsum(75000.0 * 0.6 * prog) / FS
+        iq = (0.5 * np.exp(1j * (2 * np.pi * 300_000.0 * t + phm))
+              ).astype(np.complex64)
+        got, rx = _run_chain(iq, DemodMode.FMM, 300_000.0, wfm_hq=True)
+        ref = rp.run_refchain(iq.astype(np.complex128), FS, "fmm", 300_000.0,
+                              -100000, 100000,
+                              audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path))
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        print(f"WFM mono vs reference binary: {snr:.1f} dB")
+        assert snr > 80.0, f"WFM mono vs reference binary: {snr:.1f} dB"
 
     def test_wfm_stereo_vs_reference(self, refchain_bin, tmp_path):
         """Pilot PLL + stereo demux + deemphasis parity
