@@ -580,6 +580,13 @@ class Receiver:
         # input copies); the device-side reshape to [K, N, 2C] for the scan
         # is a free row split.  [K, N, 2C] and the legacy pair/stacked plane
         # forms are also accepted (the pack costs one copy).
+        if (not isinstance(iq, (tuple, list)) and jnp.iscomplexobj(iq)
+                and iq.shape[-2] != self.cfg.channels):
+            # guard BEFORE packing: a wrong channel count would otherwise
+            # pack into a lane width that can masquerade as a folded plane
+            raise ValueError(
+                f"complex input has {iq.shape[-2]} channels but this "
+                f"Receiver was built with channels={self.cfg.channels}")
         if isinstance(iq, (tuple, list)) and len(iq) == 2:
             a, b = iq
             x_pk = jnp.concatenate([a, b], axis=-1)  # [.., N, 2C]
@@ -973,6 +980,15 @@ class Receiver:
         # lanes — the TPU fast path, what feeders build for free when
         # deinterleaving wire formats), [2, N, C] float32 plane pair (packed
         # here, one copy), or [C, N] complex64 (classic).
+        have = (iq.shape[-1] if iq.ndim == 3
+                else iq.shape[0] if jnp.iscomplexobj(iq)
+                else iq.shape[-1] // 2)
+        if have != c:
+            # a mismatched block would broadcast silently on CPU (every
+            # channel then shares channel 0's NCO tables) and trip Mosaic
+            # with an opaque shape error on TPU
+            raise ValueError(f"input block has {have} channels but this "
+                             f"Receiver was built with channels={c}")
         if iq.ndim == 3:
             x_pk = jnp.concatenate([iq[0], iq[1]], axis=-1)
         elif iq.ndim == 2 and not jnp.iscomplexobj(iq):

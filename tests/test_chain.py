@@ -414,3 +414,28 @@ class TestWFMHighQuality:
         l3k, _ = tone_fit(l, 3000.0, 48000.0)
         assert 20 * np.log10(l1k / max(r1k, 1e-9)) > 40
         assert 20 * np.log10(r3k / max(l3k, 1e-9)) > 40
+
+
+def test_channel_count_mismatch_raises():
+    """A block whose channel count disagrees with cfg.channels must raise —
+    on CPU it used to broadcast silently (all channels reading channel 0's
+    NCO tables) and on TPU it tripped Mosaic with an opaque shape error."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+    from pebblesdr_tpu.demod.modes import DemodMode
+
+    rx = Receiver(ReceiverConfig(sample_rate=512_000, frames_per_buffer=8192,
+                                 channels=1, mode=DemodMode.AM))
+    state = rx.init_state()
+    params = rx.default_params(0.0)
+    bad = jnp.zeros((4, 8192), jnp.complex64)
+    with pytest.raises(ValueError, match="channels"):
+        rx.step(state, params, bad)
+    with pytest.raises(ValueError, match="channels"):
+        rx.step_many(state, params, jnp.zeros((2, 4, 8192), jnp.complex64))
+    # packed-plane layout with a wrong lane width
+    with pytest.raises(ValueError, match="channels"):
+        rx.step(state, params, jnp.zeros((8192, 8), jnp.float32))
