@@ -9,7 +9,8 @@ parity — the BASELINE.md north-star target, measured against the
 reference's arithmetic rather than an independent golden.
 
 Thresholds are ~5-10 dB below measured values (AM 66.5, AM+AGC 60.7,
-SAM-rails 66.0, FMN 99.0, WFM-stereo L 95.7 / R 79.8 dB); residuals are
+SAM-rails 66.0, USB/LSB 86.0/86.1, CWU/CWL 64.0/63.9, DSB 73.9, FMN 99.0,
+WFM-mono 104.2, WFM-stereo L 95.7 / R 79.8, NB1 58.5 dB); residuals are
 the documented filter-design deviations (PARITY.md) plus float32 vs
 float64 arithmetic.
 """
