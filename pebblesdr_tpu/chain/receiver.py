@@ -605,6 +605,13 @@ class Receiver:
         # physically dense on the (8, 128) tiling).  Detected by lane width.
         fold_in = 1
         c2 = 2 * self.cfg.channels
+        if x_pk.ndim == 3 and x_pk.shape[-1] != c2:
+            # 3-dim planes ([K, N, 2C] / packed pairs) are never folded —
+            # a wrong lane width here is a channel-count mismatch, not a
+            # fold (only flat [K*N, 2*G*C] feeder planes carry folds)
+            raise ValueError(
+                f"packed plane has {x_pk.shape[-1] // 2} channels but this "
+                f"Receiver was built with channels={self.cfg.channels}")
         if (x_pk.ndim == 2 and not jnp.iscomplexobj(x_pk)
                 and x_pk.shape[-1] != c2):
             if x_pk.shape[-1] % c2:

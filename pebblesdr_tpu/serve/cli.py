@@ -607,8 +607,9 @@ def main(argv=None):
         last_out = (out, k_real)
         if controls is not None and "spectrum" in out:
             # latest wide spectrum feeds the 'p' peak-snap key (the
-            # terminal mouse-click-to-tune analog)
-            controls.note_spectrum(np.asarray(out["spectrum"])[k_real - 1, 0])
+            # terminal mouse-click-to-tune analog); slice ON DEVICE so
+            # only one row crosses the host link per dispatch
+            controls.note_spectrum(np.asarray(out["spectrum"][k_real - 1, 0]))
         if display is not None:
             # display source: live 'z' key cycles wide/zoom/split
             # (spectrumwidget zoom+split capability); --display-zoomed sets

@@ -202,6 +202,23 @@ class ControlSurface:
             repl["squelch_db"] = jnp.asarray(self.squelch_db, jnp.float32)
         self.params = dataclasses.replace(self.params, **repl)
 
+    def _set_tune(self, new_tune: float) -> str:
+        """Shared retune policy for arrow and snap tuning: past ~45% of the
+        capture width a hardware-retunable source takes the offset on its
+        LO (receiver.cpp:604-637) and the mixer re-centers; otherwise the
+        offset clips to the capture band."""
+        self.tune = float(new_tune)
+        fs = self.rx.cfg.sample_rate
+        if self.source is not None and abs(self.tune) > 0.45 * fs:
+            self.center_hz += self.tune
+            self.source.set_center_freq(self.center_hz)
+            self.tune = 0.0
+            self.params = self.rx.retune(self.params, 0.0)
+            return f"LO {self.center_hz / 1e6:.6f} MHz"
+        self.tune = float(np.clip(self.tune, -fs / 2, fs / 2))
+        self.params = self.rx.retune(self.params, self.tune)
+        return f"TUNE {self.tune / 1e3:.3f} kHz"
+
     # ---------------------------------------------------------------- events
 
     def handle(self, key: str) -> str | None:
@@ -216,18 +233,8 @@ class ControlSurface:
             self.quit = True
             return "QUIT"
         if key in ("left", "right"):
-            self.tune += self.step if key == "right" else -self.step
-            fs = self.rx.cfg.sample_rate
-            if self.source is not None and abs(self.tune) > 0.45 * fs:
-                # hand the offset to the device LO; mixer returns to center
-                self.center_hz += self.tune
-                self.source.set_center_freq(self.center_hz)
-                self.tune = 0.0
-                self.params = self.rx.retune(self.params, 0.0)
-                return f"LO {self.center_hz / 1e6:.6f} MHz"
-            self.tune = float(np.clip(self.tune, -fs / 2, fs / 2))
-            self.params = self.rx.retune(self.params, self.tune)
-            return f"TUNE {self.tune / 1e3:.3f} kHz"
+            return self._set_tune(
+                self.tune + (self.step if key == "right" else -self.step))
         if key in ("up", "down"):
             self.step = float(np.clip(
                 self.step * (10.0 if key == "up" else 0.1), 1.0, 1e6))
@@ -277,20 +284,22 @@ class ControlSurface:
             # snap-tune to the strongest peak of the latest device-rate
             # spectrum — the terminal analog of SpectrumWidget's mouse
             # click-to-tune (spectrumwidget.h:18-90).  The row spans
-            # [-fs/2, fs/2) about the capture center; a guard band around
-            # the current tuning excludes our own carrier so repeated 'p'
+            # [-fs/2, fs/2) about the capture center; the current station's
+            # own passband (plus a 2 kHz skirt) is masked so repeated 'p'
             # walks to the next station.
             if self._last_spectrum is None:
                 return None
             db = np.asarray(self._last_spectrum, np.float32)
             fs = self.rx.cfg.sample_rate
             freqs = (np.arange(db.size) / db.size - 0.5) * fs
-            guard = max(2e3, (self.bp_hi - self.bp_lo))
-            db = np.where(np.abs(freqs - self.tune) < guard, -1e9, db)
-            self.tune = float(np.clip(freqs[int(np.argmax(db))],
-                                      -fs / 2, fs / 2))
-            self.params = self.rx.retune(self.params, self.tune)
-            return f"SNAP {self.tune / 1e3:.3f} kHz"
+            own = ((freqs >= self.tune + self.bp_lo - 2e3)
+                   & (freqs <= self.tune + self.bp_hi + 2e3))
+            masked = np.where(own, -np.inf, db)
+            if not np.isfinite(masked).any():
+                return None  # the guard covers the whole capture (e.g. WFM
+                #              on a narrow capture): nothing to snap to
+            ev = self._set_tune(float(freqs[int(np.argmax(masked))]))
+            return ev.replace("TUNE", "SNAP", 1) if ev else ev
         if key == "z":
             # display-source cycle (spectrumwidget.h:18-90 zoom/split
             # capability, terminal form): wide (device-rate) -> zoom

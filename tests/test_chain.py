@@ -439,3 +439,7 @@ def test_channel_count_mismatch_raises():
     # packed-plane layout with a wrong lane width
     with pytest.raises(ValueError, match="channels"):
         rx.step(state, params, jnp.zeros((8192, 8), jnp.float32))
+    # 3-dim [K, N, 2C'] planes are never folded: wrong width must raise
+    # rather than be misread as a time-folded plane
+    with pytest.raises(ValueError, match="channels"):
+        rx.step_many(state, params, jnp.zeros((2, 8192, 8), jnp.float32))

@@ -239,3 +239,69 @@ class TestDisplayCycle:
         freqs = np.fft.rfftfreq(len(a), 1.0 / rx.cfg.audio_rate)
         peak = freqs[int(np.argmax(spec))]
         assert abs(peak - 1000.0) < 50.0, peak
+
+
+class TestPeakSnapEdgeCases:
+    def test_snap_guard_covers_capture_returns_none(self):
+        """When the station's own passband masks the whole capture (WFM on
+        a narrow capture) 'p' must be a no-op, not a band-edge jump."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+
+        rx = Receiver(ReceiverConfig(sample_rate=512_000,
+                                     frames_per_buffer=8192,
+                                     mode=DemodMode.FMM))
+        s = ControlSurface(rx, rx.default_params(0.0), 0.0)
+        # FMM bandpass is +-100 kHz; +-2 kHz skirt covers [-102k, 102k]
+        # of the +-256 kHz capture... not all of it — shrink the view by
+        # faking a capture-wide station: widen bp to the full band
+        s.bp_lo, s.bp_hi = -256_000.0, 256_000.0
+        s.note_spectrum(np.linspace(-120.0, -60.0, 2048))
+        assert s.handle("p") is None
+        assert s.tune == 0.0
+
+    def test_snap_excludes_own_passband_asymmetric(self):
+        """USB guard must cover the (asymmetric) passband: a peak inside
+        [tune+bp_lo, tune+bp_hi] is skipped in favor of the next one."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+
+        rx = Receiver(ReceiverConfig(sample_rate=512_000,
+                                     frames_per_buffer=8192,
+                                     mode=DemodMode.USB))
+        s = ControlSurface(rx, rx.default_params(100_000.0), 100_000.0)
+        db = np.full(2048, -120.0)
+        freqs = (np.arange(2048) / 2048 - 0.5) * 512_000.0
+        # energy inside our own USB passband (tune+2 kHz)...
+        db[np.argmin(np.abs(freqs - 102_000.0))] = -30.0
+        # ...and a weaker station well away
+        db[np.argmin(np.abs(freqs - (-150_000.0)))] = -50.0
+        s.note_spectrum(db)
+        ev = s.handle("p")
+        assert ev is not None and ev.startswith("SNAP")
+        assert abs(s.tune - (-150_000.0)) < 1_000.0
+
+    def test_snap_hands_off_to_device_lo(self):
+        """A snap target past 45% of the capture width goes through the
+        same device-LO handoff as arrow tuning."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+
+        class FakeRadio:
+            def __init__(self):
+                self.lo = []
+
+            def set_center_freq(self, hz):
+                self.lo.append(hz)
+
+        radio = FakeRadio()
+        rx = Receiver(ReceiverConfig(sample_rate=512_000,
+                                     frames_per_buffer=8192,
+                                     mode=DemodMode.AM))
+        s = ControlSurface(rx, rx.default_params(0.0), 0.0,
+                           source=radio, center_hz=100_000_000.0)
+        db = np.full(2048, -120.0)
+        freqs = (np.arange(2048) / 2048 - 0.5) * 512_000.0
+        db[np.argmin(np.abs(freqs - 240_000.0))] = -30.0  # > 0.45*fs
+        s.note_spectrum(db)
+        ev = s.handle("p")
+        assert ev is not None and ev.startswith("LO ")
+        assert len(radio.lo) == 1 and abs(radio.lo[0] - 100_240_000.0) < 1e3
+        assert s.tune == 0.0
