@@ -309,6 +309,44 @@ class TestReferenceBinaryParity:
             f"NB gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})"
         assert snr > 30.0, f"NB1 vs reference binary: {snr:.1f} dB"
 
+    def test_noise_blanker2_vs_reference(self, refchain_bin, tmp_path):
+        """NB2 (average substitution): the reference substitutes a 0.75/0.25
+        complex signal EWMA at spikes (noiseblanker.cpp:79-99); the chain's
+        'average' mode substitutes the RMS-envelope-scaled sample — a
+        documented deviation, so this row is a measured bound plus the
+        functional impulse-rejection assertion."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        iq = _am_fixture()
+        rng = np.random.default_rng(13)
+        pos = rng.choice(len(iq) - 16, size=120, replace=False) + 8
+        spikes = np.zeros(len(iq), np.complex64)
+        spikes[pos] = (20.0 * np.exp(2j * np.pi * rng.random(len(pos)))
+                       ).astype(np.complex64)
+        iq_spiky = iq + spikes
+        got, rx = _run_chain(iq_spiky, DemodMode.AM, 250_000.0,
+                             agc_mode="off", enable_noise_blanker="average")
+        ref = rp.run_refchain(iq_spiky.astype(np.complex128), FS, "am",
+                              250_000.0, rx.info.lo_cut, rx.info.hi_cut,
+                              agc="off", audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path), nb2=True)
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        got_clean, _ = _run_chain(iq, DemodMode.AM, 250_000.0, agc_mode="off")
+        got_spiky, _ = _run_chain(iq_spiky, DemodMode.AM, 250_000.0,
+                                  agc_mode="off")
+        base = rp.aligned_snr(got_clean.astype(np.float64),
+                              got_spiky.astype(np.float64),
+                              skip=rx.cfg.audio_rate // 2)
+        nbd = rp.aligned_snr(got_clean.astype(np.float64),
+                             got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        print(f"NB2 vs reference binary: {snr:.1f} dB; "
+              f"NB2 gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})")
+        assert nbd > base + 6.0, \
+            f"NB2 gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})"
+        assert snr > 25.0, f"NB2 vs reference binary: {snr:.1f} dB"
+
     def test_wfm_mono_vs_reference(self, refchain_bin, tmp_path):
         """FM-Mono: discriminator + mono LP + deemphasis
         (demod_wfm.cpp:processDataMono), reference-geometry (wfm_hq)

@@ -53,7 +53,8 @@ def run_refchain(iq: np.ndarray, fs: int, mode: str, tune_hz: float,
                  lo: float, hi: float, agc: str = "off",
                  agc_thresh: int = 20, audio_rate: int = 0,
                  tmpdir: str = "/tmp", frames: int = 2048,
-                 rds_out: str | None = None, nb1: bool = False) -> np.ndarray:
+                 rds_out: str | None = None, nb1: bool = False,
+                 nb2: bool = False) -> np.ndarray:
     """Run IQ through the reference chain; returns [2, N] float64 audio
     (left,right; mono modes duplicate).  audio_rate=0 emits at the
     reference's demod rate (no fractional resampler)."""
@@ -76,6 +77,8 @@ def run_refchain(iq: np.ndarray, fs: int, mode: str, tune_hz: float,
         cmd += ["--rds-out", rds_out]
     if nb1:
         cmd += ["--nb1", "1"]
+    if nb2:
+        cmd += ["--nb2", "1"]
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         raise RuntimeError(f"refchain failed: {r.stderr}")

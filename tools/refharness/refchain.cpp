@@ -49,6 +49,7 @@ int main(int argc, char **argv) {
     std::string agcMode = "off";
     int agcThresh = 20;
     int nb1 = 0;  // run the reference NoiseBlanker NB1 (spike blanker)
+    int nb2 = 0;  // run the reference NoiseBlanker NB2 (average substitution)
 
     for (int i = 1; i < argc; i++) {
         std::string a = argv[i];
@@ -65,6 +66,7 @@ int main(int argc, char **argv) {
         else if (a == "--agc") agcMode = next();
         else if (a == "--agc-thresh") agcThresh = atoi(next());
         else if (a == "--nb1") nb1 = atoi(next());
+        else if (a == "--nb2") nb2 = atoi(next());
         else if (a == "--audio-rate") audioRate = atof(next());
         else if (a == "--in") inPath = next();
         else if (a == "--out") outPath = next();
@@ -110,9 +112,11 @@ int main(int argc, char **argv) {
     Mixer mixer((quint32)rate, (quint32)frames);
     mixer.setFrequency(tune);
 
-    // Device-rate spike blanker, pre-mixer like receiver.cpp:822
+    // Device-rate blankers, pre-mixer like receiver.cpp:822-823 (the
+    // receiver always calls both; disabled passes are identity)
     NoiseBlanker nb((quint32)rate, (quint32)frames);
     if (nb1) nb.setNbEnabled(true);
+    if (nb2) nb.setNb2Enabled(true);
 
     CFastFIR bp;
     bp.SetupParameters(lo, hi, 0, demodRate);
@@ -150,6 +154,7 @@ int main(int argc, char **argv) {
         }
         CPX *nextStep = inBuf.data();
         if (nb1) nextStep = nb.ProcessBlock(nextStep);
+        if (nb2) nextStep = nb.ProcessBlock2(nextStep);
         nextStep = mixer.processBlock(nextStep);
         quint32 n = decim.process(nextStep, workBuf.data(), frames);
         for (quint32 i = 0; i < n; i++)
