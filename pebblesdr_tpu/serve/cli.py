@@ -357,6 +357,17 @@ def main(argv=None):
                    help="restore chain state from a .npz before starting")
     args = p.parse_args(argv)
 
+    if args.keys == "help":
+        # print the key map (the control module docstring's table) and exit
+        # BEFORE any chain build — otherwise the letters of "help" would be
+        # applied as live keys ('p' would snap-tune)
+        import pebblesdr_tpu.serve.control as control_mod
+
+        doc = control_mod.__doc__ or ""
+        start = doc.find("Key map")
+        print(doc[start:] if start >= 0 else doc, file=sys.stderr)
+        return 0
+
     import os
 
     import jax
