@@ -264,6 +264,10 @@ def main(argv=None):
                    help="mixed-mode channels 'MODE@HZ,MODE@HZ,...' — routes "
                         "each channel to its mode-expert chain (EP); "
                         "overrides --mode/--tune/--channels")
+    p.add_argument("--presets", default=None,
+                   help="preset stations for the n/N live keys: a CSV path "
+                        "(name,freq_hz,mode) or 'db' for the shipped "
+                        "station database")
     p.add_argument("--stations", default=None,
                    help="dense-bank monitoring (PFB): comma list of Hz "
                         "offsets, or 'db' for every station-DB entry in the "
@@ -485,11 +489,19 @@ def main(argv=None):
         bp_static = None
         if args.bandpass:
             bp_static = tuple(float(v) for v in args.bandpass.split(","))
+        preset_list = None
+        if args.presets:
+            from pebblesdr_tpu.utils import settings as settings_mod
+
+            preset_list = (settings_mod.load_stations()
+                           if args.presets.strip().lower() == "db"
+                           else settings_mod.load_presets_csv(args.presets))
         controls = ControlSurface(rx, params, tune,
                                   squelch_db=args.squelch, gain=args.gain,
                                   source=source,
                                   center_hz=source.info.center_freq_hz,
-                                  iq_static=iq_static, bandpass=bp_static)
+                                  iq_static=iq_static, bandpass=bp_static,
+                                  presets=preset_list)
         if args.display_zoomed:
             controls.display = "zoom"
         key_source = (ScriptedKeys(args.keys) if args.keys is not None

@@ -23,6 +23,7 @@ Key map (also printed by `--display ... --keys help`):
   g / G           audio gain +3 / -3 dB
   space           mute toggle
   p               snap-tune to the strongest wideband spectrum peak
+  n / N           next / previous preset station (--presets csv|db)
   z               cycle display source wide / zoom / split
   q               quit
 """
@@ -36,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pebblesdr_tpu.chain.receiver import Receiver
-from pebblesdr_tpu.demod.modes import DemodMode
+from pebblesdr_tpu.demod.modes import DemodMode, from_string
 
 # cycling order for the 'm' key (the receiverwidget mode selector list)
 MODE_CYCLE = [DemodMode.AM, DemodMode.SAM, DemodMode.USB, DemodMode.LSB,
@@ -124,7 +125,8 @@ class ControlSurface:
                  squelch_db: float | None = None, gain: float = 1.0,
                  source=None, center_hz: float = 0.0,
                  iq_static: tuple[float, float] | None = None,
-                 bandpass: tuple[float, float] | None = None):
+                 bandpass: tuple[float, float] | None = None,
+                 presets=None):
         self.rx = rx
         self.params = params
         self.tune = float(tune_hz)
@@ -152,6 +154,11 @@ class ControlSurface:
         self.bp_lo = bandpass[0] if bandpass else rx.info.lo_cut
         self.bp_hi = bandpass[1] if bandpass else rx.info.hi_cut
         self._last_spectrum: np.ndarray | None = None  # latest wide dB row
+        # preset stations for 'n'/'N' stepping (utils.settings.Preset list;
+        # the ReceiverWidget frequency/preset selector analog), kept sorted
+        # by absolute frequency
+        self.presets = sorted(presets, key=lambda p: p.freq_hz) \
+            if presets else None
         self.quit = False
         self._reset = False
         self.events: list[str] = []
@@ -300,6 +307,29 @@ class ControlSurface:
                 #              on a narrow capture): nothing to snap to
             ev = self._set_tune(float(freqs[int(np.argmax(masked))]))
             return ev.replace("TUNE", "SNAP", 1) if ev else ev
+        if key in ("n", "N") and self.presets:
+            # preset-station stepping (the ReceiverWidget preset selector):
+            # jump to the next/previous station by absolute frequency; the
+            # device-LO handoff (via _set_tune) reaches stations outside
+            # the current capture when the source is hardware-retunable.
+            # A preset carrying a different mode swaps the chain like the
+            # reference's preset recall does.
+            cur = self.center_hz + self.tune
+            if key == "n":
+                cands = [p for p in self.presets if p.freq_hz > cur + 1.0]
+                pre = cands[0] if cands else self.presets[0]   # wrap
+            else:
+                cands = [p for p in self.presets if p.freq_hz < cur - 1.0]
+                pre = cands[-1] if cands else self.presets[-1]
+            self._set_tune(pre.freq_hz - self.center_hz)
+            try:
+                pm = from_string(pre.mode) if pre.mode else None
+            except ValueError:
+                pm = None
+            if pm is not None and pm != self.mode:
+                self.mode = pm
+                self._rebuild()
+            return f"PRESET {pre.name} {pre.freq_hz / 1e6:.4f} MHz"
         if key == "z":
             # display-source cycle (spectrumwidget.h:18-90 zoom/split
             # capability, terminal form): wide (device-rate) -> zoom

@@ -305,3 +305,34 @@ class TestPeakSnapEdgeCases:
         assert ev is not None and ev.startswith("LO ")
         assert len(radio.lo) == 1 and abs(radio.lo[0] - 100_240_000.0) < 1e3
         assert s.tune == 0.0
+
+
+class TestPresetStepping:
+    def test_n_steps_through_presets_and_swaps_mode(self):
+        """'n'/'N' jump to the next/previous preset station by absolute
+        frequency (the ReceiverWidget preset selector analog); a preset
+        carrying a different mode swaps the chain like preset recall."""
+        from pebblesdr_tpu.chain.receiver import Receiver, ReceiverConfig
+        from pebblesdr_tpu.utils.settings import Preset
+
+        presets = [Preset(name="alpha", freq_hz=100_000.0, mode="AM"),
+                   Preset(name="bravo", freq_hz=200_000.0, mode="USB"),
+                   Preset(name="charlie", freq_hz=-150_000.0, mode="AM")]
+        rx = Receiver(ReceiverConfig(sample_rate=512_000,
+                                     frames_per_buffer=8192,
+                                     mode=DemodMode.AM))
+        s = ControlSurface(rx, rx.default_params(0.0), 0.0, presets=presets)
+        ev = s.handle("n")
+        assert ev == "PRESET alpha 0.1000 MHz" and s.tune == 100_000.0
+        assert s.mode == DemodMode.AM and not s.take_reset()
+        ev = s.handle("n")                       # mode swap to USB
+        assert ev == "PRESET bravo 0.2000 MHz" and s.tune == 200_000.0
+        assert s.mode == DemodMode.USB and s.take_reset()
+        ev = s.handle("n")                       # wraps to the lowest
+        assert ev.startswith("PRESET charlie") and s.tune == -150_000.0
+        assert s.mode == DemodMode.AM and s.take_reset()
+        ev = s.handle("N")                       # back down wraps to highest
+        assert ev.startswith("PRESET bravo")
+        # no presets -> 'n' is unbound
+        s2 = ControlSurface(rx, rx.default_params(0.0), 0.0)
+        assert s2.handle("n") is None
