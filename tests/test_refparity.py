@@ -37,7 +37,9 @@ def refchain_bin():
     return rp.build_refchain()
 
 
-def _run_chain(iq, mode, tune, **cfg_kw):
+def _run_chain(iq, mode, tune, params_update=None, **cfg_kw):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +50,9 @@ def _run_chain(iq, mode, tune, **cfg_kw):
     rx = Receiver(cfg)
     state = jax.jit(lambda: rx.init_state())()
     params = rx.default_params(tune)
+    if params_update:
+        params = dataclasses.replace(params, **{
+            k: jnp.asarray(v, jnp.float32) for k, v in params_update.items()})
     outs = []
     frames = cfg.frames_per_buffer
     for i in range(len(iq) // frames):
@@ -346,6 +351,90 @@ class TestReferenceBinaryParity:
         assert nbd > base + 6.0, \
             f"NB2 gain {nbd - base:.1f} dB (nb {nbd:.1f} vs open {base:.1f})"
         assert snr > 25.0, f"NB2 vs reference binary: {snr:.1f} dB"
+
+    def test_iq_balance_vs_reference(self, refchain_bin, tmp_path):
+        """Static IQ-balance correction (iqbalance.cpp:65-78: I' = g*I,
+        Q' = Q + p*I) applied by both chains to the same imbalanced AM
+        capture with the same factors.  The reference's compiled variant
+        additionally runs the dttsp/N4HY adaptive recurrence
+        (iqbalance.cpp:70-83 #else) on the corrected stream — acting on the
+        near-zero residual, so the row stays tight."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        iq = _am_fixture()
+        # impose a gain/phase imbalance, then hand both chains the exact
+        # inverse static correction
+        ib = (1.05 * iq.real + 1j * (iq.imag - 0.03 * iq.real)
+              ).astype(np.complex64)
+        g, p = 1.0 / 1.05, 0.03 / 1.05
+        got, rx = _run_chain(ib, DemodMode.AM, 250_000.0, agc_mode="off",
+                             params_update={"iq_gain": g, "iq_phase": p})
+        ref = rp.run_refchain(ib.astype(np.complex128), FS, "am", 250_000.0,
+                              rx.info.lo_cut, rx.info.hi_cut, agc="off",
+                              audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path), iq_bal=(g, p))
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        print(f"IQ balance vs reference binary: {snr:.1f} dB")
+        assert snr > 45.0, f"IQ balance vs reference binary: {snr:.1f} dB"
+
+    def test_anf_vs_reference(self, refchain_bin, tmp_path):
+        """NoiseFilter ANF (dttsp lmadf, noisefilter.cpp:28-106: 45-tap
+        LMS predictor behind a 64-sample delay, output = the correlated
+        part x1.25).  The chain runs the same constants with block-LMS
+        updates (documented deviation 4) — a measured row plus the
+        functional assertion that both pull the CW tone out of the noise."""
+        from pebblesdr_tpu.demod.modes import DemodMode
+
+        t = np.arange(int(FS * 0.75)) / FS
+        iq = (0.3 * np.exp(2j * np.pi * (400_000.0 + 800.0) * t)
+              ).astype(np.complex64)
+        rng = np.random.default_rng(17)
+        iq_noisy = iq + (0.5 * (rng.standard_normal(len(t))
+                                + 1j * rng.standard_normal(len(t)))
+                         ).astype(np.complex64)
+        got, rx = _run_chain(iq_noisy, DemodMode.USB, 400_000.0,
+                             agc_mode="off", enable_anf=True)
+        ref = rp.run_refchain(iq_noisy.astype(np.complex128), FS, "usb",
+                              400_000.0, rx.info.lo_cut, rx.info.hi_cut,
+                              agc="off", audio_rate=rx.cfg.audio_rate,
+                              tmpdir=str(tmp_path), anf=True)
+        snr = rp.aligned_snr(ref[0], got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        # behavioral parity on the noise-rejection GAIN: at the dttsp
+        # constants this ANF is near-neutral on broadband noise (the
+        # reference's own gain measures ~-1.2 dB here — LMS misadjustment
+        # exceeds the suppression); assert our gain tracks the reference's
+        # rather than demanding an absolute improvement neither achieves
+        got_clean, _ = _run_chain(iq, DemodMode.USB, 400_000.0,
+                                  agc_mode="off")
+        got_noisy, _ = _run_chain(iq_noisy, DemodMode.USB, 400_000.0,
+                                  agc_mode="off")
+        base = rp.aligned_snr(got_clean.astype(np.float64),
+                              got_noisy.astype(np.float64),
+                              skip=rx.cfg.audio_rate // 2)
+        nfd = rp.aligned_snr(got_clean.astype(np.float64),
+                             got.astype(np.float64),
+                             skip=rx.cfg.audio_rate // 2)
+        ref_clean = rp.run_refchain(iq.astype(np.complex128), FS, "usb",
+                                    400_000.0, rx.info.lo_cut,
+                                    rx.info.hi_cut, agc="off",
+                                    audio_rate=rx.cfg.audio_rate,
+                                    tmpdir=str(tmp_path))
+        ref_noisy = rp.run_refchain(iq_noisy.astype(np.complex128), FS,
+                                    "usb", 400_000.0, rx.info.lo_cut,
+                                    rx.info.hi_cut, agc="off",
+                                    audio_rate=rx.cfg.audio_rate,
+                                    tmpdir=str(tmp_path))
+        ref_base = rp.aligned_snr(ref_clean[0], ref_noisy[0],
+                                  skip=rx.cfg.audio_rate // 2)
+        ref_gain = rp.aligned_snr(ref_clean[0], ref[0],
+                                  skip=rx.cfg.audio_rate // 2) - ref_base
+        our_gain = nfd - base
+        print(f"ANF vs reference binary: {snr:.1f} dB; "
+              f"gain ours {our_gain:+.1f} vs reference {ref_gain:+.1f} dB")
+        assert our_gain > ref_gain - 1.5, (our_gain, ref_gain)
+        assert snr > 15.0, f"ANF vs reference binary: {snr:.1f} dB"
 
     def test_wfm_mono_vs_reference(self, refchain_bin, tmp_path):
         """FM-Mono: discriminator + mono LP + deemphasis

@@ -54,7 +54,8 @@ def run_refchain(iq: np.ndarray, fs: int, mode: str, tune_hz: float,
                  agc_thresh: int = 20, audio_rate: int = 0,
                  tmpdir: str = "/tmp", frames: int = 2048,
                  rds_out: str | None = None, nb1: bool = False,
-                 nb2: bool = False) -> np.ndarray:
+                 nb2: bool = False, anf: bool = False,
+                 iq_bal: tuple[float, float] | None = None) -> np.ndarray:
     """Run IQ through the reference chain; returns [2, N] float64 audio
     (left,right; mono modes duplicate).  audio_rate=0 emits at the
     reference's demod rate (no fractional resampler)."""
@@ -79,6 +80,11 @@ def run_refchain(iq: np.ndarray, fs: int, mode: str, tune_hz: float,
         cmd += ["--nb1", "1"]
     if nb2:
         cmd += ["--nb2", "1"]
+    if anf:
+        cmd += ["--anf", "1"]
+    if iq_bal is not None:
+        cmd += ["--iqbal-gain", str(iq_bal[0]),
+                "--iqbal-phase", str(iq_bal[1])]
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         raise RuntimeError(f"refchain failed: {r.stderr}")

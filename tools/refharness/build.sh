@@ -39,6 +39,8 @@ $REF/pebblelib/movingavgfilter.cpp
 $REF/pebblelib/firfilter.cpp
 $REF/application/processstep.cpp
 $REF/application/noiseblanker.cpp
+$REF/application/noisefilter.cpp
+$REF/application/iqbalance.cpp
 $REF/application/agc.cpp
 $REF/application/demod/demod_am.cpp
 $REF/application/demod/demod_sam.cpp

@@ -33,6 +33,8 @@
 #include "demod_wfm.h"
 #include "goertzel.h"
 #include "noiseblanker.h"
+#include "noisefilter.h"
+#include "iqbalance.h"
 
 static void die(const char *msg) {
     fprintf(stderr, "refchain: %s\n", msg);
@@ -50,6 +52,9 @@ int main(int argc, char **argv) {
     int agcThresh = 20;
     int nb1 = 0;  // run the reference NoiseBlanker NB1 (spike blanker)
     int nb2 = 0;  // run the reference NoiseBlanker NB2 (average substitution)
+    int anf = 0;  // run the reference NoiseFilter (dttsp LMS adaptive filter)
+    int iqbal = 0;                         // run the reference IQBalance
+    double iqGain = 1.0, iqPhase = 0.0;    // its static correction factors
 
     for (int i = 1; i < argc; i++) {
         std::string a = argv[i];
@@ -67,6 +72,9 @@ int main(int argc, char **argv) {
         else if (a == "--agc-thresh") agcThresh = atoi(next());
         else if (a == "--nb1") nb1 = atoi(next());
         else if (a == "--nb2") nb2 = atoi(next());
+        else if (a == "--anf") anf = atoi(next());
+        else if (a == "--iqbal-gain") { iqbal = 1; iqGain = atof(next()); }
+        else if (a == "--iqbal-phase") { iqbal = 1; iqPhase = atof(next()); }
         else if (a == "--audio-rate") audioRate = atof(next());
         else if (a == "--in") inPath = next();
         else if (a == "--out") outPath = next();
@@ -118,6 +126,20 @@ int main(int argc, char **argv) {
     if (nb1) nb.setNbEnabled(true);
     if (nb2) nb.setNb2Enabled(true);
 
+    // Device-rate IQ balance, before the blankers (receiver.cpp:819):
+    // static gain/phase correction + the dttsp N4HY adaptive recurrence
+    IQBalance iqb((quint32)rate, (quint32)frames);
+    if (iqbal) {
+        iqb.enableStep(true);
+        iqb.setAutomatic(false);
+        iqb.setGainFactor(iqGain);
+        iqb.setPhaseFactor(iqPhase);
+    }
+
+    // Demod-rate ANF between bandpass and AGC (receiver.cpp:974)
+    NoiseFilter nf((quint32)demodRate, (quint32)frames);
+    if (anf) nf.enableStep(true);
+
     CFastFIR bp;
     bp.SetupParameters(lo, hi, 0, demodRate);
 
@@ -153,6 +175,7 @@ int main(int argc, char **argv) {
             inBuf[i].imag(raw[2 * i + 1]);
         }
         CPX *nextStep = inBuf.data();
+        if (iqbal) nextStep = iqb.ProcessBlock(nextStep);
         if (nb1) nextStep = nb.ProcessBlock(nextStep);
         if (nb2) nextStep = nb.ProcessBlock2(nextStep);
         nextStep = mixer.processBlock(nextStep);
@@ -191,6 +214,7 @@ int main(int argc, char **argv) {
             int bpN = bp.ProcessData(numStepSamples, nextStep, workBuf.data());
             nextStep = workBuf.data();
             numStepSamples = (quint32)bpN;
+            if (anf) nextStep = nf.ProcessBlock(nextStep);
             nextStep = agc.processBlock(nextStep);
             if (fpre)
                 for (quint32 i = 0; i < numStepSamples; i++) {

@@ -9,6 +9,7 @@
 #ifndef PEBBLE_QT_STUB_H
 #define PEBBLE_QT_STUB_H
 
+#include <algorithm>  // iqbalance.cpp uses std::nth_element bare
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
