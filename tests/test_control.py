@@ -336,3 +336,31 @@ class TestPresetStepping:
         # no presets -> 'n' is unbound
         s2 = ControlSurface(rx, rx.default_params(0.0), 0.0)
         assert s2.handle("n") is None
+
+    def test_cli_presets_keys(self, tmp_path=None):
+        """--presets CSV + scripted 'N'/'n' recall stations through the
+        real CLI loop (events + final tune in the JSON metrics)."""
+        import io
+        import json as json_mod
+        import contextlib
+        import tempfile
+
+        from pebblesdr_tpu.serve.cli import main
+
+        with tempfile.TemporaryDirectory() as d:
+            csv = d + "/presets.csv"
+            with open(csv, "w") as f:
+                f.write("# name,freq_hz,mode\n"
+                        "station-a,250000,AM\n"
+                        "station-b,-100000,AM\n")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = main(["--synthetic", "am", "--mode", "AM",
+                           "--tune", "250000", "--seconds", "0.2",
+                           "--blocks-per-dispatch", "1", "--json",
+                           "--presets", csv, "--keys", "Nn"])
+            assert rc == 0 or rc is None
+            m = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
+            assert m["control_events"] == ["PRESET station-b -0.1000 MHz",
+                                           "PRESET station-a 0.2500 MHz"]
+            assert m["tune_hz"] == 250000.0
